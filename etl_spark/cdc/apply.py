@@ -1,0 +1,142 @@
+"""apply_batch — the single apply path shared by batch replay and the
+Structured Streaming driver (single-code-path requirement mirroring the
+reference's dev HTTP entry reusing the production task path,
+/root/reference/cmd/etl_worker/etl_worker.go:118-158 → worker.ProcessGKETask).
+
+Pipeline per micro-batch:
+  1. idempotence gate   — batch_id already in the commit manifest ⇒ no-op
+                          (the reference's analog: atomic visibility at
+                          Close + Gardener state, storage/rowwriter.go:83-171)
+  2. validation         — malformed events (bad op, null keys, oversize
+                          text) are counted as failed and dropped; if
+                          failed/events_in > fail_threshold the WHOLE batch
+                          errors before any write (failfast + 10% error
+                          budget: /root/reference/task/task.go:163-173,
+                          /root/reference/etl/etl.go:116-117)
+  3. in-batch LWW dedup — skew-proof partial-agg max_by (cdc/dedup.py)
+  4. MERGE              — bucket-pruned copy-on-write LWW upsert with
+                          tombstones (lake/merge.py), committed atomically
+                          together with metrics + lineage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_spark.cdc.dedup import lww_dedup
+from etl_spark.lake.merge import MergeStats, merge_into
+from etl_spark.lake.table import LakeTable
+
+# BigQuery's 100MB row limit drives the reference's 90MB guard
+# (/root/reference/parser/scamper1.go:22-25); we keep an explicit guard too.
+MAX_TEXT_BYTES = 10 * 1024 * 1024
+VALID_OPS = ("I", "U", "D")
+
+
+class BatchFailedError(RuntimeError):
+    """Raised when a batch exceeds the failed-row budget; nothing committed."""
+
+
+def _segment_relative(path: str) -> str:
+    """Normalize a file path/URI to its segment-relative identity
+    (``<segment_dir>/<file>``) so a replay of the same segment from a moved
+    or re-mounted feed root is still recognized as the same batch."""
+    p = path.split("://", 1)[-1].rstrip("/")
+    parts = p.split("/")
+    return "/".join(parts[-2:])
+
+
+def batch_fingerprint(source_files: list[str]) -> str:
+    """Deterministic batch id from the set of input files — Spark may re-run
+    a foreachBatch after failure with a fresh epoch id, so idempotence must
+    key on the INPUT, not Spark's epoch."""
+    h = hashlib.md5()
+    for f in sorted({_segment_relative(f) for f in source_files}):
+        h.update(f.encode())
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+def validate_events(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split (valid, failed). Pure column predicates — pushed into the scan."""
+    ok = (
+        F.col("op").isin(*VALID_OPS)
+        & F.col("conv_id").isNotNull()
+        & F.col("turn_idx").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("op_seq").isNotNull()
+        & (F.coalesce(F.octet_length(F.col("text")), F.lit(0)) < MAX_TEXT_BYTES)
+    )
+    return batch.filter(ok), batch.filter(~ok)
+
+
+def apply_batch(
+    spark: SparkSession,
+    table: LakeTable,
+    batch: DataFrame,
+    batch_id: str,
+    source_files: list[str] | None = None,
+    fail_threshold: float = 0.10,
+) -> MergeStats:
+    if table.is_committed(batch_id):
+        s = MergeStats(batch_id=batch_id)
+        s.skipped_idempotent = True
+        return s
+    batch = batch.persist()
+    try:
+        events_in = batch.count()
+        if events_in == 0:
+            table.commit_version({}, [], batch_id, {"events_in": 0})
+            return MergeStats(batch_id=batch_id)
+        valid, bad = validate_events(batch)
+        failed = bad.count()
+        if failed / events_in > fail_threshold:
+            raise BatchFailedError(
+                f"batch {batch_id}: {failed}/{events_in} failed rows exceeds "
+                f"{fail_threshold:.0%} budget — aborting before commit"
+            )
+        deduped = lww_dedup(valid)
+        return merge_into(
+            spark,
+            table,
+            deduped,
+            batch_id,
+            events_in=events_in,
+            source_files=source_files,
+            failed=failed,
+        )
+    finally:
+        batch.unpersist()
+
+
+def replay_feed(
+    spark: SparkSession,
+    table: LakeTable,
+    feed_dir: str,
+    fail_threshold: float = 0.10,
+) -> list[MergeStats]:
+    """Batch-mode replay of a feed directory (one subdir per binlog segment,
+    lexicographic order = arrival order). Used by tests, bench, and as the
+    debug single-archive path. Resumable by construction: already-committed
+    batches no-op via their input fingerprint."""
+    out: list[MergeStats] = []
+    for name in sorted(os.listdir(feed_dir)):
+        d = os.path.join(feed_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        if not files:
+            continue
+        bid = batch_fingerprint(files)
+        df = spark.read.parquet(d)
+        out.append(
+            apply_batch(
+                spark, table, df, bid, source_files=[name], fail_threshold=fail_threshold
+            )
+        )
+    return out

@@ -1,0 +1,85 @@
+"""In-batch last-writer-wins dedup — collapse a CDC micro-batch to one
+event per (conv_id, turn_idx), keeping the max-(ts, op_seq) event.
+
+This is the engine-side realization of the reference's "fields used by
+gardener's dedup" contract (/root/reference/parser/parser.go:157-176 —
+synthetic UUIDs exist solely so downstream can dedup on them; planned
+incoming → deduplicated base_tables flow, /root/reference/schema/README.md:6-10).
+It is also MANDATORY before MERGE: like Iceberg, the merge rejects a source
+with multiple rows per key.
+
+Three implementations, same semantics:
+
+* ``lww_dedup`` (DEFAULT) — hash-aggregate ``max_by(struct(*), (ts, op_seq))``.
+  Spark's hash aggregate does map-side PARTIAL aggregation, so a hot
+  conversation's duplicates collapse locally on each input partition before
+  the shuffle — the skew never reaches the exchange. This is strictly better
+  than a window at scale: one shuffle of pre-collapsed rows, no sort.
+* ``lww_dedup_salted`` — explicit two-phase salted variant (phase 1: max per
+  (key, salt); phase 2: max of maxes). Kept for the pathological case where
+  partial aggregation is defeated (e.g. agg buffer eviction under extreme
+  cardinality); also the documented skew-handling evidence for the
+  north-rule's "salted repartitioning for hot-key skew".
+* ``lww_dedup_window`` — row_number() over (key ORDER BY ts DESC, op_seq
+  DESC); the naive formulation, kept as a test oracle (sorts + shuffles the
+  full batch — do not use in the hot path).
+
+Tie-breaking: equal (ts, op_seq) means duplicate delivery of the same event
+(payloads identical), so any winner is correct; max_by picks one
+deterministically per aggregation tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from etl_spark.schema import KEY_COLS
+
+
+def _value_cols(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c not in KEY_COLS]
+
+
+def lww_dedup(batch: DataFrame) -> DataFrame:
+    vals = _value_cols(batch)
+    return (
+        batch.groupBy(*KEY_COLS)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in vals]),
+                F.struct(F.col("ts"), F.col("op_seq")),
+            ).alias("__w")
+        )
+        .select(*KEY_COLS, *[F.col(f"__w.{c}").alias(c) for c in vals])
+    )
+
+
+def lww_dedup_salted(batch: DataFrame, salt_buckets: int = 32) -> DataFrame:
+    """Two-phase: (key, salt) partial max → key max. The salt spreads one hot
+    key over ``salt_buckets`` reducers in phase 1."""
+    vals = _value_cols(batch)
+    packed = F.struct(*[F.col(c) for c in vals])
+    order = F.struct(F.col("ts"), F.col("op_seq"))
+    phase1 = (
+        batch.withColumn("__salt", F.pmod(F.col("op_seq"), F.lit(salt_buckets)))
+        .groupBy(*KEY_COLS, "__salt")
+        .agg(F.max_by(packed, order).alias("__w"))
+    )
+    return (
+        phase1.groupBy(*KEY_COLS)
+        .agg(
+            F.max_by(
+                F.col("__w"), F.struct(F.col("__w.ts"), F.col("__w.op_seq"))
+            ).alias("__w")
+        )
+        .select(*KEY_COLS, *[F.col(f"__w.{c}").alias(c) for c in vals])
+    )
+
+
+def lww_dedup_window(batch: DataFrame) -> DataFrame:
+    w = W.partitionBy(*KEY_COLS).orderBy(F.col("ts").desc(), F.col("op_seq").desc())
+    return (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

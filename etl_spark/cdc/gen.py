@@ -1,0 +1,158 @@
+"""Deterministic CDC change-feed generator (FIXTURES.md F2).
+
+Everything is a pure column expression of the event id and an integer seed —
+no wall-clock, no Python RNG in the row path — so the same (seed, knobs)
+always produce byte-identical feeds, at any parallelism, on any cluster.
+Spark-native: built on ``spark.range`` (parallelized long range), all
+columns derived via JVM-side expressions; scales linearly with cores.
+
+Knobs (cf. FIXTURES.md F2): #conversations, max turns/conv, update/delete
+ratios, duplicate-delivery ratio (same op_seq re-emitted in a later batch —
+dedup test), out-of-order fraction (ts earlier than already-shipped events —
+LWW test), Zipf-ish hot-conversation skew, schema-evolution batch K
+(tool_version/tool_latency_ms appear from batch K on — the north-star's
+"new tool metadata fields").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+BASE_TS_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, fixed epoch base
+
+EVOLVED_COLS = ["tool_version", "tool_latency_ms"]
+
+
+def _h(seed: int, tag: int) -> F.Column:
+    """Independent 64-bit hash stream per (seed, tag)."""
+    return F.xxhash64(F.col("id"), F.lit(seed), F.lit(tag))
+
+
+def _u01(seed: int, tag: int) -> F.Column:
+    return F.pmod(_h(seed, tag), F.lit(1_000_000)).cast("double") / 1_000_000.0
+
+
+def change_feed_df(
+    spark: SparkSession,
+    n_events: int,
+    n_convs: int = 1000,
+    max_turns: int = 32,
+    seed: int = 42,
+    skew: float = 2.0,
+    delete_ratio: float = 0.05,
+    dup_ratio: float = 0.05,
+    ooo_ratio: float = 0.10,
+    n_batches: int = 8,
+    evolve_from_batch: int | None = None,
+) -> DataFrame:
+    """Return the change feed as a DataFrame with a ``batch`` column.
+
+    ``skew`` > 1 concentrates events on low conv ids (hot conversations):
+    conv = floor(n_convs * u^skew). op_seq is the global sequence (= id for
+    originals); duplicates re-emit the SAME op_seq in a later batch.
+    """
+    per_batch = max(1, (n_events + n_batches - 1) // n_batches)
+    df = spark.range(n_events)
+
+    conv_idx = F.floor(F.lit(float(n_convs)) * F.pow(_u01(seed, 1), F.lit(skew))).cast("int")
+    conv_id = F.format_string("conv-%08d", conv_idx)
+    turn_idx = F.pmod(_h(seed, 2), F.lit(max_turns)).cast("int")
+    u_op = _u01(seed, 3)
+    op = (
+        F.when(u_op < F.lit(delete_ratio), F.lit("D"))
+        .when(u_op < F.lit(delete_ratio + 0.3), F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    # ts: monotone base + out-of-order back-jumps for a fraction of events
+    jitter = F.when(
+        _u01(seed, 4) < F.lit(ooo_ratio),
+        -(F.pmod(_h(seed, 5), F.lit(3_600_000_000))),  # up to 1h late
+    ).otherwise(F.lit(0))
+    ts = F.timestamp_micros(
+        F.lit(BASE_TS_US) + F.col("id") * F.lit(1_000_000) + jitter
+    )
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
+        (F.pmod(_h(seed, 6), F.lit(4)) + 1).cast("int"),
+    )
+    tool = F.when(
+        role == "tool", F.format_string("tool-%02d", F.pmod(_h(seed, 7), F.lit(16)).cast("int"))
+    ).otherwise(F.lit(None).cast("string"))
+    text = F.concat(
+        F.format_string("c%08d-t%02d-s%012d-", conv_idx, turn_idx, F.col("id")),
+        F.repeat(F.lit("x"), F.pmod(_h(seed, 8), F.lit(240)).cast("int")),
+    )
+    batch = F.least(F.floor(F.col("id") / F.lit(per_batch)), F.lit(n_batches - 1)).cast("int")
+
+    base = df.select(
+        op.alias("op"),
+        ts.alias("ts"),
+        F.col("id").alias("op_seq"),
+        conv_id.alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        F.when(op == "D", F.lit(None).cast("string")).otherwise(role).alias("role"),
+        F.when(op == "D", F.lit(None).cast("string")).otherwise(text).alias("text"),
+        F.when(op == "D", F.lit(None).cast("string")).otherwise(tool).alias("tool"),
+        batch.alias("batch"),
+        _u01(seed, 9).alias("__dup_u"),
+    )
+    # duplicate deliveries: re-emit a sample of events, same op_seq, batch+1
+    dups = base.filter(F.col("__dup_u") < F.lit(dup_ratio)).withColumn(
+        "batch", F.least(F.col("batch") + 1, F.lit(n_batches - 1)).cast("int")
+    )
+    feed = base.unionByName(dups).drop("__dup_u")
+    feed = feed.withColumn("source_file", F.format_string("seg-%05d", F.col("batch")))
+
+    if evolve_from_batch is not None:
+        # post-K events carry the new metadata columns (pre-K batches get the
+        # columns DROPPED at write time in write_feed — they never existed)
+        feed = feed.withColumn(
+            "tool_version",
+            F.when(
+                (F.col("batch") >= evolve_from_batch) & F.col("tool").isNotNull(),
+                F.format_string("v%d.%d", F.pmod(_hash_col("op_seq", seed, 10), F.lit(3)),
+                                F.pmod(_hash_col("op_seq", seed, 11), F.lit(10))),
+            ).otherwise(F.lit(None).cast("string")),
+        ).withColumn(
+            "tool_latency_ms",
+            F.when(
+                (F.col("batch") >= evolve_from_batch) & F.col("tool").isNotNull(),
+                F.pmod(_hash_col("op_seq", seed, 12), F.lit(5000)),
+            ).otherwise(F.lit(None).cast("long")),
+        )
+    return feed
+
+
+def _hash_col(col: str, seed: int, tag: int) -> F.Column:
+    return F.xxhash64(F.col(col), F.lit(seed), F.lit(tag))
+
+
+def write_feed(
+    feed: DataFrame,
+    feed_dir: str,
+    evolve_from_batch: int | None = None,
+    n_batches: int | None = None,
+) -> list[str]:
+    """Materialize the feed as one parquet directory per batch
+    (``feed/batch=00042/``), simulating binlog segment arrival. Pre-evolution
+    batches are written WITHOUT the evolved columns (they didn't exist yet).
+    Returns the ordered list of batch directories."""
+    feed = feed.persist()
+    try:
+        if n_batches is None:
+            n_batches = feed.agg(F.max("batch")).collect()[0][0] + 1
+        dirs = []
+        for k in range(n_batches):
+            part = feed.filter(F.col("batch") == k).drop("batch")
+            if evolve_from_batch is not None and k < evolve_from_batch:
+                part = part.drop(*EVOLVED_COLS)
+            d = os.path.join(feed_dir, f"batch={k:05d}")
+            part.repartition(
+                max(1, part.sparkSession.sparkContext.defaultParallelism // 4)
+            ).write.mode("overwrite").parquet(d)
+            dirs.append(d)
+        return dirs
+    finally:
+        feed.unpersist()

@@ -1,0 +1,92 @@
+"""Structured Streaming driver: tail the feed directory, apply micro-batches
+through the same ``apply_batch`` used in batch mode.
+
+Reference analog: the Gardener poll → streamToPending → throttled RunAll
+loop (/root/reference/active/poller.go:147-216, active/active.go:163-203,
+active/throttle.go:9-81). Spark replaces every piece:
+
+  * job discovery + offsets  → file-source checkpointed offsets
+  * streamToPending channel  → micro-batch planning
+  * semaphore max_active     → maxFilesPerTrigger + executor cores
+  * Gardener heartbeat/state → checkpoint + our commit manifest
+  * graceful SIGTERM + resume (parser.yml:28-30) → query.stop() +
+    restart from checkpointLocation
+
+Exactly-once: Spark's file-source checkpoint is at-least-once across
+failures (a batch can be re-delivered after a crash between sink write and
+offset commit). We therefore fingerprint each micro-batch by its INPUT FILES
+(``input_file_name()``) and let the commit manifest no-op replays — the same
+composition the reference uses (at-least-once parse + key-dedup + atomic
+output visibility, /root/reference/storage/rowwriter.go:83-171).
+
+Late/out-of-order data: correctness is carried by ts-based LWW in the MERGE,
+not by a watermark — the reference ASSUMES in-order timestamps and panics
+otherwise (/root/reference/parser/ndt.go:226-238); we must not (north rule).
+No stateful streaming operator exists in this pipeline, so no watermark is
+required for state cleanup.
+
+Schema evolution mid-stream: the file source pins its schema at query start,
+so when the feed gains columns the query is restarted with the merged schema
+(detect_feed_schema) — checkpointed offsets make the restart seamless. This
+mirrors the reference's out-of-band update-schema deploy step
+(/root/reference/cmd/update-schema/update.go:112-161).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from etl_spark.cdc.apply import apply_batch, batch_fingerprint
+from etl_spark.lake.table import LakeTable
+
+
+def detect_feed_schema(spark: SparkSession, feed_dir: str) -> T.StructType:
+    """Union-of-eras feed schema from parquet footers (mergeSchema reads
+    footers only, not data)."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{feed_dir}/*")
+        .schema
+    )
+
+
+def run_stream(
+    spark: SparkSession,
+    table: LakeTable,
+    feed_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    fail_threshold: float = 0.10,
+):
+    """Start (and by default drain) the streaming apply loop. Returns the
+    StreamingQuery when available_now=False (caller stops it)."""
+    schema = detect_feed_schema(spark, feed_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.parquet(f"{feed_dir}/*").withColumn("__file", F.input_file_name())
+
+    def _apply(df: DataFrame, epoch_id: int) -> None:
+        files = [r[0] for r in df.select("__file").distinct().collect()]
+        if not files:
+            return
+        bid = batch_fingerprint(files)
+        apply_batch(
+            spark,
+            table,
+            df.drop("__file"),
+            bid,
+            source_files=sorted(files),
+            fail_threshold=fail_threshold,
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

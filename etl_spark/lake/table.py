@@ -1,0 +1,381 @@
+"""LakeTable — bucket-partitioned parquet table with atomic snapshot commits.
+
+The execution container has no Iceberg/Delta runtime jars, so this module
+implements the same contract those formats provide, scoped to what the
+engine needs (and structured so a real Iceberg catalog could be swapped in
+behind the same API):
+
+  * **Snapshot isolation + atomic commit.** A version manifest lists every
+    data file per bucket; a pointer file is swapped with ``os.replace``
+    (atomic on POSIX). This mirrors both Iceberg's snapshot pointer and the
+    reference's atomic-at-Close GCS object commit
+    (/root/reference/storage/rowwriter.go:83-87,142-171 — "the entire
+    object becomes available atomically").
+  * **Commit manifest / idempotence.** Each commit records its batch_id and
+    row counts inside the manifest (single atomic swap ⇒ data + commit-log
+    + metrics are crash-consistent). The reference's analog is the
+    row-count object metadata written at Close
+    (/root/reference/storage/rowwriter.go:157-170).
+  * **Key bucketing.** Rows are hash-bucketed on ``conv_id``
+    (``pmod(xxhash64(conv_id), n_buckets)``) so a MERGE only rewrites
+    touched buckets (bounded write amplification at 10^10-event scale) and
+    all turns of one conversation co-locate. Iceberg analog:
+    ``bucket(N, conv_id)`` partition spec.
+  * **Schema evolution.** The manifest stores the current user schema plus
+    one schema era per historical write; readers align every file group to
+    the current schema (add-null for new columns, cast for widenings),
+    mirroring the reference's update-schema workflow
+    (/root/reference/cmd/update-schema/update.go:112-161).
+  * **Tombstones (merge-on-read deletes).** Deletes are persisted as
+    tombstone rows so a late (stale) re-insert with an older timestamp
+    cannot resurrect a deleted row under replay; reads filter
+    ``deleted = false``. ``expire_tombstones`` compacts them away once a
+    watermark has passed.
+
+Scale notes (100 TB / 1000 executors): the manifest holds file *lists*, not
+data — at n_buckets=4096 and one commit per micro-batch it stays in the
+driver's working set like Iceberg's manifest lists; data reads/writes are
+pure parquet DataFrame scans that Catalyst prunes by bucket directory. No
+driver-side row iteration anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from etl_spark.schema import KEY_COLS, SYSTEM_COLS, evolve_schema, schema_from_json
+
+MANIFEST_DIR = "_manifests"
+CURRENT_PTR = "CURRENT"
+
+# storage-level system columns appended to the (evolvable) user schema
+_SYSTEM_FIELDS = [
+    T.StructField("op_seq", T.LongType(), True),
+    T.StructField("deleted", T.BooleanType(), True),
+    T.StructField("batch_id", T.StringType(), True),
+    T.StructField("source_file", T.StringType(), True),
+    T.StructField("ingest_ts", T.TimestampType(), True),
+]
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+@dataclass
+class Manifest:
+    version: int
+    parent: int | None
+    schema_json: str                      # current user schema
+    schemas: dict[str, str]               # schema_id -> user schema json (eras)
+    current_schema_id: str
+    n_buckets: int
+    files: dict[str, list[dict[str, Any]]]  # bucket -> [{path, schema_id, rows}]
+    commits: dict[str, dict[str, Any]]    # batch_id -> commit record
+    created_unix: float
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        return Manifest(**json.loads(s))
+
+
+class LakeTable:
+    """A versioned, bucket-partitioned parquet table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # ---------------------------------------------------------------- setup
+    @classmethod
+    def create(cls, path: str, schema: T.StructType, n_buckets: int = 16) -> "LakeTable":
+        os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        m = Manifest(
+            version=0,
+            parent=None,
+            schema_json=schema.json(),
+            schemas={"0": schema.json()},
+            current_schema_id="0",
+            n_buckets=n_buckets,
+            files={},
+            commits={},
+            created_unix=time.time(),
+        )
+        t = cls(path)
+        t._write_manifest(m)
+        return t
+
+    @classmethod
+    def create_if_not_exists(
+        cls, path: str, schema: T.StructType, n_buckets: int = 16
+    ) -> "LakeTable":
+        if os.path.exists(os.path.join(path, MANIFEST_DIR, CURRENT_PTR)):
+            return cls(path)
+        return cls.create(path, schema, n_buckets)
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, MANIFEST_DIR, CURRENT_PTR))
+
+    # ------------------------------------------------------------- manifest
+    def manifest(self) -> Manifest:
+        ptr = os.path.join(self.path, MANIFEST_DIR, CURRENT_PTR)
+        with open(ptr) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.path, MANIFEST_DIR, name)) as f:
+            return Manifest.from_json(f.read())
+
+    def _write_manifest(self, m: Manifest) -> None:
+        name = f"v{m.version:08d}.json"
+        _atomic_write(os.path.join(self.path, MANIFEST_DIR, name), m.to_json())
+        # the pointer swap is THE commit point — everything before is invisible
+        _atomic_write(os.path.join(self.path, MANIFEST_DIR, CURRENT_PTR), name)
+
+    # --------------------------------------------------------------- schema
+    def user_schema(self) -> T.StructType:
+        return schema_from_json(self.manifest().schema_json)
+
+    def storage_schema(self, user_schema: T.StructType | None = None) -> T.StructType:
+        us = user_schema or self.user_schema()
+        return T.StructType(list(us.fields) + list(_SYSTEM_FIELDS))
+
+    @property
+    def n_buckets(self) -> int:
+        return self.manifest().n_buckets
+
+    def bucket_expr(self, conv_col: str = "conv_id") -> F.Column:
+        """Deterministic bucket assignment; all turns of a conversation share
+        a bucket, so MERGE shuffles are bounded to touched buckets."""
+        return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(self.n_buckets)).cast("int")
+
+    # ---------------------------------------------------------------- reads
+    def _aligned_scan(
+        self, spark: SparkSession, m: Manifest, buckets: list[int] | None
+    ) -> DataFrame:
+        """Scan data files aligned to the CURRENT schema.
+
+        Files are grouped by their write-era schema; each group is cast/
+        null-padded to the current storage schema, then unioned by name.
+        This is how int→long widening survives without rewriting old files
+        (parquet's own mergeSchema refuses type conflicts).
+        """
+        cur_storage = self.storage_schema(schema_from_json(m.schema_json))
+        want = [f.name for f in cur_storage.fields]
+        groups: dict[str, list[str]] = {}
+        sel = m.files if buckets is None else {str(b): m.files.get(str(b), []) for b in buckets}
+        for flist in sel.values():
+            for fe in flist:
+                groups.setdefault(fe["schema_id"], []).append(
+                    os.path.join(self.path, fe["path"])
+                )
+        parts: list[DataFrame] = []
+        for sid, paths in groups.items():
+            era_user = schema_from_json(m.schemas[sid])
+            era_storage = self.storage_schema(era_user)
+            df = spark.read.schema(era_storage).parquet(*paths)
+            have = set(df.columns)
+            cols = [
+                (F.col(n).cast(cur_storage[n].dataType) if n in have
+                 else F.lit(None).cast(cur_storage[n].dataType)).alias(n)
+                for n in want
+            ]
+            parts.append(df.select(*cols))
+        if not parts:
+            return spark.createDataFrame([], cur_storage)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_storage(
+        self, spark: SparkSession, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """All storage rows (incl. tombstones + system columns)."""
+        return self._aligned_scan(spark, self.manifest(), buckets)
+
+    def read(self, spark: SparkSession, include_system: bool = False) -> DataFrame:
+        """Live (non-tombstoned) rows, user schema by default."""
+        m = self.manifest()
+        df = self._aligned_scan(spark, m, None).filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+        if include_system:
+            return df
+        user_cols = [f.name for f in schema_from_json(m.schema_json).fields]
+        return df.select(*user_cols)
+
+    # ------------------------------------------------------------ commit API
+    def commit_version(
+        self,
+        new_files_by_bucket: dict[int, list[dict[str, Any]]],
+        touched_buckets: list[int],
+        batch_id: str | None,
+        commit_record: dict[str, Any] | None,
+        new_user_schema: T.StructType | None = None,
+    ) -> Manifest:
+        """Swap in a new snapshot: touched buckets get their file lists
+        REPLACED (copy-on-write), untouched buckets carry over unchanged."""
+        m = self.manifest()
+        files = dict(m.files)
+        for b in touched_buckets:
+            files[str(b)] = new_files_by_bucket.get(b, [])
+        schemas = dict(m.schemas)
+        schema_json = m.schema_json
+        schema_id = m.current_schema_id
+        if new_user_schema is not None and new_user_schema.json() != m.schema_json:
+            # evolution: validate against the widening lattice, register an era
+            evolved = evolve_schema(schema_from_json(m.schema_json), new_user_schema)
+            schema_json = evolved.json()
+            schema_id = str(len(schemas))
+            schemas[schema_id] = schema_json
+        commits = dict(m.commits)
+        if batch_id is not None:
+            commits[batch_id] = {"version": m.version + 1, **(commit_record or {})}
+        nm = Manifest(
+            version=m.version + 1,
+            parent=m.version,
+            schema_json=schema_json,
+            schemas=schemas,
+            current_schema_id=schema_id,
+            n_buckets=m.n_buckets,
+            files=files,
+            commits=commits,
+            created_unix=time.time(),
+        )
+        self._write_manifest(nm)
+        return nm
+
+    def is_committed(self, batch_id: str) -> bool:
+        return batch_id in self.manifest().commits
+
+    def commit_log(self) -> dict[str, dict[str, Any]]:
+        return self.manifest().commits
+
+    # ------------------------------------------------------- lineage/metrics
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        """Per-batch metrics table (one row per applied batch), from the
+        crash-consistent commit records. Invariant (mirrors the reference's
+        ``Accepted == Failed + Committed + RowsInBuffer``,
+        /root/reference/etl/etl.go:20-35):
+        events_in == dup_dropped + inserted + updated + deleted + stale_skipped."""
+        rows = []
+        for bid, c in self.commit_log().items():
+            rows.append(
+                {
+                    "batch_id": bid,
+                    "version": c.get("version"),
+                    "events_in": c.get("events_in", 0),
+                    "dup_dropped": c.get("dup_dropped", 0),
+                    "inserted": c.get("inserted", 0),
+                    "updated": c.get("updated", 0),
+                    "deleted": c.get("deleted", 0),
+                    "stale_skipped": c.get("stale_skipped", 0),
+                    "carried": c.get("carried", 0),
+                    "failed": c.get("failed", 0),
+                    "wall_sec": c.get("wall_sec", 0.0),
+                }
+            )
+        schema = (
+            "batch_id string, version long, events_in long, dup_dropped long, "
+            "inserted long, updated long, deleted long, stale_skipped long, "
+            "carried long, failed long, wall_sec double"
+        )
+        return spark.createDataFrame(rows, schema=schema)
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        """Per-(batch, bucket) lineage: which partition got how many rows from
+        which source files — the engine's analog of the reference's ParseInfo
+        lineage struct (/root/reference/schema/schema.go:15-24)."""
+        rows = []
+        for bid, c in self.commit_log().items():
+            for b, nrows in (c.get("bucket_rows") or {}).items():
+                rows.append(
+                    {
+                        "batch_id": bid,
+                        "bucket": int(b),
+                        "rows_written": int(nrows),
+                        "source_files": c.get("source_files") or [],
+                        "engine_version": c.get("engine_version", ""),
+                    }
+                )
+        schema = (
+            "batch_id string, bucket int, rows_written long, "
+            "source_files array<string>, engine_version string"
+        )
+        return spark.createDataFrame(rows, schema=schema)
+
+    # ---------------------------------------------------------- maintenance
+    def expire_tombstones(self, spark: SparkSession, older_than_ts: str) -> int:
+        """Compaction: physically drop tombstones with ts < older_than_ts
+        (safe once no change older than that can still arrive — the batch
+        analog of a streaming watermark). Rewrites only buckets that contain
+        expirable tombstones."""
+        m = self.manifest()
+        storage = self.read_storage(spark)
+        doomed = storage.filter(
+            F.col("deleted") & (F.col("ts") < F.lit(older_than_ts).cast("timestamp"))
+        )
+        buckets = [r[0] for r in doomed.select(self.bucket_expr()).distinct().collect()]
+        if not buckets:
+            return 0
+        keep = self.read_storage(spark, buckets).filter(
+            ~(F.col("deleted") & (F.col("ts") < F.lit(older_than_ts).cast("timestamp")))
+        )
+        n = int(doomed.count())
+        files = self.write_bucket_files(keep, version_tag=f"compact{m.version + 1}")
+        self.commit_version(files, buckets, None, None)
+        return n
+
+    # ------------------------------------------------------------ data write
+    def next_schema_id(self, user_schema: T.StructType) -> str:
+        """The era id commit_version WILL assign if committing this schema."""
+        m = self.manifest()
+        if user_schema.json() == m.schema_json:
+            return m.current_schema_id
+        return str(len(m.schemas))
+
+    def write_bucket_files(
+        self, storage_df: DataFrame, version_tag: str, schema_id: str | None = None
+    ) -> dict[int, list[dict[str, Any]]]:
+        """Write storage rows partitioned by bucket under a unique version
+        dir; return the per-bucket file entries for the manifest. Files are
+        invisible until commit_version swaps the pointer."""
+        m = self.manifest()
+        sid = schema_id if schema_id is not None else m.current_schema_id
+        vdir_rel = os.path.join("data", f"{version_tag}-{uuid.uuid4().hex[:8]}")
+        vdir = os.path.join(self.path, vdir_rel)
+        df = storage_df.withColumn("__bucket", self.bucket_expr())
+        # ~one file per bucket: cluster rows of a bucket into the same task
+        df = df.repartition(F.col("__bucket"))
+        df.write.partitionBy("__bucket").mode("overwrite").parquet(vdir)
+        out: dict[int, list[dict[str, Any]]] = {}
+        if not os.path.isdir(vdir):
+            return out
+        for d in os.listdir(vdir):
+            if not d.startswith("__bucket="):
+                continue
+            b = int(d.split("=", 1)[1])
+            entries = []
+            for fn in os.listdir(os.path.join(vdir, d)):
+                if fn.endswith(".parquet"):
+                    entries.append(
+                        {
+                            "path": os.path.join(vdir_rel, d, fn),
+                            "schema_id": sid,
+                            "rows": None,
+                        }
+                    )
+            out[b] = entries
+        return out

@@ -80,6 +80,7 @@ def apply_batch(
     batch_id: str,
     source_files: list[str] | None = None,
     fail_threshold: float = 0.10,
+    segments: list[str] | None = None,
 ) -> MergeStats:
     if table.is_committed(batch_id):
         s = MergeStats(batch_id=batch_id)
@@ -89,7 +90,7 @@ def apply_batch(
     try:
         events_in = batch.count()
         if events_in == 0:
-            table.commit_version({}, [], batch_id, {"events_in": 0})
+            table.commit_version({}, [], batch_id, {"events_in": 0}, segments=segments)
             return MergeStats(batch_id=batch_id)
         valid, bad = validate_events(batch)
         failed = bad.count()
@@ -107,6 +108,7 @@ def apply_batch(
             events_in=events_in,
             source_files=source_files,
             failed=failed,
+            segments=segments,
         )
     finally:
         batch.unpersist()
@@ -123,6 +125,7 @@ def replay_feed(
     debug single-archive path. Resumable by construction: already-committed
     batches no-op via their input fingerprint."""
     out: list[MergeStats] = []
+    done = table.committed_segments()
     for name in sorted(os.listdir(feed_dir)):
         d = os.path.join(feed_dir, name)
         if not os.path.isdir(d):
@@ -133,10 +136,16 @@ def replay_feed(
         if not files:
             continue
         bid = batch_fingerprint(files)
+        if name in done or table.is_committed(bid):
+            s = MergeStats(batch_id=bid)
+            s.skipped_idempotent = True
+            out.append(s)
+            continue
         df = spark.read.parquet(d)
         out.append(
             apply_batch(
-                spark, table, df, bid, source_files=[name], fail_threshold=fail_threshold
+                spark, table, df, bid, source_files=[name],
+                fail_threshold=fail_threshold, segments=[name],
             )
         )
     return out

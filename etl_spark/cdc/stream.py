@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from etl_spark.cdc.apply import apply_batch, batch_fingerprint
+from etl_spark.cdc.apply import _segment_relative, apply_batch, batch_fingerprint
 from etl_spark.lake.table import LakeTable
 
 
@@ -71,14 +71,29 @@ def run_stream(
         files = [r[0] for r in df.select("__file").distinct().collect()]
         if not files:
             return
-        bid = batch_fingerprint(files)
+        # idempotence is per SEGMENT (binlog unit = one feed subdirectory):
+        # after checkpoint loss, Spark re-delivers old segments grouped into
+        # different micro-batches — drop their rows before applying so the
+        # replay is a true no-op regardless of grouping. Segments are
+        # immutable by contract (like the reference's archives).
+        def seg(f: str) -> str:
+            return _segment_relative(f).split("/")[0]
+
+        done = table.committed_segments()
+        new_files = sorted(f for f in files if seg(f) not in done)
+        if not new_files:
+            return
+        new_segs = sorted({seg(f) for f in new_files})
+        bid = batch_fingerprint(new_files)
+        batch_df = df.filter(F.col("__file").isin(new_files)).drop("__file")
         apply_batch(
             spark,
             table,
-            df.drop("__file"),
+            batch_df,
             bid,
-            source_files=sorted(files),
+            source_files=new_segs,
             fail_threshold=fail_threshold,
+            segments=new_segs,
         )
 
     writer = (

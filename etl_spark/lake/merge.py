@@ -85,6 +85,7 @@ def merge_into(
     events_in: int | None = None,
     source_files: list[str] | None = None,
     failed: int = 0,
+    segments: list[str] | None = None,
 ) -> MergeStats:
     """Apply one deduped CDC batch to ``table``. Returns MergeStats; the
     commit (data files + commit record + metrics) is one atomic manifest
@@ -215,5 +216,7 @@ def merge_into(
         "source_files": source_files or [],
         "engine_version": ENGINE_VERSION,
     }
-    table.commit_version(files, touched, batch_id, record, new_user_schema=evolved)
+    table.commit_version(
+        files, touched, batch_id, record, new_user_schema=evolved, segments=segments
+    )
     return stats

@@ -85,13 +85,24 @@ class Manifest:
     files: dict[str, list[dict[str, Any]]]  # bucket -> [{path, schema_id, rows}]
     commits: dict[str, dict[str, Any]]    # batch_id -> commit record
     created_unix: float
+    # segment (binlog unit, e.g. "batch=00042") -> batch_id that applied it.
+    # Idempotence is PER SEGMENT, not per delivery grouping: after checkpoint
+    # loss Spark may re-deliver the same segments grouped differently into
+    # micro-batches; segment-level tracking still recognizes them as applied.
+    segments: dict[str, str] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.segments is None:
+            self.segments = {}
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
 
     @staticmethod
     def from_json(s: str) -> "Manifest":
-        return Manifest(**json.loads(s))
+        d = json.loads(s)
+        d.setdefault("segments", {})
+        return Manifest(**d)
 
 
 class LakeTable:
@@ -224,6 +235,7 @@ class LakeTable:
         batch_id: str | None,
         commit_record: dict[str, Any] | None,
         new_user_schema: T.StructType | None = None,
+        segments: list[str] | None = None,
     ) -> Manifest:
         """Swap in a new snapshot: touched buckets get their file lists
         REPLACED (copy-on-write), untouched buckets carry over unchanged."""
@@ -241,8 +253,11 @@ class LakeTable:
             schema_id = str(len(schemas))
             schemas[schema_id] = schema_json
         commits = dict(m.commits)
+        seg_map = dict(m.segments)
         if batch_id is not None:
             commits[batch_id] = {"version": m.version + 1, **(commit_record or {})}
+            for s in segments or []:
+                seg_map[s] = batch_id
         nm = Manifest(
             version=m.version + 1,
             parent=m.version,
@@ -253,12 +268,16 @@ class LakeTable:
             files=files,
             commits=commits,
             created_unix=time.time(),
+            segments=seg_map,
         )
         self._write_manifest(nm)
         return nm
 
     def is_committed(self, batch_id: str) -> bool:
         return batch_id in self.manifest().commits
+
+    def committed_segments(self) -> set[str]:
+        return set(self.manifest().segments)
 
     def commit_log(self) -> dict[str, dict[str, Any]]:
         return self.manifest().commits

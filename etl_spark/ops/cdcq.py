@@ -1,0 +1,169 @@
+"""CDC query family — the engine's core semantics, oracle-checkable.
+
+A deterministic CDC change feed is DERIVED from the driver's ``events``
+table (pure arithmetic on event_id/user_id — identical expressions on the
+Spark and DuckDB side), then reduced to the final transcripts table state
+with last-writer-wins semantics:
+
+  * ``cdc_lww_state``   — partial-agg max_by LWW reduce (etl_spark.cdc.dedup)
+  * ``cdc_lww_salted``  — two-phase salted variant (hot-key skew path)
+  * ``cdc_replay_state``— the FULL engine: feed → segments → LakeTable
+                          replay (merge/tombstones/commit-log) → final read
+  * ``cdc_dispositions``— winning-op histogram (metrics invariant cross-check)
+
+All four share one oracle shape: group by (conv_id, turn_idx), keep the
+max-(ts, op_seq) event, drop keys whose winner is a delete — the same
+reduction the reference delegates to gardener's key-based dedup
+(/root/reference/parser/parser.go:150-176, schema/README.md:6-10).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_spark.cdc.dedup import lww_dedup, lww_dedup_salted
+
+FINAL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+# ---------------------------------------------------------------------------
+# deterministic feed derivation (Spark side ≡ SQL side below)
+# ---------------------------------------------------------------------------
+
+def change_feed_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    eid = F.col("event_id")
+    is_del = eid % 19 == 0
+    op = (
+        F.when(is_del, F.lit("D"))
+        .when(eid % 3 == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    conv_id = F.concat(
+        F.lit("conv-"), F.lpad((F.col("user_id") % 200).cast("string"), 6, "0")
+    )
+    turn_idx = (eid % 40).cast("int")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
+        ((eid % 4) + 1).cast("int"),
+    )
+    text = F.concat_ws("|", F.col("event_type"), F.col("props"))
+    tool = F.when(
+        eid % 4 == 3, F.concat(F.lit("tool-"), (eid % 7).cast("string"))
+    ).otherwise(F.lit(None).cast("string"))
+    null_s = F.lit(None).cast("string")
+    return ev.select(
+        op.alias("op"),
+        F.col("ts"),
+        eid.alias("op_seq"),
+        conv_id.alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        F.when(is_del, null_s).otherwise(role).alias("role"),
+        F.when(is_del, null_s).otherwise(text).alias("text"),
+        F.when(is_del, null_s).otherwise(tool).alias("tool"),
+    )
+
+
+FEED_SQL = """
+    SELECT
+      CASE WHEN event_id % 19 = 0 THEN 'D'
+           WHEN event_id % 3 = 0 THEN 'I' ELSE 'U' END AS op,
+      ts,
+      event_id AS op_seq,
+      'conv-' || lpad(CAST(user_id % 200 AS VARCHAR), 6, '0') AS conv_id,
+      CAST(event_id % 40 AS INTEGER) AS turn_idx,
+      CASE WHEN event_id % 19 = 0 THEN NULL
+           ELSE (['user','assistant','system','tool'])[CAST(event_id % 4 AS INTEGER) + 1]
+      END AS role,
+      CASE WHEN event_id % 19 = 0 THEN NULL
+           ELSE event_type || '|' || props END AS text,
+      CASE WHEN event_id % 19 = 0 THEN NULL
+           WHEN event_id % 4 = 3 THEN 'tool-' || CAST(event_id % 7 AS VARCHAR)
+           ELSE NULL END AS tool
+    FROM events
+"""
+
+LWW_STATE_SQL = f"""
+    WITH feed AS ({FEED_SQL}),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, op_seq DESC
+        ) AS rn
+        FROM feed
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+DISPOSITIONS_SQL = f"""
+    WITH feed AS ({FEED_SQL}),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, op_seq DESC
+        ) AS rn
+        FROM feed
+    )
+    SELECT op, count(*) AS n_keys
+    FROM ranked WHERE rn = 1 GROUP BY op
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = change_feed_from_events(spark, sf_dir)
+    return lww_dedup(feed).filter(F.col("op") != "D").select(*FINAL_COLS)
+
+
+def cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = change_feed_from_events(spark, sf_dir)
+    return (
+        lww_dedup_salted(feed, salt_buckets=16)
+        .filter(F.col("op") != "D")
+        .select(*FINAL_COLS)
+    )
+
+
+def cdc_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = change_feed_from_events(spark, sf_dir)
+    return lww_dedup(feed).groupBy("op").agg(F.count("*").alias("n_keys"))
+
+
+def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-engine path: split the derived feed into 4 binlog segments
+    (round-robin on op_seq ⇒ heavy cross-segment out-of-order + duplicate
+    keys), replay through LakeTable/apply_batch (bucketed merge, tombstones,
+    commit manifest), read back the live table. Same oracle as
+    ``cdc_lww_state`` — cross-batch LWW must equal the global reduction."""
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.apply import replay_feed
+    from etl_spark.cdc.gen import write_feed
+    from etl_spark.lake.table import LakeTable
+
+    feed = change_feed_from_events(spark, sf_dir).withColumn(
+        "batch", F.pmod(F.col("op_seq"), F.lit(4)).cast("int")
+    )
+    work = tempfile.mkdtemp(prefix="etl_spark_replay_")
+    feed_dir = os.path.join(work, "feed")
+    write_feed(feed, feed_dir, n_batches=4)
+    # table schema mirrors the feed's payload types exactly (parquet loads
+    # timestamps as TIMESTAMP_NTZ under Spark 4 — don't fight the source)
+    feed_t = {f.name: f.dataType for f in feed.schema.fields}
+    user_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", feed_t["ts"], True),
+        ]
+    )
+    table = LakeTable.create(os.path.join(work, "lake"), user_schema, n_buckets=16)
+    replay_feed(spark, table, feed_dir)
+    return table.read(spark).select(*FINAL_COLS)

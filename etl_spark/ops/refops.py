@@ -1,0 +1,243 @@
+"""Reference dataflow operators re-expressed over the ``events`` table.
+
+Each query mirrors one operator from SURVEY.md §2 (citations inline), as a
+declarative DataFrame plan that Catalyst can push down / prune / codegen.
+
+Determinism: measure sums use DECIMAL(18,2) exact arithmetic, then one cast
+to DOUBLE; integer sums are cast to BIGINT on the DuckDB side (its sum()
+returns HUGEINT); time math uses microsecond integers (unix_micros /
+epoch_us), never second-truncated diffs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+# --- A1: last-element summary reduce (ndt7 "a" record,
+#     /root/reference/parser/ndt7_result.go:156-189) -------------------------
+
+def last_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: the payload of the latest event by (ts, event_id) plus the
+    event count — one hash aggregate (map-side partial max_by), no sort."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_type", "value", "ts"),
+                F.struct("ts", "event_id"),
+            ).alias("__w"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("__w.event_type").alias("last_type"),
+            F.col("__w.value").alias("last_value"),
+            F.col("__w.ts").alias("last_ts"),
+            "n_events",
+        )
+    )
+
+
+LAST_EVENT_SUMMARY_SQL = """
+    SELECT user_id, event_type AS last_type, value AS last_value,
+           ts AS last_ts, n_events
+    FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events
+    ) WHERE rn = 1
+"""
+
+
+# --- O2/P3: snapshot thinning — every 10th element + always the last
+#     (/root/reference/parser/tcpinfo.go:96-110) -----------------------------
+
+def snapshot_thinning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = W.partitionBy("user_id")
+    return (
+        ev.select(
+            "user_id", "event_id", "ts",
+            F.row_number().over(w).alias("pos"),
+            F.count("*").over(wall).alias("__cnt"),
+        )
+        .filter(((F.col("pos") - 1) % 10 == 0) | (F.col("pos") == F.col("__cnt")))
+        .select("user_id", "event_id", "ts", "pos")
+    )
+
+
+SNAPSHOT_THINNING_SQL = """
+    SELECT user_id, event_id, ts, pos
+    FROM (
+        SELECT user_id, event_id, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+               count(*) OVER (PARTITION BY user_id) AS cnt
+        FROM events
+    ) WHERE (pos - 1) % 10 = 0 OR pos = cnt
+"""
+
+
+# --- A2/P7: per-timestamp group-merge of samples (switch parser,
+#     /root/reference/parser/switch.go:121-171) ------------------------------
+
+def minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("minute_ts"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.max("event_type").alias("max_type"),
+        )
+    )
+
+
+MINUTE_ROLLUP_SQL = """
+    SELECT date_trunc('minute', ts) AS minute_ts,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           max(event_type) AS max_type
+    FROM events GROUP BY 1
+"""
+
+
+# --- A3: change-point detection over an ordered series
+#     (/root/reference/web100/web100.go:590-616) -----------------------------
+
+def changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.col("event_type") != F.lag("event_type").over(w), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ev.select("user_id", changed.alias("__c"))
+        .groupBy("user_id")
+        .agg(F.sum("__c").alias("n_changes"))
+    )
+
+
+CHANGEPOINTS_SQL = """
+    SELECT user_id, CAST(sum(c) AS BIGINT) AS n_changes
+    FROM (
+        SELECT user_id,
+               CASE WHEN event_type <> lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) THEN 1 ELSE 0 END AS c
+        FROM events
+    ) GROUP BY user_id
+"""
+
+
+# --- P8: session grouping (ndt filename-timestamp sessions,
+#     /root/reference/parser/ndt.go:210-309) — 30-min-gap sessionization -----
+
+SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps load as TIMESTAMP_NTZ under Spark 4; exact µs gap
+    # between ADJACENT events via timestampdiff (no epoch conversion —
+    # matches DuckDB's epoch_us difference over naive timestamps)
+    lagged = ev.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("__lag_ts")
+    )
+    gap = F.expr("timestampdiff(MICROSECOND, __lag_ts, ts)")
+    brk = F.when(
+        F.col("__lag_ts").isNull() | (gap > SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    sid = F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        lagged.select("user_id", sid.alias("__sid"))
+        .groupBy("user_id")
+        .agg(F.max("__sid").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+SESSIONIZE_SQL = f"""
+    SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM (
+        SELECT user_id, sum(brk) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+        ) AS sid
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+    ) GROUP BY user_id
+"""
+
+
+# --- A5: per-task error-rate budget (>10% failed ⇒ task error,
+#     /root/reference/etl/etl.go:116-117) ------------------------------------
+
+def error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), n_err.alias("n_err"))
+        .filter(F.col("n_err") * 10 > F.col("n"))
+        .select(
+            "user_id", "n", "n_err",
+            F.round(F.col("n_err").cast("double") / F.col("n"), 4).alias("err_rate"),
+        )
+    )
+
+
+ERROR_BUDGET_SQL = """
+    SELECT user_id, n, n_err, round(CAST(n_err AS DOUBLE) / n, 4) AS err_rate
+    FROM (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+        FROM events GROUP BY user_id
+    ) WHERE n_err * 10 > n
+"""
+
+
+# --- S6/R7: regex field extraction from semi-structured payloads
+#     (path→metadata parsing, /root/reference/etl/globals.go:92-154) ---------
+
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # '' on no match → try_cast → NULL (same as DuckDB TRY_CAST; plain cast
+    # would throw under Spark 4's default ANSI mode)
+    k_val = F.regexp_extract(F.col("props"), r"(\d+)", 1).try_cast("long")
+    return (
+        ev.select("event_type", k_val.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("__k").alias("sum_k"),
+            F.min("__k").alias("min_k"),
+            F.max("__k").alias("max_k"),
+        )
+    )
+
+
+PROPS_EXTRACT_SQL = """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+    FROM (
+        SELECT event_type,
+               TRY_CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS k
+        FROM events
+    ) GROUP BY event_type
+"""

@@ -1,0 +1,262 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+FLOAT[64], label).
+
+Scale design: brute-force cosine top-k is the correctness baseline (probe
+set × corpus — probe side broadcast, corpus side scanned once, ranking via
+per-probe window). The IVF variant is the scale path: vectors are assigned
+to their nearest centroid once (one pass), and a probe searches ONLY its
+centroid's bucket — at 1000 executors the bucket assignment is the shuffle
+key and each probe touches 1/k of the corpus.
+
+Determinism contract with the DuckDB oracle: embeddings are quantized to
+integers (round(x*1000) — standard int-quantization practice), so dot
+products and norms are EXACT integers on both engines; the only float op is
+the final cosine division of identical integers ⇒ identical doubles ⇒
+identical rankings with (cos DESC, vec_id) tie-break.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+N_PROBES = 8        # probe set: vec_id < 8
+TOP_K = 5
+NEARDUP_COS = 0.40
+N_CENTROIDS = 8     # IVF: centroids = vec_id < 8 (deterministic "training")
+IVF_TOP_K = 3
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _quantized(df: DataFrame) -> DataFrame:
+    q = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000, 0).cast("long")
+    )
+    qdf = df.withColumn("__q", q)
+    nsq = F.aggregate(
+        F.transform(F.col("__q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return qdf.withColumn("__nsq", nsq)
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cos(dot: F.Column, na: str, nb: str) -> F.Column:
+    return dot.cast("double") / F.sqrt(F.col(na).cast("double") * F.col(nb).cast("double"))
+
+
+QUANT_SQL = """
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+    FROM embeddings
+"""
+NORM_SQL = f"""
+    SELECT vec_id, label, q,
+           list_aggregate(list_transform(q, x -> x * x), 'sum') AS nsq
+    FROM ({QUANT_SQL})
+"""
+DOT_SQL = "list_aggregate(list_transform(range(1, 65), i -> a.q[i] * b.q[i]), 'sum')"
+COS_SQL = f"CAST({DOT_SQL} AS DOUBLE) / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE))"
+
+
+# --- brute-force cosine top-k ------------------------------------------------
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(_emb(spark, sf_dir)).select("vec_id", "__q", "__nsq")
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("__q").alias("qv"),
+        F.col("__nsq").alias("qn"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("__q").alias("cv"),
+        F.col("__nsq").alias("cn"),
+    )
+    cos = _cos(_dot("qv", "cv"), "qn", "cn")
+    scored = (
+        F.broadcast(probes)
+        .join(cand, F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", cos.alias("__cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("__cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "cand_id", "rank", F.round("__cos", 4).alias("cos4"))
+    )
+
+
+EMB_COSINE_TOPK_SQL = f"""
+    WITH n AS ({NORM_SQL}),
+    scored AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS cand_id, {COS_SQL} AS c
+        FROM n a JOIN n b ON a.vec_id < {N_PROBES} AND b.vec_id <> a.vec_id
+    )
+    SELECT q_id, cand_id, rank, round(c, 4) AS cos4
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, cand_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+# --- 1-NN label vote (every vector classified by its nearest neighbor) -------
+
+def emb_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(_emb(spark, sf_dir)).select("vec_id", "label", "__q", "__nsq")
+    a = e.select(
+        F.col("vec_id").alias("q_id"), F.col("__q").alias("qv"), F.col("__nsq").alias("qn")
+    )
+    b = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("__q").alias("cv"),
+        F.col("__nsq").alias("cn"),
+    )
+    cos = _cos(_dot("qv", "cv"), "qn", "cn")
+    scored = a.join(b, F.col("q_id") != F.col("cand_id")).select(
+        "q_id", "cand_id", "cand_label", cos.alias("__cos")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("__cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "q_id",
+            F.col("cand_id").alias("nn_id"),
+            F.col("cand_label").alias("nn_label"),
+            F.round("__cos", 4).alias("cos4"),
+        )
+    )
+
+
+EMB_KNN_LABEL_SQL = f"""
+    WITH n AS ({NORM_SQL}),
+    scored AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS cand_id, b.label AS cand_label, {COS_SQL} AS c
+        FROM n a JOIN n b ON b.vec_id <> a.vec_id
+    )
+    SELECT q_id, cand_id AS nn_id, cand_label AS nn_label, round(c, 4) AS cos4
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, cand_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+"""
+
+
+# --- embedding-cosine near-dup pairs ----------------------------------------
+
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(_emb(spark, sf_dir)).select("vec_id", "__q", "__nsq")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("__q").alias("qa"), F.col("__nsq").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("__q").alias("qb"), F.col("__nsq").alias("nb")
+    )
+    cos = _cos(_dot("qa", "qb"), "na", "nb")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("__cos"))
+        .filter(F.col("__cos") >= NEARDUP_COS)
+        .select("vec_a", "vec_b", F.round("__cos", 4).alias("cos4"))
+    )
+
+
+EMB_NEARDUP_SQL = f"""
+    WITH n AS ({NORM_SQL})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({COS_SQL}, 4) AS cos4
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {COS_SQL} >= {NEARDUP_COS}
+"""
+
+
+# --- IVF-bucketed ANN --------------------------------------------------------
+# Assign every vector to its nearest centroid (centroids = vec_id <
+# N_CENTROIDS, a deterministic stand-in for a k-means "training" step);
+# probes (vec_id 8..15) search only within their assigned bucket.
+
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(_emb(spark, sf_dir)).select("vec_id", "__q", "__nsq")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("__q").alias("cv"), F.col("__nsq").alias("cn")
+    )
+    v = e.select(
+        F.col("vec_id").alias("v_id"), F.col("__q").alias("vv"), F.col("__nsq").alias("vn")
+    )
+    cos_vc = _cos(_dot("vv", "cv"), "vn", "cn")
+    wassign = W.partitionBy("v_id").orderBy(F.col("__cos").desc(), F.col("c_id"))
+    assigned = (
+        v.join(F.broadcast(cents), F.lit(True))
+        .select("v_id", "vv", "vn", "c_id", cos_vc.alias("__cos"))
+        .withColumn("__rn", F.row_number().over(wassign))
+        .filter(F.col("__rn") == 1)
+        .select("v_id", "vv", "vn", F.col("c_id").alias("cluster"))
+    )
+    probes = assigned.filter(
+        (F.col("v_id") >= N_CENTROIDS) & (F.col("v_id") < 2 * N_CENTROIDS)
+    ).select(
+        F.col("v_id").alias("q_id"),
+        F.col("vv").alias("qv"),
+        F.col("vn").alias("qn"),
+        F.col("cluster"),
+    )
+    cand = assigned.select(
+        F.col("v_id").alias("cand_id"),
+        F.col("vv").alias("cv"),
+        F.col("vn").alias("cn"),
+        F.col("cluster"),
+    )
+    cos_qc = _cos(_dot("qv", "cv"), "qn", "cn")
+    scored = (
+        F.broadcast(probes)
+        .join(cand, "cluster")
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", cos_qc.alias("__cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("__cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("q_id", "cand_id", "rank", F.round("__cos", 4).alias("cos4"))
+    )
+
+
+EMB_IVF_TOPK_SQL = f"""
+    WITH n AS ({NORM_SQL}),
+    assigned AS (
+        SELECT v_id, q, nsq, c_id AS cluster FROM (
+            SELECT a.vec_id AS v_id, a.q, a.nsq, b.vec_id AS c_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id ORDER BY {COS_SQL} DESC, b.vec_id
+                   ) AS rn
+            FROM n a JOIN n b ON b.vec_id < {N_CENTROIDS}
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT a.v_id AS q_id, b.v_id AS cand_id,
+               CAST(list_aggregate(list_transform(range(1, 65), i -> a.q[i] * b.q[i]), 'sum') AS DOUBLE)
+                   / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) AS c
+        FROM assigned a JOIN assigned b
+          ON a.cluster = b.cluster AND b.v_id <> a.v_id
+        WHERE a.v_id >= {N_CENTROIDS} AND a.v_id < {2 * N_CENTROIDS}
+    )
+    SELECT q_id, cand_id, rank, round(c, 4) AS cos4
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, cand_id) AS rank
+        FROM scored
+    ) WHERE rank <= {IVF_TOP_K}
+"""

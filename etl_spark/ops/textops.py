@@ -1,0 +1,411 @@
+"""Text-pipeline operators over the ``documents`` table — the
+training-data-curation layer: exact dedup, MinHash+LSH and SimHash near-dup
+detection, n-gram Jaccard verification, quality scoring, language ID,
+document fingerprinting, token counting.
+
+All operators are pure Catalyst expressions (higher-order array functions,
+md5, regexp) — no Python in the row path. The LSH/banding structure is the
+100 TB scale path: candidate generation is an equi-join on band keys
+(shuffle bounded by band-bucket sizes), never an all-pairs cross join;
+exact Jaccard runs only on the candidate set.
+
+Shared derivations (identical on the DuckDB oracle side):
+  norm     = lower(trim(regexp_replace(text, '\\s+', ' ')))
+  words    = split(norm, ' ')
+  shingles = distinct 3-word shingles
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+N_MINHASH = 8          # minhash signature length
+N_BANDS = 4            # LSH bands (2 hashes per band)
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 16
+SIMHASH_HAMMING_MAX = 3
+
+_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "for"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _norm() -> F.Column:
+    return F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+
+
+def _with_words(df: DataFrame) -> DataFrame:
+    return df.withColumn("__words", F.split(_norm(), " "))
+
+
+def _with_shingles(df: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles; empty array for docs with <3 words (the
+    guard matters: Spark's sequence(1, n) DESCENDS when n < 1)."""
+    w = F.col("__words")
+    sh = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return _with_words(df).withColumn("__sh", F.array_distinct(sh))
+
+
+# SQL fragments mirroring the derivations above
+NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ')))"
+WORDS_SQL = f"string_split({NORM_SQL}, ' ')"
+DOCS_SHINGLED_SQL = f"""
+    SELECT doc_id, list_distinct(
+        CASE WHEN len(w) >= 3
+             THEN list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END) AS sh
+    FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents)
+"""
+
+
+# --- exact dedup (hash-groupBy; gardener key-dedup analog,
+#     /root/reference/parser/parser.go:150-176) ------------------------------
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5(_norm()).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+    )
+
+
+DOC_EXACT_DEDUP_SQL = f"""
+    SELECT md5({NORM_SQL}) AS fp, count(*) AS n_docs, min(doc_id) AS keep_doc
+    FROM documents GROUP BY 1
+"""
+
+
+# --- quality scoring ---------------------------------------------------------
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_words(_docs(spark, sf_dir))
+    w = F.col("__words")
+    n_tokens = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,;:!?]"), 0))
+    n_chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.floor((n_chars + 3) / 4).cast("long").alias("token_est"),
+        F.round(sum_len.cast("double") / n_tokens, 4).alias("avg_word_len"),
+        F.round(n_punct.cast("double") / n_chars, 4).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        ((n_tokens >= 10) & (sum_len / n_tokens <= 12)).alias("quality_ok"),
+    )
+
+
+DOC_QUALITY_SQL = f"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(w) AS n_tokens,
+           CAST(floor((length(text) + 3) / 4) AS BIGINT) AS token_est,
+           round(CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS DOUBLE) / len(w), 4) AS avg_word_len,
+           round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+           round(CAST(len(list_filter(w, x -> list_contains({_STOPWORDS!r}, x))) AS DOUBLE) / len(w), 4) AS stopword_ratio,
+           len(w) >= 10 AND list_aggregate(list_transform(w, x -> length(x)), 'sum') / len(w) <= 12 AS quality_ok
+    FROM (SELECT doc_id, text, {WORDS_SQL} AS w FROM documents)
+"""
+
+
+# --- language ID (n-gram/stopword heuristic) --------------------------------
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_words(_docs(spark, sf_dir))
+    w = F.col("__words")
+    en_hits = F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS)))
+    n_nonascii = F.length(F.regexp_replace(F.col("text"), r"[\x20-\x7e]", ""))
+    pred = (
+        F.when(n_nonascii > 0, F.lit("zh"))
+        .when(en_hits >= 2, F.lit("en"))
+        .otherwise(F.lit("unk"))
+    )
+    return docs.select(
+        "doc_id",
+        en_hits.alias("en_hits"),
+        n_nonascii.alias("n_nonascii"),
+        pred.alias("pred_lang"),
+        F.col("lang").alias("actual_lang"),
+    )
+
+
+DOC_LANG_ID_SQL = f"""
+    SELECT doc_id,
+           len(list_filter(w, x -> list_contains({_STOPWORDS!r}, x))) AS en_hits,
+           length(regexp_replace(text, '[\\x20-\\x7e]', '', 'g')) AS n_nonascii,
+           CASE WHEN length(regexp_replace(text, '[\\x20-\\x7e]', '', 'g')) > 0 THEN 'zh'
+                WHEN len(list_filter(w, x -> list_contains({_STOPWORDS!r}, x))) >= 2 THEN 'en'
+                ELSE 'unk' END AS pred_lang,
+           lang AS actual_lang
+    FROM (SELECT doc_id, text, lang, {WORDS_SQL} AS w FROM documents)
+"""
+
+
+# --- document fingerprint (order-insensitive content hash) -------------------
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_words(_docs(spark, sf_dir))
+    dwords = F.array_distinct(F.col("__words"))
+    return docs.select(
+        "doc_id",
+        F.size(dwords).alias("n_distinct_words"),
+        F.md5(F.array_join(F.array_sort(dwords), " ")).alias("fingerprint"),
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+    SELECT doc_id,
+           len(list_distinct(w)) AS n_distinct_words,
+           md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fingerprint
+    FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents)
+"""
+
+
+# --- n-gram (3-word shingle) Jaccard near-dup pairs --------------------------
+# Exact verification path: explode shingles → equi-join on shingle →
+# count common per pair → Jaccard from distinct-shingle counts. All-integer
+# math ⇒ exact. At scale the explode-join is bounded by shingle-bucket
+# sizes (a hot shingle behaves like a hot join key → AQE skew split).
+
+def doc_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_shingles(_docs(spark, sf_dir)).select("doc_id", "__sh")
+    sizes = docs.select("doc_id", F.size("__sh").alias("n_sh"))
+    ex = docs.select("doc_id", F.explode("__sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+DOC_SHINGLE_JACCARD_SQL = f"""
+    WITH s AS ({DOCS_SHINGLED_SQL}),
+    ex AS (SELECT doc_id, unnest(sh) AS sx FROM s),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM ex a JOIN ex b ON a.sx = b.sx AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (len(x.sh) + len(y.sh) - n_common), 4) AS jaccard
+    FROM common
+    JOIN s x ON x.doc_id = doc_a
+    JOIN s y ON y.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (len(x.sh) + len(y.sh) - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash + LSH banding ---------------------------------------------------
+# signature_i = min over shingles of md5('i:' || shingle)   (i = 0..7)
+# band_j      = md5(sig_{2j} || '|' || sig_{2j+1})          (j = 0..3)
+# candidates  = docs sharing any band key (equi-join, NOT cross join)
+# confirmed   = candidates with exact shingle Jaccard >= threshold
+
+def _minhash_hash(i: int):
+    """Single-arg lambda factory — a default-arg lambda (``lambda x, i=i``)
+    would be mis-read by PySpark as an (element, index) lambda."""
+    prefix = f"{i}:"
+
+    def fn(x: F.Column) -> F.Column:
+        return F.md5(F.concat(F.lit(prefix), x))
+
+    return fn
+
+
+def _sig_cols():
+    sh = F.col("__sh")
+    return [
+        F.array_min(F.transform(sh, _minhash_hash(i))).alias(f"s{i}")
+        for i in range(N_MINHASH)
+    ]
+
+
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_shingles(_docs(spark, sf_dir))
+    return docs.select("doc_id", *_sig_cols())
+
+
+DOC_MINHASH_SIG_SQL = f"""
+    SELECT doc_id,
+           {", ".join(f"list_aggregate(list_transform(sh, x -> md5('{i}:' || x)), 'min') AS s{i}" for i in range(N_MINHASH))}
+    FROM ({DOCS_SHINGLED_SQL})
+"""
+
+
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_shingles(_docs(spark, sf_dir))
+    sig = docs.select("doc_id", "__sh", *_sig_cols())
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("bi"),
+                        F.md5(F.concat_ws("|", f"s{2*j}", f"s{2*j+1}")).alias("bk"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.bi", "band.bk")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sig.select("doc_id", "__sh")
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sha"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    uni = F.size(F.array_union("sha", "shb"))
+    jac = inter.cast("double") / uni
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+DOC_MINHASH_PAIRS_SQL = f"""
+    WITH s AS ({DOCS_SHINGLED_SQL}),
+    sig AS (
+        SELECT doc_id, sh,
+               {", ".join(f"list_aggregate(list_transform(sh, x -> md5('{i}:' || x)), 'min') AS s{i}" for i in range(N_MINHASH))}
+        FROM s
+    ),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {j} AS bi, md5(s{2*j} || '|' || s{2*j+1}) AS bk FROM sig" for j in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+    FROM cand
+    JOIN sig x ON x.doc_id = doc_a
+    JOIN sig y ON y.doc_id = doc_b
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.sh, y.sh))) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- SimHash -----------------------------------------------------------------
+# 16-bit simhash over distinct 3-word shingles: bit_j set iff the signed
+# sum of shingle-hash bits is >= 0. Shingle hash = first 60 bits of md5
+# (exact integer in both engines). Pairs are blocked on the top 8 bits
+# (banding), then filtered by Hamming distance — never an unblocked cross
+# join. Shingles (not words) keep the fingerprint position-sensitive.
+
+def _word_hash(x: F.Column) -> F.Column:
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+
+
+def _simhash_contrib(j: int):
+    """Two-arg merge-lambda factory (no default args — see _minhash_hash)."""
+
+    def fn(acc: F.Column, x: F.Column) -> F.Column:
+        return acc + (F.shiftright(_word_hash(x), j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    return fn
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_shingles(_docs(spark, sf_dir))
+    dw = F.col("__sh")
+    bits = []
+    for j in range(SIMHASH_BITS):
+        bitsum = F.aggregate(dw, F.lit(0).cast("long"), _simhash_contrib(j))
+        bits.append(F.when(bitsum >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    simhash = bits[0]
+    for b in bits[1:]:
+        simhash = simhash + b
+    return docs.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def _simhash_bit_sql(j: int) -> str:
+    return (
+        f"CASE WHEN list_aggregate(list_transform(dw, x -> "
+        f"((('0x' || substr(md5(x), 1, 15))::BIGINT >> {j}) & 1) * 2 - 1), 'sum') >= 0 "
+        f"THEN {1 << j} ELSE 0 END"
+    )
+
+
+DOC_SIMHASH_SQL = f"""
+    SELECT doc_id,
+           CAST({" + ".join(_simhash_bit_sql(j) for j in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+    FROM (SELECT doc_id, sh AS dw FROM ({DOCS_SHINGLED_SQL}))
+"""
+
+
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_simhash(spark, sf_dir).withColumn(
+        "__block", F.shiftright(F.col("simhash"), 8)
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )
+
+
+DOC_SIMHASH_PAIRS_SQL = f"""
+    WITH sh AS ({DOC_SIMHASH_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b
+      ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+"""

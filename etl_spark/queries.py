@@ -1,0 +1,65 @@
+"""Registry of oracle-checked queries — the coverage surface the driver
+verifies (one entry per implemented operator family, SURVEY.md §2 +
+the training-data-pipeline layer).
+
+Each entry: name -> (spark_callable(spark, sf_dir) -> DataFrame,
+oracle_sql | None). Column names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_spark.ops import cdcq, multimodal, refops, simsearch, textops, tpch
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- CDC engine core (SURVEY §2.5/§2.9: LWW merge, dedup, replay) ---
+    "cdc_lww_state": (cdcq.cdc_lww_state, cdcq.LWW_STATE_SQL),
+    "cdc_lww_salted": (cdcq.cdc_lww_salted, cdcq.LWW_STATE_SQL),
+    "cdc_replay_state": (cdcq.cdc_replay_state, cdcq.LWW_STATE_SQL),
+    "cdc_dispositions": (cdcq.cdc_dispositions, cdcq.DISPOSITIONS_SQL),
+    # --- reference dataflow operators (SURVEY §2.3/§2.4/§2.6) ---
+    "last_event_summary": (refops.last_event_summary, refops.LAST_EVENT_SUMMARY_SQL),
+    "snapshot_thinning": (refops.snapshot_thinning, refops.SNAPSHOT_THINNING_SQL),
+    "minute_rollup": (refops.minute_rollup, refops.MINUTE_ROLLUP_SQL),
+    "changepoints": (refops.changepoints, refops.CHANGEPOINTS_SQL),
+    "sessionize": (refops.sessionize, refops.SESSIONIZE_SQL),
+    "error_budget": (refops.error_budget, refops.ERROR_BUDGET_SQL),
+    "props_extract": (refops.props_extract, refops.PROPS_EXTRACT_SQL),
+    # --- star-schema analytics (joins/agg/top-k) ---
+    "q1_pricing_summary": (tpch.q1_pricing_summary, tpch.Q1_SQL),
+    "top_orders_by_revenue": (tpch.top_orders_by_revenue, tpch.TOP_ORDERS_SQL),
+    "region_revenue": (tpch.region_revenue, tpch.REGION_REVENUE_SQL),
+    # --- text curation: dedup / quality / lang-id / fingerprint ---
+    "doc_exact_dedup": (textops.doc_exact_dedup, textops.DOC_EXACT_DEDUP_SQL),
+    "doc_quality": (textops.doc_quality, textops.DOC_QUALITY_SQL),
+    "doc_lang_id": (textops.doc_lang_id, textops.DOC_LANG_ID_SQL),
+    "doc_fingerprint": (textops.doc_fingerprint, textops.DOC_FINGERPRINT_SQL),
+    "doc_shingle_jaccard": (textops.doc_shingle_jaccard, textops.DOC_SHINGLE_JACCARD_SQL),
+    "doc_minhash_signatures": (
+        textops.doc_minhash_signatures,
+        textops.DOC_MINHASH_SIG_SQL,
+    ),
+    "doc_minhash_pairs": (textops.doc_minhash_pairs, textops.DOC_MINHASH_PAIRS_SQL),
+    "doc_simhash": (textops.doc_simhash, textops.DOC_SIMHASH_SQL),
+    "doc_simhash_pairs": (textops.doc_simhash_pairs, textops.DOC_SIMHASH_PAIRS_SQL),
+    # --- similarity search over embeddings ---
+    "emb_cosine_topk": (simsearch.emb_cosine_topk, simsearch.EMB_COSINE_TOPK_SQL),
+    "emb_knn_label": (simsearch.emb_knn_label, simsearch.EMB_KNN_LABEL_SQL),
+    "emb_neardup_pairs": (simsearch.emb_neardup_pairs, simsearch.EMB_NEARDUP_SQL),
+    "emb_ivf_topk": (simsearch.emb_ivf_topk, simsearch.EMB_IVF_TOPK_SQL),
+    # --- multimodal plumbing (Arrow mapInPandas decode stub) ---
+    "mm_decode_meta": (multimodal.mm_decode_meta, multimodal.MM_DECODE_META_SQL),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Two parts:
+  1. CDC replay throughput (the headline metric, BASELINE.md): generate a
+     deterministic change feed (seeded, skewed, with duplicate deliveries
+     and out-of-order events), replay it through the full engine
+     (validate → LWW dedup → bucket-pruned MERGE → atomic commit), report
+     events/sec over the timed apply phase (feed generation untimed).
+  2. Query suite at $SPARK_GRAFT_SF_DIR: each registry query materialized
+     via a noop write (forces full execution, no driver collect).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default all cores),
+     BENCH_CDC_EVENTS   (default 1_000_000),
+     BENCH_CDC_ONLY=1   (skip the query suite — used by the N-vs-4N
+                         scaling harness, tools/bench_scaling.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "cdc_lww_state",
+    "cdc_lww_salted",
+    "last_event_summary",
+    "snapshot_thinning",
+    "minute_rollup",
+    "changepoints",
+    "sessionize",
+    "error_budget",
+    "props_extract",
+    "q1_pricing_summary",
+    "top_orders_by_revenue",
+    "region_revenue",
+    "doc_exact_dedup",
+    "doc_quality",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_minhash_signatures",
+    "doc_minhash_pairs",
+    "doc_simhash",
+    "doc_simhash_pairs",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "mm_decode_meta",
+]
+# Excluded from the timed suite (correctness-only at sf0.01):
+#   emb_neardup_pairs, emb_knn_label — exact all-pairs baselines (O(n²)
+#     by definition; the scale path is emb_ivf_topk / LSH banding, which
+#     IS benchmarked);
+#   doc_shingle_jaccard — exact-verification baseline; the scale path is
+#     doc_minhash_pairs (LSH candidates → verify), which IS benchmarked;
+#   cdc_replay_state — superseded by the dedicated throughput replay.
+
+
+def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
+    from etl_spark.cdc.apply import replay_feed
+    from etl_spark.cdc.gen import change_feed_df, write_feed
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.schema import TRANSCRIPT_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="etl_spark_bench_")
+    try:
+        feed_dir = os.path.join(work, "feed")
+        t0 = time.time()
+        feed = change_feed_df(
+            spark,
+            n_events=n_events,
+            n_convs=max(1000, n_events // 100),
+            max_turns=32,
+            seed=42,
+            skew=2.0,
+            dup_ratio=0.05,
+            ooo_ratio=0.10,
+            n_batches=n_segments,
+        )
+        write_feed(feed, feed_dir, n_batches=n_segments)
+        gen_sec = time.time() - t0
+        table = LakeTable.create(
+            os.path.join(work, "lake"), TRANSCRIPT_SCHEMA, n_buckets=64
+        )
+        t0 = time.time()
+        stats = replay_feed(spark, table, feed_dir)
+        apply_sec = time.time() - t0
+        events = sum(s.events_in for s in stats)
+        final_rows = table.read(spark).count()
+        return {
+            "events": events,
+            "segments": n_segments,
+            "gen_sec": round(gen_sec, 2),
+            "apply_sec": round(apply_sec, 2),
+            "events_per_sec": round(events / apply_sec, 1),
+            "final_rows": final_rows,
+            "batch_walls": [round(s.wall_sec, 2) for s in stats],
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
+    cdc_only = os.environ.get("BENCH_CDC_ONLY", "") == "1"
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from etl_spark.session import get_spark
+
+    spark = get_spark(cores=cores, app_name="etl_spark_bench")
+
+    t_total = time.time()
+    cdc = run_cdc_replay(spark, n_events)
+
+    q_secs: dict[str, float] = {}
+    if not cdc_only:
+        from etl_spark.queries import REGISTRY
+
+        for name in BENCH_QUERIES:
+            fn, _sql = REGISTRY[name]
+            t0 = time.time()
+            # noop write forces full plan execution without driver collect
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            q_secs[name] = round(time.time() - t0, 2)
+    q_secs["cdc_replay"] = cdc["apply_sec"]
+
+    total = time.time() - t_total
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_apply_throughput",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": q_secs,
+                "sf": sf,
+                "cores": cores,
+                "cdc_events": cdc["events"],
+                "cdc_events_per_sec": cdc["events_per_sec"],
+                "cdc_final_rows": cdc["final_rows"],
+                "cdc_batch_walls": cdc["batch_walls"],
+                "cdc_gen_sec": cdc["gen_sec"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

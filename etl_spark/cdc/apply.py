@@ -60,9 +60,8 @@ def batch_fingerprint(source_files: list[str]) -> str:
     return h.hexdigest()
 
 
-def validate_events(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Split (valid, failed). Pure column predicates — pushed into the scan."""
-    ok = (
+def _ok_predicate() -> F.Column:
+    return (
         F.col("op").isin(*VALID_OPS)
         & F.col("conv_id").isNotNull()
         & F.col("turn_idx").isNotNull()
@@ -70,6 +69,11 @@ def validate_events(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
         & F.col("op_seq").isNotNull()
         & (F.coalesce(F.octet_length(F.col("text")), F.lit(0)) < MAX_TEXT_BYTES)
     )
+
+
+def validate_events(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split (valid, failed). Pure column predicates — pushed into the scan."""
+    ok = _ok_predicate()
     return batch.filter(ok), batch.filter(~ok)
 
 
@@ -86,32 +90,38 @@ def apply_batch(
         s = MergeStats(batch_id=batch_id)
         s.skipped_idempotent = True
         return s
-    batch = batch.persist()
-    try:
-        events_in = batch.count()
-        if events_in == 0:
-            table.commit_version({}, [], batch_id, {"events_in": 0}, segments=segments)
-            return MergeStats(batch_id=batch_id)
-        valid, bad = validate_events(batch)
-        failed = bad.count()
-        if failed / events_in > fail_threshold:
-            raise BatchFailedError(
-                f"batch {batch_id}: {failed}/{events_in} failed rows exceeds "
-                f"{fail_threshold:.0%} budget — aborting before commit"
-            )
-        deduped = lww_dedup(valid)
-        return merge_into(
-            spark,
-            table,
-            deduped,
-            batch_id,
-            events_in=events_in,
-            source_files=source_files,
-            failed=failed,
-            segments=segments,
+    # NOTE: no persist() on the batch — micro-batches are file-backed, and
+    # re-scanning parquet is ~10× cheaper than materializing the
+    # block-manager cache (measured: 0.2-0.8s re-scan vs ~7s cache build
+    # for a 275k-row batch on local[32]).
+    # One aggregation pass yields both counters (vs count()+count()).
+    row = batch.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.when(_ok_predicate(), F.lit(0)).otherwise(F.lit(1))), F.lit(0)
+        ).alias("bad"),
+    ).first()
+    events_in, failed = int(row["n"]), int(row["bad"])
+    if events_in == 0:
+        table.commit_version({}, [], batch_id, {"events_in": 0}, segments=segments)
+        return MergeStats(batch_id=batch_id)
+    valid = batch.filter(_ok_predicate())
+    if failed / events_in > fail_threshold:
+        raise BatchFailedError(
+            f"batch {batch_id}: {failed}/{events_in} failed rows exceeds "
+            f"{fail_threshold:.0%} budget — aborting before commit"
         )
-    finally:
-        batch.unpersist()
+    deduped = lww_dedup(valid)
+    return merge_into(
+        spark,
+        table,
+        deduped,
+        batch_id,
+        events_in=events_in,
+        source_files=source_files,
+        failed=failed,
+        segments=segments,
+    )
 
 
 def replay_feed(

@@ -1,0 +1,145 @@
+"""Bloom-filter seen-set over lake-table keys.
+
+Purpose (north-star "Bloom-filter-backed seen-set"): a compact, persisted
+summary of every (conv_id, turn_idx) key ever written to the table. A Bloom
+filter answers "possibly seen" / "DEFINITELY not seen"; only the negative
+is certain, so it can never drop data — it is used to prove a batch is
+pure-insert (no key possibly present), unlocking an append-only fast path
+in the MERGE that skips reading and rewriting the target buckets entirely
+(lake/merge.py). False positives merely fall back to the full merge —
+harmless, exactly the composition SURVEY.md §7/M4 calls for.
+
+Scale design: the filter is built DISTRIBUTED — each partition computes a
+partial bitset over its rows inside an Arrow ``mapInPandas`` batch (numpy
+bit ops, no per-row Python in the hot loop beyond the stable md5 digest),
+partials are OR-reduced on the driver (k partitions × m/8 bytes, tiny),
+and the result is broadcast back for membership tests. At m=2^23 bits the
+sidecar is 1 MiB and holds ~600k keys at k=4 with ~2% FP — size m up for
+bigger tables; saturation only degrades the fast-path hit rate, never
+correctness.
+
+Hashes are md5-derived (stable across processes, restarts, partitionings —
+the filter persists across commits, so run-internal hashes like
+``pd.util.hash_array`` would be unsound).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_M_BITS = 1 << 23  # 1 MiB sidecar
+DEFAULT_K = 4
+_SEP = "\x1f"
+
+
+def _key_series(pdf: pd.DataFrame, key_cols: list[str]) -> pd.Series:
+    s = pdf[key_cols[0]].astype(str)
+    for c in key_cols[1:]:
+        s = s + _SEP + pdf[c].astype(str)
+    return s
+
+
+def _hash_pair(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 pairs from the md5 digest — double hashing gives k
+    positions as h1 + i*h2 (Kirsch–Mitzenmacher)."""
+    dig = keys.map(lambda s: hashlib.md5(s.encode()).digest())
+    buf = np.frombuffer(b"".join(dig), dtype=np.uint64).reshape(-1, 2)
+    return buf[:, 0], buf[:, 1]
+
+
+class BloomFilter:
+    def __init__(self, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K,
+                 bits: np.ndarray | None = None):
+        assert m_bits % 8 == 0
+        self.m_bits = m_bits
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros(m_bits // 8, dtype=np.uint8)
+
+    # ------------------------------------------------------------- positions
+    def _positions(self, keys: pd.Series) -> np.ndarray:
+        h1, h2 = _hash_pair(keys)
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        return (h1[:, None] + i * h2[:, None]) % np.uint64(self.m_bits)
+
+    # ------------------------------------------------------------------- ops
+    def add(self, keys: pd.Series) -> None:
+        if len(keys) == 0:
+            return
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def might_contain(self, keys: pd.Series) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(keys)
+        byte = self.bits[(pos >> 3).astype(np.int64)]
+        hit = (byte >> (pos & 7).astype(np.uint8)) & 1
+        return hit.all(axis=1).astype(bool)
+
+    def union(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.m_bits, self.k) == (other.m_bits, other.k)
+        return BloomFilter(self.m_bits, self.k, np.bitwise_or(self.bits, other.bits))
+
+    # ----------------------------------------------------------------- (de)ser
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, m_bits: int, k: int) -> "BloomFilter":
+        bits = np.frombuffer(data, dtype=np.uint8).copy()
+        assert len(bits) == m_bits // 8
+        return cls(m_bits, k, bits)
+
+
+def build_bloom(
+    df: DataFrame, key_cols: list[str], m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K
+) -> BloomFilter:
+    """Distributed build: per-partition partial bitsets via mapInPandas,
+    OR-reduced on the driver. Nonzero-byte runs are shipped as (offset,
+    chunk) pairs so near-empty partials cost ~nothing."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        part = BloomFilter(m_bits, k)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                part.add(_key_series(pdf, key_cols))
+        if any_rows:
+            yield pd.DataFrame({"bits": [part.to_bytes()]})
+
+    parts = df.select(*key_cols).mapInPandas(gen, schema="bits binary").collect()
+    out = BloomFilter(m_bits, k)
+    for row in parts:
+        out.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return out
+
+
+def any_possibly_seen(
+    df: DataFrame, bloom: BloomFilter, key_cols: list[str]
+) -> bool:
+    """True if ANY key of df might already be in the seen-set. A False
+    answer is exact (no false negatives) — the append fast path is sound."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((bloom.to_bytes(), bloom.m_bits, bloom.k))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        data, m, kk = bc.value
+        b = BloomFilter.from_bytes(data, m, kk)
+        for pdf in batches:
+            if len(pdf) and bool(b.might_contain(_key_series(pdf, key_cols)).any()):
+                yield pd.DataFrame({"hit": [True]})
+                return
+
+    hits = (
+        df.select(*key_cols)
+        .mapInPandas(gen, schema="hit boolean")
+        .limit(1)
+        .collect()
+    )
+    return len(hits) > 0

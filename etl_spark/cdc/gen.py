@@ -138,11 +138,36 @@ def write_feed(
     """Materialize the feed as one parquet directory per batch
     (``feed/batch=00042/``), simulating binlog segment arrival. Pre-evolution
     batches are written WITHOUT the evolved columns (they didn't exist yet).
-    Returns the ordered list of batch directories."""
+    Returns the ordered list of batch directories.
+
+    Fast path (no schema evolution): ONE job with ``partitionBy('batch')``
+    — a single shuffle instead of n_batches full-feed passes. The evolution
+    path keeps the per-batch loop because pre-K segments drop columns."""
     feed = feed.persist()
     try:
         if n_batches is None:
             n_batches = feed.agg(F.max("batch")).collect()[0][0] + 1
+        if evolve_from_batch is None:
+            (
+                feed.repartition(F.col("batch"))
+                .write.partitionBy("batch")
+                .mode("overwrite")
+                .parquet(feed_dir)
+            )
+            dirs = []
+            for k in range(n_batches):
+                src = os.path.join(feed_dir, f"batch={k}")
+                dst = os.path.join(feed_dir, f"batch={k:05d}")
+                if os.path.isdir(src) and src != dst:
+                    os.rename(src, dst)
+                dirs.append(dst)
+            # drop root-level writer droppings (_SUCCESS, .crc) so the feed
+            # dir contains ONLY segment directories
+            for name in os.listdir(feed_dir):
+                p = os.path.join(feed_dir, name)
+                if os.path.isfile(p):
+                    os.remove(p)
+            return dirs
         dirs = []
         for k in range(n_batches):
             part = feed.filter(F.col("batch") == k).drop("batch")

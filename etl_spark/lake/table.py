@@ -90,6 +90,10 @@ class Manifest:
     # loss Spark may re-deliver the same segments grouped differently into
     # micro-batches; segment-level tracking still recognizes them as applied.
     segments: dict[str, str] = None  # type: ignore[assignment]
+    # Bloom seen-set sidecar: {"path": rel, "m_bits": int, "k": int} — a
+    # summary of every key ever written, enabling the append-only MERGE
+    # fast path (see etl_spark/cdc/bloom.py).
+    bloom: dict[str, Any] | None = None
 
     def __post_init__(self):
         if self.segments is None:
@@ -102,6 +106,7 @@ class Manifest:
     def from_json(s: str) -> "Manifest":
         d = json.loads(s)
         d.setdefault("segments", {})
+        d.setdefault("bloom", None)
         return Manifest(**d)
 
 
@@ -114,8 +119,14 @@ class LakeTable:
     # ---------------------------------------------------------------- setup
     @classmethod
     def create(cls, path: str, schema: T.StructType, n_buckets: int = 16) -> "LakeTable":
+        from etl_spark.cdc.bloom import DEFAULT_K, DEFAULT_M_BITS, BloomFilter
+
         os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        empty = BloomFilter(DEFAULT_M_BITS, DEFAULT_K)
+        bloom_rel = os.path.join(MANIFEST_DIR, "bloom-v00000000.bin")
+        with open(os.path.join(path, bloom_rel), "wb") as f:
+            f.write(empty.to_bytes())
         m = Manifest(
             version=0,
             parent=None,
@@ -126,6 +137,7 @@ class LakeTable:
             files={},
             commits={},
             created_unix=time.time(),
+            bloom={"path": bloom_rel, "m_bits": DEFAULT_M_BITS, "k": DEFAULT_K},
         )
         t = cls(path)
         t._write_manifest(m)
@@ -228,6 +240,16 @@ class LakeTable:
         return df.select(*user_cols)
 
     # ------------------------------------------------------------ commit API
+    def load_bloom(self):
+        """The persisted key seen-set (None for pre-bloom tables)."""
+        from etl_spark.cdc.bloom import BloomFilter
+
+        m = self.manifest()
+        if not m.bloom:
+            return None
+        with open(os.path.join(self.path, m.bloom["path"]), "rb") as f:
+            return BloomFilter.from_bytes(f.read(), m.bloom["m_bits"], m.bloom["k"])
+
     def commit_version(
         self,
         new_files_by_bucket: dict[int, list[dict[str, Any]]],
@@ -236,13 +258,20 @@ class LakeTable:
         commit_record: dict[str, Any] | None,
         new_user_schema: T.StructType | None = None,
         segments: list[str] | None = None,
+        new_bloom=None,
+        append_files: bool = False,
     ) -> Manifest:
         """Swap in a new snapshot: touched buckets get their file lists
-        REPLACED (copy-on-write), untouched buckets carry over unchanged."""
+        REPLACED (copy-on-write) — or APPENDED when the merge proved the
+        batch pure-insert via the Bloom seen-set (merge-on-read-style
+        append, zero write amplification). ``new_bloom`` (a BloomFilter)
+        is persisted as a sidecar BEFORE the pointer swap so the manifest
+        never references a missing file."""
         m = self.manifest()
         files = dict(m.files)
         for b in touched_buckets:
-            files[str(b)] = new_files_by_bucket.get(b, [])
+            add = new_files_by_bucket.get(b, [])
+            files[str(b)] = (m.files.get(str(b), []) + add) if append_files else add
         schemas = dict(m.schemas)
         schema_json = m.schema_json
         schema_id = m.current_schema_id
@@ -258,6 +287,16 @@ class LakeTable:
             commits[batch_id] = {"version": m.version + 1, **(commit_record or {})}
             for s in segments or []:
                 seg_map[s] = batch_id
+        bloom_meta = m.bloom
+        if new_bloom is not None:
+            bloom_rel = os.path.join(MANIFEST_DIR, f"bloom-v{m.version + 1:08d}.bin")
+            with open(os.path.join(self.path, bloom_rel), "wb") as f:
+                f.write(new_bloom.to_bytes())
+            bloom_meta = {
+                "path": bloom_rel,
+                "m_bits": new_bloom.m_bits,
+                "k": new_bloom.k,
+            }
         nm = Manifest(
             version=m.version + 1,
             parent=m.version,
@@ -269,6 +308,7 @@ class LakeTable:
             commits=commits,
             created_unix=time.time(),
             segments=seg_map,
+            bloom=bloom_meta,
         )
         self._write_manifest(nm)
         return nm

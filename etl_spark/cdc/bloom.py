@@ -120,6 +120,42 @@ def build_bloom(
     return out
 
 
+def scan_batch(
+    df: DataFrame, bloom: BloomFilter, key_cols: list[str]
+) -> tuple[bool, BloomFilter]:
+    """ONE distributed pass over the batch keys that answers both bloom
+    questions at once: (did ANY key possibly hit the seen-set?, a bloom of
+    THIS batch's keys for folding into the seen-set after commit). Fusing
+    them halves the per-micro-batch Python-stage count — at small batches
+    the apply loop is job-latency-bound, so stage count is wall time."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((bloom.to_bytes(), bloom.m_bits, bloom.k))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        data, m, kk = bc.value
+        seen = BloomFilter.from_bytes(data, m, kk)
+        part = BloomFilter(m, kk)
+        hit = False
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                keys = _key_series(pdf, key_cols)
+                if not hit and bool(seen.might_contain(keys).any()):
+                    hit = True
+                part.add(keys)
+        if any_rows:
+            yield pd.DataFrame({"bits": [part.to_bytes()], "hit": [hit]})
+
+    rows = df.select(*key_cols).mapInPandas(gen, schema="bits binary, hit boolean").collect()
+    out = BloomFilter(bloom.m_bits, bloom.k)
+    any_seen = False
+    for r in rows:
+        out.bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+        any_seen = any_seen or bool(r["hit"])
+    return any_seen, out
+
+
 def any_possibly_seen(
     df: DataFrame, bloom: BloomFilter, key_cols: list[str]
 ) -> bool:

@@ -46,6 +46,7 @@ def change_feed_df(
     ooo_ratio: float = 0.10,
     n_batches: int = 8,
     evolve_from_batch: int | None = None,
+    text_len: int = 240,
 ) -> DataFrame:
     """Return the change feed as a DataFrame with a ``batch`` column.
 
@@ -82,7 +83,7 @@ def change_feed_df(
     ).otherwise(F.lit(None).cast("string"))
     text = F.concat(
         F.format_string("c%08d-t%02d-s%012d-", conv_idx, turn_idx, F.col("id")),
-        F.repeat(F.lit("x"), F.pmod(_h(seed, 8), F.lit(240)).cast("int")),
+        F.repeat(F.lit("x"), F.pmod(_h(seed, 8), F.lit(text_len)).cast("int")),
     )
     batch = F.least(F.floor(F.col("id") / F.lit(per_batch)), F.lit(n_batches - 1)).cast("int")
 

@@ -58,6 +58,7 @@ def run_stream(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     fail_threshold: float = 0.10,
+    late_watermark_sec: float | None = None,
 ):
     """Start (and by default drain) the streaming apply loop. Returns the
     StreamingQuery when available_now=False (caller stops it)."""
@@ -94,6 +95,7 @@ def run_stream(
             source_files=new_segs,
             fail_threshold=fail_threshold,
             segments=new_segs,
+            late_watermark_sec=late_watermark_sec,
         )
 
     writer = (

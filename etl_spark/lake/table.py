@@ -94,6 +94,11 @@ class Manifest:
     # summary of every key ever written, enabling the append-only MERGE
     # fast path (see etl_spark/cdc/bloom.py).
     bloom: dict[str, Any] | None = None
+    # event-time high watermark (max event ts ever applied, µs since epoch,
+    # wall-clock semantics). Drives the OPTIONAL late-event drop policy and
+    # tombstone expiry safety — correctness never depends on it (LWW does
+    # that); it only bounds how late an event may arrive and still apply.
+    watermark_us: int | None = None
 
     def __post_init__(self):
         if self.segments is None:
@@ -107,6 +112,7 @@ class Manifest:
         d = json.loads(s)
         d.setdefault("segments", {})
         d.setdefault("bloom", None)
+        d.setdefault("watermark_us", None)
         return Manifest(**d)
 
 
@@ -260,6 +266,7 @@ class LakeTable:
         segments: list[str] | None = None,
         new_bloom=None,
         append_files: bool = False,
+        new_watermark_us: int | None = None,
     ) -> Manifest:
         """Swap in a new snapshot: touched buckets get their file lists
         REPLACED (copy-on-write) — or APPENDED when the merge proved the
@@ -297,6 +304,9 @@ class LakeTable:
                 "m_bits": new_bloom.m_bits,
                 "k": new_bloom.k,
             }
+        wm = m.watermark_us
+        if new_watermark_us is not None:
+            wm = new_watermark_us if wm is None else max(wm, new_watermark_us)
         nm = Manifest(
             version=m.version + 1,
             parent=m.version,
@@ -309,9 +319,14 @@ class LakeTable:
             created_unix=time.time(),
             segments=seg_map,
             bloom=bloom_meta,
+            watermark_us=wm,
         )
         self._write_manifest(nm)
         return nm
+
+    def high_watermark_us(self) -> int | None:
+        """Max event-time (µs) ever applied — the event-time frontier."""
+        return self.manifest().watermark_us
 
     def is_committed(self, batch_id: str) -> bool:
         return batch_id in self.manifest().commits
@@ -327,8 +342,8 @@ class LakeTable:
         """Per-batch metrics table (one row per applied batch), from the
         crash-consistent commit records. Invariant (mirrors the reference's
         ``Accepted == Failed + Committed + RowsInBuffer``,
-        /root/reference/etl/etl.go:20-35):
-        events_in == dup_dropped + inserted + updated + deleted + stale_skipped."""
+        /root/reference/etl/etl.go:20-35): events_in == failed + late_dropped
+        + dup_dropped + inserted + updated + deleted + stale_skipped."""
         rows = []
         for bid, c in self.commit_log().items():
             rows.append(
@@ -343,13 +358,14 @@ class LakeTable:
                     "stale_skipped": c.get("stale_skipped", 0),
                     "carried": c.get("carried", 0),
                     "failed": c.get("failed", 0),
+                    "late_dropped": c.get("late_dropped", 0),
                     "wall_sec": c.get("wall_sec", 0.0),
                 }
             )
         schema = (
             "batch_id string, version long, events_in long, dup_dropped long, "
             "inserted long, updated long, deleted long, stale_skipped long, "
-            "carried long, failed long, wall_sec double"
+            "carried long, failed long, late_dropped long, wall_sec double"
         )
         return spark.createDataFrame(rows, schema=schema)
 

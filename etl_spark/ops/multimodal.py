@@ -73,6 +73,48 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(gen, schema=DECODE_SCHEMA)
 
 
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: treat each document as a virtual media
+    stream of 16-char frames, emit every 4th frame's digest through a
+    one-to-many mapInPandas (the UDTF shape a real video frame sampler
+    uses: one input row → N frame rows, batch-wise in Arrow)."""
+    import math
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_frames = math.ceil(len(text) / 16)
+                for p in range(1, n_frames + 1, 4):
+                    frame = text[(p - 1) * 16 : (p - 1) * 16 + 16]
+                    ids.append(doc_id)
+                    idxs.append(p)
+                    digests.append(hashlib.md5(frame.encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_digest": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return docs.mapInPandas(
+        gen, schema="doc_id long, frame_idx int, frame_digest string"
+    )
+
+
+MM_FRAME_SAMPLE_SQL = """
+    SELECT doc_id, CAST(p AS INTEGER) AS frame_idx,
+           md5(substr(text, (p - 1) * 16 + 1, 16)) AS frame_digest
+    FROM documents,
+         unnest(generate_series(1, CAST(ceil(length(text) / 16.0) AS BIGINT), 4)) AS t(p)
+"""
+
+
 MM_DECODE_META_SQL = """
     SELECT doc_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,

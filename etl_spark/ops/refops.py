@@ -241,3 +241,85 @@ PROPS_EXTRACT_SQL = """
         FROM events
     ) GROUP BY event_type
 """
+
+
+# --- O1/O2: top-k per group with unique tie-break
+#     (ordered emit + truncation, /root/reference/parser/switch.go:176-187,
+#      parser/ndt.go:493-495) ------------------------------------------------
+
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+TOP_EVENTS_PER_USER_SQL = """
+    SELECT user_id, event_id, value, rk
+    FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+        FROM events
+    ) WHERE rk <= 3
+"""
+
+
+# --- S7: deterministic work sampling (process every Nth unit by key hash,
+#     /root/reference/etl/globals.go:327-345) --------------------------------
+
+def hash_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep events whose md5-derived hash ≡ 0 (mod 8), then aggregate —
+    the debug-scale skipCount mode as a pushed-down filter."""
+    ev = _events(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        ev.filter(h % 8 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+HASH_SAMPLING_SQL = """
+    SELECT event_type, count(*) AS n_sampled,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 8 = 0
+    GROUP BY event_type
+"""
+
+
+# --- R5/R6: field masking + value-substitution coalesce chain
+#     (/root/reference/parser/ndt7_result.go:90-102 nulling,
+#      /root/reference/parser/ndt.go:634-714 SubstituteString) ---------------
+
+def field_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    masked = F.when(
+        F.col("event_type") == "error",
+        F.regexp_replace(F.col("props"), r"[0-9]", "X"),
+    ).otherwise(F.col("props"))
+    resolved = F.coalesce(
+        F.nullif(F.col("event_type"), F.lit("error")), F.lit("unknown")
+    )
+    return ev.select(
+        "event_id",
+        masked.alias("masked_props"),
+        resolved.alias("resolved_type"),
+    )
+
+
+FIELD_MASKING_SQL = """
+    SELECT event_id,
+           CASE WHEN event_type = 'error'
+                THEN regexp_replace(props, '[0-9]', 'X', 'g')
+                ELSE props END AS masked_props,
+           coalesce(nullif(event_type, 'error'), 'unknown') AS resolved_type
+    FROM events
+"""

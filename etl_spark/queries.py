@@ -30,6 +30,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sessionize": (refops.sessionize, refops.SESSIONIZE_SQL),
     "error_budget": (refops.error_budget, refops.ERROR_BUDGET_SQL),
     "props_extract": (refops.props_extract, refops.PROPS_EXTRACT_SQL),
+    "top_events_per_user": (refops.top_events_per_user, refops.TOP_EVENTS_PER_USER_SQL),
+    "hash_sampling": (refops.hash_sampling, refops.HASH_SAMPLING_SQL),
+    "field_masking": (refops.field_masking, refops.FIELD_MASKING_SQL),
     # --- star-schema analytics (joins/agg/top-k) ---
     "q1_pricing_summary": (tpch.q1_pricing_summary, tpch.Q1_SQL),
     "top_orders_by_revenue": (tpch.top_orders_by_revenue, tpch.TOP_ORDERS_SQL),
@@ -54,6 +57,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_ivf_topk": (simsearch.emb_ivf_topk, simsearch.EMB_IVF_TOPK_SQL),
     # --- multimodal plumbing (Arrow mapInPandas decode stub) ---
     "mm_decode_meta": (multimodal.mm_decode_meta, multimodal.MM_DECODE_META_SQL),
+    "mm_frame_sample": (multimodal.mm_frame_sample, multimodal.MM_FRAME_SAMPLE_SQL),
 }
 
 

@@ -323,3 +323,200 @@ FIELD_MASKING_SQL = """
            coalesce(nullif(event_type, 'error'), 'unknown') AS resolved_type
     FROM events
 """
+
+
+# --- §2.8: JSON unmarshal with corrupt-record quarantine
+#     (/root/reference/parser/pt.go:233-249 — unmarshal + jsonnet repair
+#      fallback; ours: from_json PERMISSIVE, nulls counted, never thrown) ----
+
+def json_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type", F.from_json(F.col("props"), "k long").alias("__p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("__p.k")).alias("sum_k"),
+        F.sum(
+            F.when(F.col("__p").isNull() | F.col("__p.k").isNull(), 1).otherwise(0)
+        ).alias("n_corrupt"),
+    )
+
+
+JSON_PROPS_PARSE_SQL = """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
+    FROM (
+        SELECT event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events
+    ) GROUP BY event_type
+"""
+
+
+# --- §1.1: synthetic UUID keys from natural keys (md5 of composed fields,
+#     /root/reference/parser/parser.go:150-176) ------------------------------
+
+def synthetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable dedup/join key when the source has no native UUID — the
+    engine-wide convention behind (conv_id, turn_idx) keying."""
+    ev = _events(spark, sf_dir)
+    synth = F.md5(
+        F.concat_ws(
+            "-",
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    return ev.select("event_id", synth.alias("synth_id"))
+
+
+SYNTHETIC_KEY_SQL = """
+    SELECT event_id,
+           md5(CAST(user_id AS VARCHAR) || '-' || event_type || '-'
+               || CAST(event_id AS VARCHAR)) AS synth_id
+    FROM events
+"""
+
+
+# --- P2: explode-by-direction (ndt5: one file → up to 2 rows, null sibling
+#     filtered, /root/reference/parser/ndt5_result.go:67-149) ----------------
+
+def explode_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dirs = F.array(
+        F.struct(
+            F.lit("value").alias("direction"), F.col("value").alias("metric")
+        ),
+        F.when(
+            F.length(F.col("props")) > 0,
+            F.struct(
+                F.lit("props_len").alias("direction"),
+                F.length(F.col("props")).cast("double").alias("metric"),
+            ),
+        ),
+    )
+    return (
+        ev.select("event_id", F.explode(dirs).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .select(
+            "event_id", F.col("d.direction").alias("direction"),
+            F.col("d.metric").alias("metric"),
+        )
+    )
+
+
+EXPLODE_DIRECTIONS_SQL = """
+    SELECT event_id, 'value' AS direction, value AS metric FROM events
+    UNION ALL
+    SELECT event_id, 'props_len' AS direction, CAST(length(props) AS DOUBLE)
+    FROM events WHERE length(props) > 0
+"""
+
+
+# --- P8/A3: delta encoding — emit only changed values vs previous snapshot,
+#     constant deltas dropped, is_last tagged
+#     (/root/reference/parser/ndt.go:389-450, web100/web100.go:569-588) ------
+
+def delta_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = W.partitionBy("user_id")
+    staged = ev.select(
+        "user_id", "event_id", "value",
+        F.lag("value").over(w).alias("__prev"),
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(wall).alias("__cnt"),
+    )
+    return (
+        staged.filter(
+            F.col("__prev").isNull()
+            | (F.col("value") != F.col("__prev"))
+            | (F.col("__rn") == F.col("__cnt"))
+        )
+        .select(
+            "user_id", "event_id",
+            (F.col("value") - F.col("__prev")).alias("delta"),
+            (F.col("__rn") == F.col("__cnt")).alias("is_last"),
+        )
+    )
+
+
+DELTA_ENCODING_SQL = """
+    SELECT user_id, event_id, value - prev AS delta, rn = cnt AS is_last
+    FROM (
+        SELECT user_id, event_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS cnt
+        FROM events
+    ) WHERE prev IS NULL OR value <> prev OR rn = cnt
+"""
+
+
+# --- P7/A2/O1: per-group sample merge with ordered emit (switch parser
+#     timestampToRow + sort-before-emit,
+#     /root/reference/parser/switch.go:121-182) ------------------------------
+
+def grouped_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    ordered_types = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        ",",
+    )
+    return (
+        ev.groupBy("user_id", F.date_trunc("minute", "ts").alias("minute_ts"))
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            ordered_types.alias("type_seq"),
+        )
+    )
+
+
+GROUPED_SAMPLES_SQL = """
+    SELECT user_id, date_trunc('minute', ts) AS minute_ts,
+           count(*) AS n_samples,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
+    FROM events GROUP BY 1, 2
+"""
+
+
+# --- J3: broadcast canonicalization-map join (tcp-kis old→canonical name
+#     mapping, /root/reference/web100/web100.go:92-105, parser/ss.go:79-90) --
+
+_CANON_MAP = [
+    ("click", "engage"), ("view", "engage"),
+    ("signup", "convert"), ("purchase", "convert"), ("error", "fault"),
+]
+
+
+def canonical_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny dimension broadcast to every executor — the scale-path for
+    lookup joins (no shuffle of the fact side; verify with .explain:
+    BroadcastHashJoin, fact scan stays in one codegen span)."""
+    ev = _events(spark, sf_dir)
+    lookup = spark.createDataFrame(_CANON_MAP, ["event_type", "canon"])
+    return (
+        ev.join(F.broadcast(lookup), "event_type", "left")
+        .groupBy(F.coalesce(F.col("canon"), F.lit("unknown")).alias("canon"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+CANONICAL_BROADCAST_SQL = """
+    SELECT coalesce(m.canon, 'unknown') AS canon, count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    LEFT JOIN (VALUES ('click','engage'),('view','engage'),('signup','convert'),
+                      ('purchase','convert'),('error','fault')) AS m(event_type, canon)
+      ON e.event_type = m.event_type
+    GROUP BY 1
+"""

@@ -408,3 +408,89 @@ DOC_SIMHASH_PAIRS_SQL = f"""
       ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 """
+
+
+# --- token counting: whitespace + BPE-ish regex tokenizer
+#     (training-data-pipeline layer; char/4 estimate as the cheap column) ----
+
+TOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(_norm(), F.lit(TOKEN_RE), 0)
+    return (
+        docs.select("lang", F.size(toks).alias("__n"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").alias("sum_tokens"),
+            F.round(F.avg(F.col("__n").cast("double")), 4).alias("avg_tokens"),
+        )
+    )
+
+
+DOC_TOKEN_COUNT_SQL = f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           round(avg(CAST(n AS DOUBLE)), 4) AS avg_tokens
+    FROM (
+        SELECT lang,
+               len(regexp_extract_all({NORM_SQL}, '{TOKEN_RE}')) AS n
+        FROM documents
+    ) GROUP BY lang
+"""
+
+
+# --- R4: oversize-row guard with kept/dropped metrics
+#     (/root/reference/parser/scamper1.go:22-25,106-110 — 90MB row cap;
+#      /root/reference/parser/ndt.go:363-370 — oversize snaplog drop) --------
+
+OVERSIZE_LIMIT_CHARS = 300
+
+
+def doc_oversize_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + disposition counts in ONE aggregate pass (conditional sums),
+    mirroring the reference's drop-and-count-metric pattern."""
+    docs = _docs(spark, sf_dir)
+    keep = F.length("text") < OVERSIZE_LIMIT_CHARS
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum((~keep).cast("long")).alias("n_dropped"),
+        F.max(F.length("text")).alias("max_chars"),
+    )
+
+
+DOC_OVERSIZE_GUARD_SQL = f"""
+    SELECT source, count(*) AS n_total,
+           CAST(sum(CASE WHEN length(text) < {OVERSIZE_LIMIT_CHARS} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN length(text) >= {OVERSIZE_LIMIT_CHARS} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           max(length(text)) AS max_chars
+    FROM documents GROUP BY source
+"""
+
+
+# --- J2: header-declared field names ⋈ positional values (sidestream
+#     K:-header zip, /root/reference/parser/ss.go:58-91,153-168) -------------
+
+def doc_field_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 words of each doc positionally bound to declared field names
+    f1..f4 — posexplode is the arrays_zip/ordinality idiom."""
+    docs = _with_words(_docs(spark, sf_dir))
+    head = F.slice(F.col("__words"), 1, 4)
+    return (
+        docs.select("doc_id", F.posexplode(head).alias("__pos", "word"))
+        .select(
+            "doc_id",
+            F.concat(F.lit("f"), (F.col("__pos") + 1).cast("string")).alias("field"),
+            "word",
+        )
+    )
+
+
+DOC_FIELD_ZIP_SQL = f"""
+    SELECT doc_id, 'f' || CAST(i AS VARCHAR) AS field, w[i] AS word
+    FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents),
+         unnest(generate_series(1, least(len(w), 4))) AS t(i)
+"""

@@ -33,6 +33,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "top_events_per_user": (refops.top_events_per_user, refops.TOP_EVENTS_PER_USER_SQL),
     "hash_sampling": (refops.hash_sampling, refops.HASH_SAMPLING_SQL),
     "field_masking": (refops.field_masking, refops.FIELD_MASKING_SQL),
+    "json_props_parse": (refops.json_props_parse, refops.JSON_PROPS_PARSE_SQL),
+    "synthetic_key": (refops.synthetic_key, refops.SYNTHETIC_KEY_SQL),
+    "explode_directions": (refops.explode_directions, refops.EXPLODE_DIRECTIONS_SQL),
+    "delta_encoding": (refops.delta_encoding, refops.DELTA_ENCODING_SQL),
+    "grouped_samples": (refops.grouped_samples, refops.GROUPED_SAMPLES_SQL),
+    "canonical_broadcast": (
+        refops.canonical_broadcast,
+        refops.CANONICAL_BROADCAST_SQL,
+    ),
     # --- star-schema analytics (joins/agg/top-k) ---
     "q1_pricing_summary": (tpch.q1_pricing_summary, tpch.Q1_SQL),
     "top_orders_by_revenue": (tpch.top_orders_by_revenue, tpch.TOP_ORDERS_SQL),
@@ -50,6 +59,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_minhash_pairs": (textops.doc_minhash_pairs, textops.DOC_MINHASH_PAIRS_SQL),
     "doc_simhash": (textops.doc_simhash, textops.DOC_SIMHASH_SQL),
     "doc_simhash_pairs": (textops.doc_simhash_pairs, textops.DOC_SIMHASH_PAIRS_SQL),
+    "doc_token_count": (textops.doc_token_count, textops.DOC_TOKEN_COUNT_SQL),
+    "doc_oversize_guard": (textops.doc_oversize_guard, textops.DOC_OVERSIZE_GUARD_SQL),
+    "doc_field_zip": (textops.doc_field_zip, textops.DOC_FIELD_ZIP_SQL),
     # --- similarity search over embeddings ---
     "emb_cosine_topk": (simsearch.emb_cosine_topk, simsearch.EMB_COSINE_TOPK_SQL),
     "emb_knn_label": (simsearch.emb_knn_label, simsearch.EMB_KNN_LABEL_SQL),

@@ -161,12 +161,25 @@ class LakeTable:
         return os.path.exists(os.path.join(self.path, MANIFEST_DIR, CURRENT_PTR))
 
     # ------------------------------------------------------------- manifest
-    def manifest(self) -> Manifest:
-        ptr = os.path.join(self.path, MANIFEST_DIR, CURRENT_PTR)
-        with open(ptr) as f:
-            name = f.read().strip()
+    def manifest(self, version: int | None = None) -> Manifest:
+        """Current manifest, or a historical one for time-travel reads
+        (copy-on-write means every retained version's files still exist)."""
+        if version is None:
+            ptr = os.path.join(self.path, MANIFEST_DIR, CURRENT_PTR)
+            with open(ptr) as f:
+                name = f.read().strip()
+        else:
+            name = f"v{version:08d}.json"
         with open(os.path.join(self.path, MANIFEST_DIR, name)) as f:
             return Manifest.from_json(f.read())
+
+    def versions(self) -> list[int]:
+        """All retained snapshot versions, ascending (Iceberg: snapshot log)."""
+        out = []
+        for fn in os.listdir(os.path.join(self.path, MANIFEST_DIR)):
+            if fn.startswith("v") and fn.endswith(".json"):
+                out.append(int(fn[1:-5]))
+        return sorted(out)
 
     def _write_manifest(self, m: Manifest) -> None:
         name = f"v{m.version:08d}.json"
@@ -236,9 +249,15 @@ class LakeTable:
         """All storage rows (incl. tombstones + system columns)."""
         return self._aligned_scan(spark, self.manifest(), buckets)
 
-    def read(self, spark: SparkSession, include_system: bool = False) -> DataFrame:
-        """Live (non-tombstoned) rows, user schema by default."""
-        m = self.manifest()
+    def read(
+        self,
+        spark: SparkSession,
+        include_system: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Live (non-tombstoned) rows, user schema by default. Pass
+        ``version`` for a time-travel read of a retained snapshot."""
+        m = self.manifest(version)
         df = self._aligned_scan(spark, m, None).filter(~F.coalesce(F.col("deleted"), F.lit(False)))
         if include_system:
             return df
@@ -412,6 +431,63 @@ class LakeTable:
         files = self.write_bucket_files(keep, version_tag=f"compact{m.version + 1}")
         self.commit_version(files, buckets, None, None)
         return n
+
+    def compact_small_files(
+        self, spark: SparkSession, max_files_per_bucket: int = 4
+    ) -> int:
+        """Bin-pack buckets that have accumulated more than
+        ``max_files_per_bucket`` data files (the append fast path adds one
+        file per bucket per batch) into one file each. Returns the number of
+        buckets rewritten. Iceberg analog: rewrite_data_files. Data content
+        is unchanged — only file layout; old files stay referenced by older
+        snapshots until expire_snapshots."""
+        m = self.manifest()
+        buckets = [
+            int(b) for b, fl in m.files.items() if len(fl) > max_files_per_bucket
+        ]
+        if not buckets:
+            return 0
+        rows = self.read_storage(spark, buckets)
+        files = self.write_bucket_files(rows, version_tag=f"binpack{m.version + 1}")
+        self.commit_version(files, buckets, None, None)
+        return len(buckets)
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Drop all but the newest ``keep_last`` manifest versions and
+        physically delete data/bloom files referenced ONLY by expired
+        versions. Returns the number of data files deleted. Iceberg analog:
+        expire_snapshots. Time travel remains valid for retained versions."""
+        versions = self.versions()
+        if len(versions) <= keep_last:
+            return 0
+        keep_v = set(versions[-keep_last:])
+        cur = self.manifest().version
+        keep_v.add(cur)  # never expire the committed snapshot
+
+        def refs(m: Manifest) -> set[str]:
+            out = {fe["path"] for fl in m.files.values() for fe in fl}
+            if m.bloom:
+                out.add(m.bloom["path"])
+            return out
+
+        live: set[str] = set()
+        for v in keep_v:
+            live |= refs(self.manifest(v))
+        dead: set[str] = set()
+        for v in versions:
+            if v not in keep_v:
+                dead |= refs(self.manifest(v))
+        dead -= live
+        n_deleted = 0
+        for rel in dead:
+            full = os.path.join(self.path, rel)
+            if os.path.exists(full):
+                os.remove(full)
+                n_deleted += 1
+        for v in versions:
+            if v not in keep_v:
+                os.remove(os.path.join(self.path, MANIFEST_DIR, f"v{v:08d}.json"))
+        return n_deleted
 
     # ------------------------------------------------------------ data write
     def next_schema_id(self, user_schema: T.StructType) -> str:

@@ -1,0 +1,89 @@
+"""Lake maintenance: time-travel reads, small-file compaction, snapshot
+expiry — the Iceberg-parity table services (snapshot log /
+rewrite_data_files / expire_snapshots analogs)."""
+
+import datetime as dt
+import os
+
+from etl_spark.cdc.apply import apply_batch
+from etl_spark.lake.table import LakeTable
+from etl_spark.schema import CHANGE_SCHEMA, TRANSCRIPT_SCHEMA
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+def _table(tmpdir_path, n_buckets=4):
+    return LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=n_buckets)
+
+
+def _apply_n(spark, t, n, start=0):
+    for i in range(start, start + n):
+        apply_batch(
+            spark,
+            t,
+            _mk(spark, [(
+                "I", _ts(f"2024-01-01T00:00:{i:02d}"), i, f"c{i}", 0,
+                "user", f"text-{i}", None, f"f{i}",
+            )]),
+            f"b{i}",
+        )
+
+
+def test_time_travel_read(spark, tmpdir_path):
+    t = _table(tmpdir_path)
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:01"), 1, "c1", 0, "user", "v1", None, "f1")]), "b1")
+    v1 = t.manifest().version
+    apply_batch(spark, t, _mk(spark, [
+        ("U", _ts("2024-01-01T00:00:02"), 2, "c1", 0, "user", "v2", None, "f2")]), "b2")
+    assert t.read(spark).collect()[0]["text"] == "v2"
+    old = t.read(spark, version=v1).collect()
+    assert len(old) == 1 and old[0]["text"] == "v1"
+    assert t.versions() == [0, v1, t.manifest().version]
+
+
+def test_compact_small_files_preserves_content(spark, tmpdir_path):
+    t = _table(tmpdir_path, n_buckets=2)
+    _apply_n(spark, t, 8)  # 8 append batches -> many files per bucket
+    m = t.manifest()
+    assert any(len(fl) > 2 for fl in m.files.values())
+    before = {(r["conv_id"], r["turn_idx"], r["text"]) for r in t.read(spark).collect()}
+    n = t.compact_small_files(spark, max_files_per_bucket=2)
+    assert n > 0
+    after_m = t.manifest()
+    assert all(len(fl) <= 2 for fl in after_m.files.values())
+    after = {(r["conv_id"], r["turn_idx"], r["text"]) for r in t.read(spark).collect()}
+    assert after == before
+
+
+def test_expire_snapshots_keeps_current_and_deletes_orphans(spark, tmpdir_path):
+    t = _table(tmpdir_path, n_buckets=2)
+    _apply_n(spark, t, 4)
+    # force a rewrite so some early files become orphaned by expiry
+    t.compact_small_files(spark, max_files_per_bucket=1)
+    before = {(r["conv_id"], r["text"]) for r in t.read(spark).collect()}
+    all_versions = t.versions()
+    n_deleted = t.expire_snapshots(keep_last=1)
+    assert n_deleted > 0
+    assert t.versions() == [all_versions[-1]]
+    # current read unaffected; every referenced file still exists
+    assert {(r["conv_id"], r["text"]) for r in t.read(spark).collect()} == before
+    m = t.manifest()
+    for fl in m.files.values():
+        for fe in fl:
+            assert os.path.exists(os.path.join(t.path, fe["path"]))
+    # bloom sidecar for the current version survives
+    assert os.path.exists(os.path.join(t.path, m.bloom["path"]))
+
+
+def test_expire_snapshots_noop_when_few_versions(spark, tmpdir_path):
+    t = _table(tmpdir_path)
+    _apply_n(spark, t, 1)
+    assert t.expire_snapshots(keep_last=5) == 0
+    assert t.read(spark).count() == 1

@@ -1,0 +1,181 @@
+"""Operational CLI — the ``spark-submit --py-files`` entry point.
+
+    python -m etl_spark <cmd> [...]      # local dev
+    spark-submit --py-files etl_spark.zip -m ... cli.py  # cluster
+
+Commands mirror the reference's operational surface:
+  * ``init``    — create the lake table (update-schema deploy analog,
+                  /root/reference/cmd/update-schema/update.go:216-258)
+  * ``replay``  — batch replay of a feed directory (resumable)
+  * ``stream``  — Structured Streaming tail with checkpoint
+  * ``apply``   — single-segment debug path (the reference's HTTP
+                  ?filename=… dev entry, etl_worker.go:118-158)
+  * ``gen``     — deterministic seeded feed generator
+  * ``compact`` / ``expire`` — table maintenance
+  * ``metrics`` / ``lineage`` / ``show`` — observability
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from etl_spark.schema import TRANSCRIPT_SCHEMA
+from etl_spark.session import get_spark
+
+
+def _stats_json(stats) -> str:
+    return json.dumps(
+        [
+            {
+                "batch_id": s.batch_id,
+                "events_in": s.events_in,
+                "inserted": s.inserted,
+                "updated": s.updated,
+                "deleted": s.deleted,
+                "dup_dropped": s.dup_dropped,
+                "stale_skipped": s.stale_skipped,
+                "failed": s.failed,
+                "late_dropped": s.late_dropped,
+                "wall_sec": round(s.wall_sec, 2),
+                "skipped_idempotent": s.skipped_idempotent,
+                "fast_path_append": s.fast_path_append,
+            }
+            for s in stats
+        ]
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="etl_spark")
+    ap.add_argument("--cores", type=int, default=None, help="local[N] cores")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("init", help="create the lake table")
+    p.add_argument("--table", required=True)
+    p.add_argument("--buckets", type=int, default=64)
+
+    p = sub.add_parser("replay", help="batch-replay a feed directory")
+    p.add_argument("--table", required=True)
+    p.add_argument("--feed", required=True)
+    p.add_argument("--late-watermark-sec", type=float, default=None)
+
+    p = sub.add_parser("stream", help="streaming tail with checkpoint")
+    p.add_argument("--table", required=True)
+    p.add_argument("--feed", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--late-watermark-sec", type=float, default=None)
+
+    p = sub.add_parser("apply", help="apply ONE segment directory (debug)")
+    p.add_argument("--table", required=True)
+    p.add_argument("--segment-dir", required=True)
+
+    p = sub.add_parser("gen", help="generate a deterministic change feed")
+    p.add_argument("--out", required=True)
+    p.add_argument("--events", type=int, default=100_000)
+    p.add_argument("--convs", type=int, default=1000)
+    p.add_argument("--segments", type=int, default=4)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--skew", type=float, default=2.0)
+
+    p = sub.add_parser("compact", help="bin-pack small files")
+    p.add_argument("--table", required=True)
+    p.add_argument("--max-files-per-bucket", type=int, default=4)
+
+    p = sub.add_parser("expire", help="expire old snapshots")
+    p.add_argument("--table", required=True)
+    p.add_argument("--keep-last", type=int, default=2)
+
+    p = sub.add_parser("metrics", help="per-batch metrics table")
+    p.add_argument("--table", required=True)
+
+    p = sub.add_parser("lineage", help="per-(batch,bucket) lineage table")
+    p.add_argument("--table", required=True)
+
+    p = sub.add_parser("show", help="final transcript state")
+    p.add_argument("--table", required=True)
+    p.add_argument("--conv", default=None)
+    p.add_argument("--limit", type=int, default=20)
+
+    args = ap.parse_args(argv)
+
+    from etl_spark.lake.table import LakeTable
+
+    if args.cmd == "init":
+        LakeTable.create_if_not_exists(args.table, TRANSCRIPT_SCHEMA, args.buckets)
+        print(json.dumps({"table": args.table, "created": True}))
+        return 0
+
+    spark = get_spark(cores=args.cores, app_name=f"etl_spark_{args.cmd}")
+
+    if args.cmd == "gen":
+        from etl_spark.cdc.gen import change_feed_df, write_feed
+
+        feed = change_feed_df(
+            spark, n_events=args.events, n_convs=args.convs, max_turns=32,
+            seed=args.seed, skew=args.skew, n_batches=args.segments,
+        )
+        write_feed(feed, args.out, n_batches=args.segments)
+        print(json.dumps({"out": args.out, "events": args.events}))
+        return 0
+
+    table = LakeTable(args.table)
+    if not table.exists():
+        print(f"error: no lake table at {args.table} (run init)", file=sys.stderr)
+        return 2
+
+    if args.cmd == "replay":
+        from etl_spark.cdc.apply import replay_feed
+
+        stats = replay_feed(
+            spark, table, args.feed, late_watermark_sec=args.late_watermark_sec
+        )
+        print(_stats_json(stats))
+    elif args.cmd == "stream":
+        from etl_spark.cdc.stream import run_stream
+
+        run_stream(
+            spark, table, args.feed, args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=True,
+            late_watermark_sec=args.late_watermark_sec,
+        )
+        print(json.dumps({"table": args.table, "final_rows": table.read(spark).count()}))
+    elif args.cmd == "apply":
+        import os
+
+        from etl_spark.cdc.apply import apply_batch, batch_fingerprint
+
+        d = args.segment_dir.rstrip("/")
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        seg = os.path.basename(d)
+        df = spark.read.parquet(d)
+        s = apply_batch(
+            spark, table, df, batch_fingerprint(files),
+            source_files=[seg], segments=[seg],
+        )
+        print(_stats_json([s]))
+    elif args.cmd == "compact":
+        n = table.compact_small_files(spark, args.max_files_per_bucket)
+        print(json.dumps({"buckets_rewritten": n}))
+    elif args.cmd == "expire":
+        n = table.expire_snapshots(keep_last=args.keep_last)
+        print(json.dumps({"files_deleted": n, "versions": table.versions()}))
+    elif args.cmd == "metrics":
+        table.metrics_df(spark).orderBy("version").show(100, truncate=False)
+    elif args.cmd == "lineage":
+        table.lineage_df(spark).orderBy("batch_id", "bucket").show(100, truncate=False)
+    elif args.cmd == "show":
+        df = table.read(spark)
+        if args.conv:
+            df = df.filter(df.conv_id == args.conv)
+        df.orderBy("conv_id", "turn_idx").show(args.limit, truncate=60)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,7 +41,6 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from etl_spark.cdc.bloom import scan_batch
 from etl_spark.schema import KEY_COLS, evolve_schema
 from etl_spark.lake.table import LakeTable
 
@@ -145,6 +144,10 @@ def merge_into(
     new_bloom = None
     any_seen = True
     if bloom is not None:
+        # deferred import: etl_spark.cdc.__init__ imports apply -> this
+        # module; a top-level import here would close the cycle
+        from etl_spark.cdc.bloom import scan_batch
+
         any_seen, batch_bloom = scan_batch(batch, bloom, KEY_COLS)
         new_bloom = bloom.union(batch_bloom)
     fast_append = not has_target_files or not any_seen

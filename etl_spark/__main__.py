@@ -60,6 +60,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--feed", required=True)
     p.add_argument("--late-watermark-sec", type=float, default=None)
+    p.add_argument("--mode", choices=["cow", "mor"], default="cow")
 
     p = sub.add_parser("stream", help="streaming tail with checkpoint")
     p.add_argument("--table", required=True)
@@ -67,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--late-watermark-sec", type=float, default=None)
+    p.add_argument("--mode", choices=["cow", "mor"], default="cow")
 
     p = sub.add_parser("apply", help="apply ONE segment directory (debug)")
     p.add_argument("--table", required=True)
@@ -83,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact", help="bin-pack small files")
     p.add_argument("--table", required=True)
     p.add_argument("--max-files-per-bucket", type=int, default=4)
+
+    p = sub.add_parser("resolve", help="major compaction: collapse MOR deltas")
+    p.add_argument("--table", required=True)
 
     p = sub.add_parser("expire", help="expire old snapshots")
     p.add_argument("--table", required=True)
@@ -130,7 +135,8 @@ def main(argv: list[str] | None = None) -> int:
         from etl_spark.cdc.apply import replay_feed
 
         stats = replay_feed(
-            spark, table, args.feed, late_watermark_sec=args.late_watermark_sec
+            spark, table, args.feed,
+            late_watermark_sec=args.late_watermark_sec, mode=args.mode,
         )
         print(_stats_json(stats))
     elif args.cmd == "stream":
@@ -141,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
             available_now=True,
             late_watermark_sec=args.late_watermark_sec,
+            mode=args.mode,
         )
         print(json.dumps({"table": args.table, "final_rows": table.read(spark).count()}))
     elif args.cmd == "apply":
@@ -161,6 +168,9 @@ def main(argv: list[str] | None = None) -> int:
         print(_stats_json([s]))
     elif args.cmd == "compact":
         n = table.compact_small_files(spark, args.max_files_per_bucket)
+        print(json.dumps({"buckets_rewritten": n}))
+    elif args.cmd == "resolve":
+        n = table.resolve_deltas(spark)
         print(json.dumps({"buckets_rewritten": n}))
     elif args.cmd == "expire":
         n = table.expire_snapshots(keep_last=args.keep_last)

@@ -25,20 +25,23 @@ import hashlib
 import os
 from datetime import datetime, timedelta
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
-from etl_spark.cdc.dedup import lww_dedup
-from etl_spark.lake.merge import MergeStats, merge_into
+from etl_spark.lake.merge import BatchFailedError, MergeStats, merge_into
 from etl_spark.lake.table import LakeTable
+
+__all__ = [
+    "BatchFailedError",
+    "apply_batch",
+    "batch_fingerprint",
+    "replay_feed",
+    "validate_events",
+]
 
 # BigQuery's 100MB row limit drives the reference's 90MB guard
 # (/root/reference/parser/scamper1.go:22-25); we keep an explicit guard too.
 MAX_TEXT_BYTES = 10 * 1024 * 1024
 VALID_OPS = ("I", "U", "D")
-
-
-class BatchFailedError(RuntimeError):
-    """Raised when a batch exceeds the failed-row budget; nothing committed."""
 
 
 def _segment_relative(path: str) -> str:
@@ -78,13 +81,6 @@ def validate_events(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
     return batch.filter(ok), batch.filter(~ok)
 
 
-def _ts_to_us(dt) -> int:
-    """datetime (naive = wall-clock, or aware) → µs since epoch."""
-    if dt.tzinfo is not None:
-        return int(dt.timestamp() * 1_000_000)
-    return int((dt - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
-
-
 def _ts_literal(us: int, ts_type: str) -> F.Column:
     """An event-time literal matching the column's timestamp flavor
     (parquet loads as TIMESTAMP_NTZ under Spark 4; generated feeds may be
@@ -103,8 +99,12 @@ def apply_batch(
     fail_threshold: float = 0.10,
     segments: list[str] | None = None,
     late_watermark_sec: float | None = None,
+    mode: str = "cow",
 ) -> MergeStats:
     """Validate + (optionally) drop too-late events + dedup + MERGE.
+
+    ``mode``: "cow" (join + rewrite touched buckets) or "mor" (append LWW
+    deltas, resolve at read/compaction — see lake/merge.py).
 
     ``late_watermark_sec``: events older than (table high-watermark −
     delay) are dropped and counted ``late_dropped`` — the batch analog of
@@ -128,51 +128,32 @@ def apply_batch(
         if wm is not None:
             threshold_us = wm - int(late_watermark_sec * 1_000_000)
             late_pred = F.col("ts") < _ts_literal(threshold_us, ts_type)
-    # One aggregation pass yields all batch-level counters.
-    row = batch.agg(
-        F.count("*").alias("n"),
+    # Validation counters ride the merge's fused scan as an Observation —
+    # computed DURING pass 1, no standalone aggregation job.
+    ok = _ok_predicate()
+    counters = Observation()
+    observed = batch.observe(
+        counters,
+        F.count(F.lit(1)).alias("n"),
         F.coalesce(
-            F.sum(F.when(_ok_predicate(), F.lit(0)).otherwise(F.lit(1))), F.lit(0)
+            F.sum(F.when(ok, F.lit(0)).otherwise(F.lit(1))), F.lit(0)
         ).alias("bad"),
         F.coalesce(
-            F.sum(F.when(_ok_predicate() & late_pred, F.lit(1)).otherwise(F.lit(0))),
-            F.lit(0),
+            F.sum(F.when(ok & late_pred, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
         ).alias("late"),
-        F.max(F.when(_ok_predicate(), F.col("ts"))).alias("max_ts"),
-    ).first()
-    events_in, failed, late_dropped = int(row["n"]), int(row["bad"]), int(row["late"])
-    if events_in == 0:
-        table.commit_version({}, [], batch_id, {"events_in": 0}, segments=segments)
-        return MergeStats(batch_id=batch_id)
-    valid = batch.filter(_ok_predicate() & ~late_pred)
-    if failed / events_in > fail_threshold:
-        raise BatchFailedError(
-            f"batch {batch_id}: {failed}/{events_in} failed rows exceeds "
-            f"{fail_threshold:.0%} budget — aborting before commit"
-        )
-    batch_max_us = _ts_to_us(row["max_ts"]) if row["max_ts"] is not None else None
-    if events_in == failed + late_dropped:
-        # nothing left to merge; still commit (advances watermark + segments)
-        table.commit_version(
-            {}, [], batch_id,
-            {"events_in": events_in, "failed": failed, "late_dropped": late_dropped},
-            segments=segments, new_watermark_us=batch_max_us,
-        )
-        s = MergeStats(batch_id=batch_id, events_in=events_in, failed=failed)
-        s.late_dropped = late_dropped
-        return s
-    deduped = lww_dedup(valid)
+        F.max(F.when(ok, F.col("ts"))).alias("max_ts"),
+    )
+    valid = observed.filter(ok & ~late_pred)
     return merge_into(
         spark,
         table,
-        deduped,
+        valid,
         batch_id,
-        events_in=events_in,
+        counters=counters,
+        fail_threshold=fail_threshold,
         source_files=source_files,
-        failed=failed,
         segments=segments,
-        late_dropped=late_dropped,
-        watermark_us=batch_max_us,
+        mode=mode,
     )
 
 
@@ -182,6 +163,7 @@ def replay_feed(
     feed_dir: str,
     fail_threshold: float = 0.10,
     late_watermark_sec: float | None = None,
+    mode: str = "cow",
 ) -> list[MergeStats]:
     """Batch-mode replay of a feed directory (one subdir per binlog segment,
     lexicographic order = arrival order). Used by tests, bench, and as the
@@ -209,7 +191,7 @@ def replay_feed(
             apply_batch(
                 spark, table, df, bid, source_files=[name],
                 fail_threshold=fail_threshold, segments=[name],
-                late_watermark_sec=late_watermark_sec,
+                late_watermark_sec=late_watermark_sec, mode=mode,
             )
         )
     return out

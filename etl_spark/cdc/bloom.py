@@ -9,18 +9,21 @@ in the MERGE that skips reading and rewriting the target buckets entirely
 (lake/merge.py). False positives merely fall back to the full merge —
 harmless, exactly the composition SURVEY.md §7/M4 calls for.
 
-Scale design: the filter is built DISTRIBUTED — each partition computes a
-partial bitset over its rows inside an Arrow ``mapInPandas`` batch (numpy
-bit ops, no per-row Python in the hot loop beyond the stable md5 digest),
-partials are OR-reduced on the driver (k partitions × m/8 bytes, tiny),
-and the result is broadcast back for membership tests. At m=2^23 bits the
-sidecar is 1 MiB and holds ~600k keys at k=4 with ~2% FP — size m up for
-bigger tables; saturation only degrades the fast-path hit rate, never
-correctness.
+Scale design: hashing happens in the JVM — ``h1 = xxhash64(*keys)``,
+``h2 = xxhash64(h1)`` (Kirsch–Mitzenmacher double hashing gives the k
+positions as ``h1 + i*h2``) — inside whole-stage codegen; the Python side
+of the Arrow ``mapInPandas`` stage only scatters uint64 positions into a
+numpy bitset (no per-row Python anywhere). Per-partition partial bitsets
+are OR-reduced on the driver (k partitions × m/8 bytes) and the result is
+broadcast back for membership tests. At m=2^23 bits the sidecar is 1 MiB
+and holds ~600k keys at k=4 with ~2% FP — size m up for bigger tables;
+saturation only degrades the fast-path hit rate, never correctness.
 
-Hashes are md5-derived (stable across processes, restarts, partitionings —
-the filter persists across commits, so run-internal hashes like
-``pd.util.hash_array`` would be unsound).
+xxhash64 is a fixed published algorithm (seed 42 in Spark), stable across
+processes, restarts and partitionings, so the persisted filter stays valid
+for the table's lifetime. Persisted sidecars are tagged with the hash algo
+(``BLOOM_ALGO``); a mismatching tag disables the fast path (never wrong,
+only slower) instead of misreading bits.
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_M_BITS = 1 << 23  # 1 MiB sidecar
 DEFAULT_K = 4
+BLOOM_ALGO = "xxh64km1"
 _SEP = "\x1f"
 
 
@@ -45,11 +49,23 @@ def _key_series(pdf: pd.DataFrame, key_cols: list[str]) -> pd.Series:
 
 
 def _hash_pair(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(h1, h2) uint64 pairs from the md5 digest — double hashing gives k
-    positions as h1 + i*h2 (Kirsch–Mitzenmacher)."""
+    """(h1, h2) uint64 pairs from the md5 digest — driver-side/pure-Python
+    reference path (unit tests of the filter math; the distributed path
+    hashes in the JVM via hash_frame)."""
     dig = keys.map(lambda s: hashlib.md5(s.encode()).digest())
     buf = np.frombuffer(b"".join(dig), dtype=np.uint64).reshape(-1, 2)
     return buf[:, 0], buf[:, 1]
+
+
+def hash_frame(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Project the key columns to the (h1, h2) double-hash pair, computed
+    in the JVM (codegen, no Python)."""
+    h1 = F.xxhash64(*[F.col(c) for c in key_cols])
+    return df.select(h1.alias("h1"), F.xxhash64(h1).alias("h2"))
+
+
+def _as_u64(a) -> np.ndarray:
+    return np.asarray(a, dtype=np.int64).view(np.uint64)
 
 
 class BloomFilter:
@@ -61,25 +77,39 @@ class BloomFilter:
         self.bits = bits if bits is not None else np.zeros(m_bits // 8, dtype=np.uint8)
 
     # ------------------------------------------------------------- positions
-    def _positions(self, keys: pd.Series) -> np.ndarray:
-        h1, h2 = _hash_pair(keys)
+    def _positions_from(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         i = np.arange(self.k, dtype=np.uint64)[None, :]
         return (h1[:, None] + i * h2[:, None]) % np.uint64(self.m_bits)
 
-    # ------------------------------------------------------------------- ops
+    # ----------------------------------------------------------- hash-pair ops
+    def add_hashes(self, h1, h2) -> None:
+        h1, h2 = _as_u64(h1), _as_u64(h2)
+        if len(h1) == 0:
+            return
+        pos = self._positions_from(h1, h2).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def might_contain_hashes(self, h1, h2) -> np.ndarray:
+        h1, h2 = _as_u64(h1), _as_u64(h2)
+        if len(h1) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions_from(h1, h2)
+        byte = self.bits[(pos >> 3).astype(np.int64)]
+        hit = (byte >> (pos & 7).astype(np.uint8)) & 1
+        return hit.all(axis=1).astype(bool)
+
+    # ----------------------------------------------- string-key ops (local)
     def add(self, keys: pd.Series) -> None:
         if len(keys) == 0:
             return
-        pos = self._positions(keys).ravel()
-        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        self.add_hashes(*(h.view(np.int64) for h in _hash_pair(keys)))
 
     def might_contain(self, keys: pd.Series) -> np.ndarray:
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
-        pos = self._positions(keys)
-        byte = self.bits[(pos >> 3).astype(np.int64)]
-        hit = (byte >> (pos & 7).astype(np.uint8)) & 1
-        return hit.all(axis=1).astype(bool)
+        return self.might_contain_hashes(
+            *(h.view(np.int64) for h in _hash_pair(keys))
+        )
 
     def union(self, other: "BloomFilter") -> "BloomFilter":
         assert (self.m_bits, self.k) == (other.m_bits, other.k)
@@ -99,9 +129,8 @@ class BloomFilter:
 def build_bloom(
     df: DataFrame, key_cols: list[str], m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K
 ) -> BloomFilter:
-    """Distributed build: per-partition partial bitsets via mapInPandas,
-    OR-reduced on the driver. Nonzero-byte runs are shipped as (offset,
-    chunk) pairs so near-empty partials cost ~nothing."""
+    """Distributed build: JVM-hashed keys, per-partition partial bitsets via
+    mapInPandas, OR-reduced on the driver."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         part = BloomFilter(m_bits, k)
@@ -109,11 +138,11 @@ def build_bloom(
         for pdf in batches:
             if len(pdf):
                 any_rows = True
-                part.add(_key_series(pdf, key_cols))
+                part.add_hashes(pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
         if any_rows:
             yield pd.DataFrame({"bits": [part.to_bytes()]})
 
-    parts = df.select(*key_cols).mapInPandas(gen, schema="bits binary").collect()
+    parts = hash_frame(df, key_cols).mapInPandas(gen, schema="bits binary").collect()
     out = BloomFilter(m_bits, k)
     for row in parts:
         out.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
@@ -140,20 +169,72 @@ def scan_batch(
         for pdf in batches:
             if len(pdf):
                 any_rows = True
-                keys = _key_series(pdf, key_cols)
-                if not hit and bool(seen.might_contain(keys).any()):
+                h1, h2 = pdf["h1"].to_numpy(), pdf["h2"].to_numpy()
+                if not hit and bool(seen.might_contain_hashes(h1, h2).any()):
                     hit = True
-                part.add(keys)
+                part.add_hashes(h1, h2)
         if any_rows:
             yield pd.DataFrame({"bits": [part.to_bytes()], "hit": [hit]})
 
-    rows = df.select(*key_cols).mapInPandas(gen, schema="bits binary, hit boolean").collect()
+    rows = (
+        hash_frame(df, key_cols)
+        .mapInPandas(gen, schema="bits binary, hit boolean")
+        .collect()
+    )
     out = BloomFilter(bloom.m_bits, bloom.k)
     any_seen = False
     for r in rows:
         out.bits |= np.frombuffer(r["bits"], dtype=np.uint8)
         any_seen = any_seen or bool(r["hit"])
     return any_seen, out
+
+
+def scan_batch_buckets(
+    df: DataFrame, bloom: BloomFilter, key_cols: list[str], bucket_col: str
+) -> tuple[bool, BloomFilter, list[int]]:
+    """scan_batch + touched-bucket discovery fused into the SAME pass:
+    (any key possibly seen?, this batch's key-bloom, sorted distinct bucket
+    ids). Replaces a separate distinct+collect job — at micro-batch cadence
+    every eliminated job is wall time."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((bloom.to_bytes(), bloom.m_bits, bloom.k))
+
+    h1 = F.xxhash64(*[F.col(c) for c in key_cols])
+    proj = df.select(
+        h1.alias("h1"), F.xxhash64(h1).alias("h2"), F.col(bucket_col).alias("b")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        data, m, kk = bc.value
+        seen = BloomFilter.from_bytes(data, m, kk)
+        part = BloomFilter(m, kk)
+        hit = False
+        buckets: set[int] = set()
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                h1v, h2v = pdf["h1"].to_numpy(), pdf["h2"].to_numpy()
+                if not hit and bool(seen.might_contain_hashes(h1v, h2v).any()):
+                    hit = True
+                part.add_hashes(h1v, h2v)
+                buckets.update(int(x) for x in np.unique(pdf["b"].to_numpy()))
+        if any_rows:
+            yield pd.DataFrame(
+                {"bits": [part.to_bytes()], "hit": [hit], "buckets": [sorted(buckets)]}
+            )
+
+    rows = proj.mapInPandas(
+        gen, schema="bits binary, hit boolean, buckets array<int>"
+    ).collect()
+    out = BloomFilter(bloom.m_bits, bloom.k)
+    any_seen = False
+    touched: set[int] = set()
+    for r in rows:
+        out.bits |= np.frombuffer(r["bits"], dtype=np.uint8)
+        any_seen = any_seen or bool(r["hit"])
+        touched.update(r["buckets"])
+    return any_seen, out, sorted(touched)
 
 
 def any_possibly_seen(
@@ -168,12 +249,14 @@ def any_possibly_seen(
         data, m, kk = bc.value
         b = BloomFilter.from_bytes(data, m, kk)
         for pdf in batches:
-            if len(pdf) and bool(b.might_contain(_key_series(pdf, key_cols)).any()):
+            if len(pdf) and bool(
+                b.might_contain_hashes(pdf["h1"].to_numpy(), pdf["h2"].to_numpy()).any()
+            ):
                 yield pd.DataFrame({"hit": [True]})
                 return
 
     hits = (
-        df.select(*key_cols)
+        hash_frame(df, key_cols)
         .mapInPandas(gen, schema="hit boolean")
         .limit(1)
         .collect()

@@ -135,11 +135,17 @@ def write_feed(
     feed_dir: str,
     evolve_from_batch: int | None = None,
     n_batches: int | None = None,
+    files_per_segment: int = 8,
 ) -> list[str]:
     """Materialize the feed as one parquet directory per batch
     (``feed/batch=00042/``), simulating binlog segment arrival. Pre-evolution
     batches are written WITHOUT the evolved columns (they didn't exist yet).
     Returns the ordered list of batch directories.
+
+    Each segment is split into ``files_per_segment`` parquet files so a
+    consumer's scan stage parallelizes even for a single segment (a one-file
+    segment is one row group = ONE Spark task — it serializes every
+    downstream map stage regardless of core count).
 
     Fast path (no schema evolution): ONE job with ``partitionBy('batch')``
     — a single shuffle instead of n_batches full-feed passes. The evolution
@@ -150,7 +156,10 @@ def write_feed(
             n_batches = feed.agg(F.max("batch")).collect()[0][0] + 1
         if evolve_from_batch is None:
             (
-                feed.repartition(F.col("batch"))
+                feed.repartition(
+                    F.col("batch"),
+                    F.pmod(F.col("op_seq"), F.lit(files_per_segment)),
+                )
                 .write.partitionBy("batch")
                 .mode("overwrite")
                 .parquet(feed_dir)

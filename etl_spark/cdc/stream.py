@@ -59,6 +59,7 @@ def run_stream(
     available_now: bool = True,
     fail_threshold: float = 0.10,
     late_watermark_sec: float | None = None,
+    mode: str = "cow",
 ):
     """Start (and by default drain) the streaming apply loop. Returns the
     StreamingQuery when available_now=False (caller stops it)."""
@@ -96,6 +97,7 @@ def run_stream(
             fail_threshold=fail_threshold,
             segments=new_segs,
             late_watermark_sec=late_watermark_sec,
+            mode=mode,
         )
 
     writer = (

@@ -10,26 +10,31 @@ Semantics (the Iceberg-SQL statement this module implements natively):
          THEN UPDATE SET *
     WHEN NOT MATCHED THEN INSERT *   -- D inserts a tombstone
 
-The batch MUST be pre-deduped to one row per key (Iceberg MERGE likewise
-rejects multi-match sources); see etl_spark.cdc.dedup. Tombstones guarantee
-that under replay a delete beats an earlier-ts insert but loses to a
-later-ts re-insert (LWW over the full event history).
+The incoming batch is LWW-deduped here to one row per key (Iceberg MERGE
+likewise rejects multi-match sources). Tombstones guarantee that under
+replay a delete beats an earlier-ts insert but loses to a later-ts
+re-insert (LWW over the full event history).
 
 Reference semantics carried over: the dedup/join key contract of the
 synthetic UUIDs (/root/reference/parser/parser.go:150-176), downstream
 key-based dedup (/root/reference/schema/README.md:6-10), atomic commit at
-Close (/root/reference/storage/rowwriter.go:83-171).
+Close (/root/reference/storage/rowwriter.go:83-171), failfast error budget
+before commit (/root/reference/etl/etl.go:116-117).
 
-Scale design:
-  * Only buckets containing batch keys are read and rewritten
-    (copy-on-write with partition pruning); at 10^10 events with
-    n_buckets=4096, write amplification per micro-batch is bounded by
-    touched-bucket data, not table size.
-  * The join shuffles both sides on the key; AQE skew-join splits hot
-    conversations. The batch side was already skew-collapsed by the
-    salted/partial-agg dedup (one row per key survives).
-  * All logic is DataFrame expressions — whole-stage codegen, zero Python
-    in the row path.
+Scale design — exactly TWO distributed passes per micro-batch:
+  1. **Fused scan** (map-only, no shuffle): one mapInPandas pass computes
+     the Bloom membership answer, this batch's key-bloom, AND the touched
+     bucket set, while a ``Observation`` on the same scan yields the
+     validation counters (events_in / failed / late / max event-ts). JVM
+     xxhash64 hashing — no per-row Python.
+  2. **Merge + write**: LWW dedup (map-side partial agg) → join with only
+     the touched target buckets → bucket-partitioned write, with a second
+     Observation counting row dispositions DURING the write (no
+     re-scan of written files). Per-bucket row counts come from parquet
+     footers on the driver (no job).
+  * AQE skew-join splits hot conversations; the batch side is already
+    skew-collapsed by the partial-agg dedup (one row per key survives).
+  * All row-path logic is DataFrame expressions — whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -37,14 +42,21 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
+from datetime import datetime
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from etl_spark.schema import KEY_COLS, evolve_schema
 from etl_spark.lake.table import LakeTable
 
 ENGINE_VERSION = "etl_spark-0.1.0"
+
+_DISPOSITIONS = ["inserted", "updated", "deleted", "stale_skipped", "carried"]
+
+
+class BatchFailedError(RuntimeError):
+    """Raised when a batch exceeds the failed-row budget; nothing committed."""
 
 
 @dataclass
@@ -80,24 +92,56 @@ def _align_to(df: DataFrame, colnames: list[str], schema) -> DataFrame:
     )
 
 
+def _ts_to_us(dt) -> int:
+    """datetime (naive = wall-clock, or aware) → µs since epoch."""
+    if dt.tzinfo is not None:
+        return int(dt.timestamp() * 1_000_000)
+    return int((dt - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+
+def _disp_aggs() -> list[F.Column]:
+    return [
+        F.coalesce(
+            F.sum(F.when(F.col("__disp") == d, F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias(d)
+        for d in _DISPOSITIONS
+    ]
+
+
 def merge_into(
     spark: SparkSession,
     table: LakeTable,
-    batch: DataFrame,
+    valid: DataFrame,
     batch_id: str,
-    events_in: int | None = None,
+    counters: Observation,
+    fail_threshold: float = 0.10,
     source_files: list[str] | None = None,
-    failed: int = 0,
     segments: list[str] | None = None,
-    late_dropped: int = 0,
-    watermark_us: int | None = None,
+    mode: str = "cow",
 ) -> MergeStats:
-    """Apply one deduped CDC batch to ``table``. Returns MergeStats; the
-    commit (data files + commit record + metrics) is one atomic manifest
-    swap. Idempotent: an already-committed batch_id is a no-op."""
+    """Apply one validated (but not yet deduped) CDC batch to ``table``.
+
+    ``valid`` must be the filtered side of a plan carrying ``counters`` —
+    an Observation with metrics (n, bad, late, max_ts) over the PRE-filter
+    batch; the fused scan job materializes them. The commit (data files +
+    commit record + metrics) is one atomic manifest swap. Idempotent: an
+    already-committed batch_id is a no-op.
+
+    ``mode``:
+      * ``"cow"`` (copy-on-write) — join against touched target buckets and
+        rewrite them; reads stay one-row-per-key. Best for read-heavy
+        tables and modest change rates.
+      * ``"mor"`` (merge-on-read) — append the deduped batch as DELTA files
+        (with delete tombstones) and defer LWW resolution to read time /
+        compaction. Per-batch cost is proportional to BATCH size, not
+        table size — the Iceberg-recommended strategy for streaming CDC
+        upserts at high change rates. In MOR the ``inserted``/``deleted``
+        dispositions mean "upsert row appended" / "delete tombstone
+        appended" (insert-vs-update cannot be known without the join).
+    """
     t0 = time.time()
     stats = MergeStats(batch_id=batch_id)
-    stats.late_dropped = late_dropped
     if table.is_committed(batch_id):
         stats.skipped_idempotent = True
         return stats
@@ -105,7 +149,7 @@ def merge_into(
     # ---- schema evolution (additive columns / widenings in the batch) ----
     cur_user = table.user_schema()
     batch_payload_fields = [
-        f for f in batch.schema.fields if f.name not in ("op", "op_seq", "source_file")
+        f for f in valid.schema.fields if f.name not in ("op", "op_seq", "source_file")
     ]
     from pyspark.sql import types as T
 
@@ -116,189 +160,163 @@ def merge_into(
     storage_cols = [f.name for f in storage_schema.fields]
     new_sid = table.next_schema_id(evolved)
 
-    # ---- bucket pruning: which buckets does this batch touch? ----
-    # For big batches (>= ~50 keys/bucket expected) virtually every bucket
-    # is touched, so skip the distinct+collect discovery job — declaring a
-    # superset of touched buckets is always CORRECT (their rows are carried
-    # through the rewrite), it only costs rewriting what would have been
-    # pruned. Small batches keep exact pruning.
-    batch = batch.withColumn("__bucket", table.bucket_expr())
-    if events_in is not None and events_in >= 50 * table.n_buckets:
-        touched = list(range(table.n_buckets))
-    else:
-        touched = sorted(
-            r[0] for r in batch.select("__bucket").distinct().collect()
-        )  # ≤ n_buckets ints — driver-safe
-    stats.touched_buckets = touched
-
-    # ---- Bloom seen-set fast path (SURVEY §7/M4) ----
-    # If no touched bucket has data yet, or the seen-set PROVES no batch
-    # key can exist in the table (no false negatives), the batch is pure
-    # insert: skip the target scan + join entirely and APPEND the rows.
-    # A Bloom false positive just falls through to the full merge.
-    # scan_batch answers the membership question AND yields this batch's
-    # key-bloom (for the post-commit seen-set update) in one pass.
-    manifest = table.manifest()
-    has_target_files = any(manifest.files.get(str(b)) for b in touched)
+    # ---- pass 1: fused scan — bloom membership + batch bloom + touched
+    #      buckets, with the validation counters observed on the same job ----
+    batch = valid.withColumn("__bucket", table.bucket_expr())
     bloom = table.load_bloom()
     new_bloom = None
     any_seen = True
     if bloom is not None:
-        # deferred import: etl_spark.cdc.__init__ imports apply -> this
-        # module; a top-level import here would close the cycle
-        from etl_spark.cdc.bloom import scan_batch
+        from etl_spark.cdc.bloom import scan_batch_buckets
 
-        any_seen, batch_bloom = scan_batch(batch, bloom, KEY_COLS)
+        any_seen, batch_bloom, touched = scan_batch_buckets(
+            batch, bloom, KEY_COLS, bucket_col="__bucket"
+        )
         new_bloom = bloom.union(batch_bloom)
+    else:  # legacy table without a compatible seen-set
+        touched = sorted(
+            r[0] for r in batch.select("__bucket").distinct().collect()
+        )
+    stats.touched_buckets = touched
+
+    c = counters.get  # filled by the pass-1 action (blocks only on bugs)
+    events_in, failed, late_dropped = int(c["n"]), int(c["bad"]), int(c["late"])
+    stats.events_in, stats.failed, stats.late_dropped = events_in, failed, late_dropped
+    max_ts = c["max_ts"]
+    watermark_us = _ts_to_us(max_ts) if max_ts is not None else None
+
+    # failfast BEFORE any write (reference: whole task errors at >10% failed)
+    if events_in > 0 and failed / events_in > fail_threshold:
+        raise BatchFailedError(
+            f"batch {batch_id}: {failed}/{events_in} failed rows exceeds "
+            f"{fail_threshold:.0%} budget — aborting before commit"
+        )
+    if events_in == 0 or events_in == failed + late_dropped:
+        # nothing to merge; still commit (advances watermark + segments)
+        table.commit_version(
+            {}, [], batch_id,
+            {"events_in": events_in, "failed": failed, "late_dropped": late_dropped},
+            segments=segments, new_watermark_us=watermark_us,
+        )
+        return stats
+
+    # ---- pass 2: LWW dedup + merge plan + bucket-partitioned write ----
+    from etl_spark.cdc.dedup import lww_dedup
+
+    deduped = lww_dedup(batch)
+
+    manifest = table.manifest()
+    has_target_files = any(manifest.files.get(str(b)) for b in touched)
     fast_append = not has_target_files or not any_seen
-    if fast_append:
-        stats.fast_path_append = True
+    mor_append = mode == "mor" and not fast_append
+    if fast_append or mor_append:
+        # Append path: either pure insert PROVEN by the Bloom seen-set (no
+        # batch key can exist in the table — zero write amplification, no
+        # reduction debt), or merge-on-read mode (append deltas, defer LWW
+        # to read/compaction). A Bloom false positive in cow mode just
+        # falls through to the full merge below — never wrong.
+        stats.fast_path_append = fast_append
         is_del_f = F.col("op") == F.lit("D")
         fast_cols = [F.col(KEY_COLS[0]), F.col(KEY_COLS[1])]
-        for c in payload_cols:
-            src = (
-                F.col(c) if c in batch.columns else F.lit(None)
-            )
+        for c_ in payload_cols:
+            src = F.col(c_) if c_ in deduped.columns else F.lit(None)
             fast_cols.append(
-                F.when(is_del_f, F.lit(None).cast(evolved[c].dataType))
+                F.when(is_del_f, F.lit(None).cast(evolved[c_].dataType))
                 .otherwise(src)
-                .cast(evolved[c].dataType)
-                .alias(c)
+                .cast(evolved[c_].dataType)
+                .alias(c_)
             )
         fast_cols += [
             F.col("ts"),
             F.col("op_seq"),
             is_del_f.alias("deleted"),
             F.lit(batch_id).alias("batch_id"),
-            (F.col("source_file") if "source_file" in batch.columns
+            (F.col("source_file") if "source_file" in deduped.columns
              else F.lit(None).cast("string")).alias("source_file"),
             F.current_timestamp().alias("ingest_ts"),
             F.when(is_del_f, F.lit("deleted")).otherwise(F.lit("inserted")).alias("__disp"),
         ]
-        merged = batch.select(*fast_cols)
-        return _finalize(
-            spark, table, merged, batch, stats, batch_id, events_in, failed,
-            source_files, segments, new_sid, evolved, new_bloom, t0,
-            append_files=True, watermark_us=watermark_us,
+        merged = deduped.select(*fast_cols)
+    else:
+        target = table.read_storage(spark, touched)
+        target = _align_to(target, storage_cols, storage_schema)
+
+        s = deduped.alias("s")
+        t = target.alias("t")
+        cond = (F.col(f"s.{KEY_COLS[0]}") == F.col(f"t.{KEY_COLS[0]}")) & (
+            F.col(f"s.{KEY_COLS[1]}") == F.col(f"t.{KEY_COLS[1]}")
+        )
+        j = s.join(t, cond, "full_outer")
+
+        s_present = F.col("s.op_seq").isNotNull()
+        t_present = F.col("t.op_seq").isNotNull()
+        s_wins = s_present & (
+            ~t_present
+            | (F.struct(F.col("s.ts"), F.col("s.op_seq"))
+               >= F.struct(F.col("t.ts"), F.col("t.op_seq")))
+        )
+        is_del = F.col("s.op") == F.lit("D")
+
+        disposition = (
+            F.when(~s_present, F.lit("carried"))
+            .when(~t_present & is_del, F.lit("deleted"))       # tombstone insert
+            .when(~t_present, F.lit("inserted"))
+            .when(~s_wins, F.lit("stale_skipped"))
+            .when(is_del, F.lit("deleted"))
+            .otherwise(F.lit("updated"))
         )
 
-    target = table.read_storage(spark, touched)
-    target = _align_to(target, storage_cols, storage_schema)
+        out_cols = [
+            F.coalesce(F.col(f"s.{KEY_COLS[0]}"), F.col(f"t.{KEY_COLS[0]}")).alias(KEY_COLS[0]),
+            F.coalesce(F.col(f"s.{KEY_COLS[1]}"), F.col(f"t.{KEY_COLS[1]}")).alias(KEY_COLS[1]),
+        ]
+        for c_ in payload_cols:
+            src = (
+                F.when(is_del, F.lit(None).cast(evolved[c_].dataType))
+                .otherwise(F.col(f"s.{c_}") if c_ in deduped.columns
+                           else F.lit(None).cast(evolved[c_].dataType))
+            )
+            out_cols.append(
+                F.when(s_wins, src).otherwise(F.col(f"t.{c_}")).cast(evolved[c_].dataType).alias(c_)
+            )
+        out_cols += [
+            F.when(s_wins, F.col("s.ts")).otherwise(F.col("t.ts")).alias("ts"),
+            F.when(s_wins, F.col("s.op_seq")).otherwise(F.col("t.op_seq")).alias("op_seq"),
+            F.when(s_wins, is_del).otherwise(F.col("t.deleted")).alias("deleted"),
+            F.when(s_wins, F.lit(batch_id)).otherwise(F.col("t.batch_id")).alias("batch_id"),
+            F.when(s_wins, F.col("s.source_file") if "source_file" in deduped.columns
+                   else F.lit(None).cast("string"))
+            .otherwise(F.col("t.source_file")).alias("source_file"),
+            F.when(s_wins, F.current_timestamp()).otherwise(F.col("t.ingest_ts")).alias("ingest_ts"),
+            disposition.alias("__disp"),
+        ]
+        merged = j.select(*out_cols)
 
-    s = batch.alias("s")
-    t = target.alias("t")
-    cond = (F.col(f"s.{KEY_COLS[0]}") == F.col(f"t.{KEY_COLS[0]}")) & (
-        F.col(f"s.{KEY_COLS[1]}") == F.col(f"t.{KEY_COLS[1]}")
-    )
-    j = s.join(t, cond, "full_outer")
+    # disposition counts observed DURING the write — __disp never hits disk
+    disp_obs = Observation()
+    to_write = merged.observe(disp_obs, *_disp_aggs()).drop("__disp")
 
-    s_present = F.col("s.op_seq").isNotNull()
-    t_present = F.col("t.op_seq").isNotNull()
-    s_wins = s_present & (
-        ~t_present
-        | (F.struct(F.col("s.ts"), F.col("s.op_seq"))
-           >= F.struct(F.col("t.ts"), F.col("t.op_seq")))
-    )
-    is_del = F.col("s.op") == F.lit("D")
-
-    disposition = (
-        F.when(~s_present, F.lit("carried"))
-        .when(~t_present & is_del, F.lit("deleted"))       # tombstone insert
-        .when(~t_present, F.lit("inserted"))
-        .when(~s_wins, F.lit("stale_skipped"))
-        .when(is_del, F.lit("deleted"))
-        .otherwise(F.lit("updated"))
-    )
-
-    out_cols = [
-        F.coalesce(F.col(f"s.{KEY_COLS[0]}"), F.col(f"t.{KEY_COLS[0]}")).alias(KEY_COLS[0]),
-        F.coalesce(F.col(f"s.{KEY_COLS[1]}"), F.col(f"t.{KEY_COLS[1]}")).alias(KEY_COLS[1]),
-    ]
-    for c in payload_cols:
-        src = (
-            F.when(is_del, F.lit(None).cast(evolved[c].dataType))
-            .otherwise(F.col(f"s.{c}") if c in batch.columns
-                       else F.lit(None).cast(evolved[c].dataType))
-        )
-        out_cols.append(
-            F.when(s_wins, src).otherwise(F.col(f"t.{c}")).cast(evolved[c].dataType).alias(c)
-        )
-    out_cols += [
-        F.when(s_wins, F.col("s.ts")).otherwise(F.col("t.ts")).alias("ts"),
-        F.when(s_wins, F.col("s.op_seq")).otherwise(F.col("t.op_seq")).alias("op_seq"),
-        F.when(s_wins, is_del).otherwise(F.col("t.deleted")).alias("deleted"),
-        F.when(s_wins, F.lit(batch_id)).otherwise(F.col("t.batch_id")).alias("batch_id"),
-        F.when(s_wins, F.col("s.source_file") if "source_file" in batch.columns
-               else F.lit(None).cast("string"))
-        .otherwise(F.col("t.source_file")).alias("source_file"),
-        F.when(s_wins, F.current_timestamp()).otherwise(F.col("t.ingest_ts")).alias("ingest_ts"),
-        disposition.alias("__disp"),
-    ]
-    merged = j.select(*out_cols)
-    return _finalize(
-        spark, table, merged, batch, stats, batch_id, events_in, failed,
-        source_files, segments, new_sid, evolved, new_bloom, t0,
-        append_files=False, watermark_us=watermark_us,
-    )
-
-
-def _finalize(
-    spark: SparkSession,
-    table: LakeTable,
-    merged: DataFrame,
-    batch: DataFrame,
-    stats: MergeStats,
-    batch_id: str,
-    events_in: int | None,
-    failed: int,
-    source_files: list[str] | None,
-    segments: list[str] | None,
-    new_sid: str,
-    evolved,
-    new_bloom,
-    t0: float,
-    append_files: bool,
-    watermark_us: int | None = None,
-) -> MergeStats:
-    """Shared tail of both merge paths: ONE heavy pass (the file write,
-    with ``__disp`` kept as an extra column), then metrics recovered from
-    what was written — per-bucket row counts from the parquet FOOTERS
-    (driver-side, no Spark job) and disposition counts from a narrow
-    dictionary-column scan of the new files. This avoids executing the
-    merge join twice (a persist would cost more than the join itself —
-    measured ~7s cache build vs ~2-3s recompute at 250k rows)."""
     import pyarrow.parquet as pq
 
     files = table.write_bucket_files(
-        merged, version_tag=f"merge-v{batch_id[:12]}", schema_id=new_sid
+        to_write, version_tag=f"merge-v{batch_id[:12]}", schema_id=new_sid
     )
+    d = disp_obs.get
+    stats.inserted = int(d["inserted"])
+    stats.updated = int(d["updated"])
+    stats.deleted = int(d["deleted"])
+    stats.stale_skipped = int(d["stale_skipped"])
+    stats.carried = int(d["carried"])
 
     bucket_rows: dict[str, int] = {}
-    new_paths: list[str] = []
     for b, entries in files.items():
         n = 0
         for e in entries:
-            full = os.path.join(table.path, e["path"])
-            e["rows"] = pq.read_metadata(full).num_rows
+            e["rows"] = pq.read_metadata(os.path.join(table.path, e["path"])).num_rows
             n += e["rows"]
-            new_paths.append(full)
         if n:
             bucket_rows[str(b)] = n
-
-    disp_counts: dict[str, int] = {}
-    if new_paths:
-        for r in (
-            spark.read.parquet(*new_paths).groupBy("__disp").count().collect()
-        ):
-            disp_counts[r["__disp"]] = disp_counts.get(r["__disp"], 0) + r["count"]
-    stats.inserted = disp_counts.get("inserted", 0)
-    stats.updated = disp_counts.get("updated", 0)
-    stats.deleted = disp_counts.get("deleted", 0)
-    stats.stale_skipped = disp_counts.get("stale_skipped", 0)
-    stats.carried = disp_counts.get("carried", 0)
     stats.bucket_rows = bucket_rows
-    stats.failed = failed
-    stats.events_in = events_in if events_in is not None else stats.applied() + failed
     stats.dup_dropped = max(
         0, stats.events_in - stats.failed - stats.late_dropped - stats.applied()
     )
@@ -316,6 +334,7 @@ def _finalize(
         "late_dropped": stats.late_dropped,
         "wall_sec": stats.wall_sec,
         "fast_path_append": stats.fast_path_append,
+        "mode": mode,
         "bucket_rows": stats.bucket_rows,
         "source_files": source_files or [],
         "engine_version": ENGINE_VERSION,
@@ -328,7 +347,8 @@ def _finalize(
         new_user_schema=evolved,
         segments=segments,
         new_bloom=new_bloom,
-        append_files=append_files,
+        append_files=fast_append or mor_append,
         new_watermark_us=watermark_us,
+        needs_reduce=True if mor_append else None,
     )
     return stats

@@ -99,6 +99,12 @@ class Manifest:
     # tombstone expiry safety — correctness never depends on it (LWW does
     # that); it only bounds how late an event may arrive and still apply.
     watermark_us: int | None = None
+    # merge-on-read marker: True when delta files with potentially
+    # OVERLAPPING keys have been appended (MOR commits); readers must apply
+    # the LWW reduction. Cleared when every bucket is rewritten reduced
+    # (resolve_deltas / full compaction). COW commits and Bloom-proven
+    # pure-insert appends keep key uniqueness and never set it.
+    needs_reduce: bool = False
 
     def __post_init__(self):
         if self.segments is None:
@@ -113,6 +119,7 @@ class Manifest:
         d.setdefault("segments", {})
         d.setdefault("bloom", None)
         d.setdefault("watermark_us", None)
+        d.setdefault("needs_reduce", False)
         return Manifest(**d)
 
 
@@ -125,7 +132,7 @@ class LakeTable:
     # ---------------------------------------------------------------- setup
     @classmethod
     def create(cls, path: str, schema: T.StructType, n_buckets: int = 16) -> "LakeTable":
-        from etl_spark.cdc.bloom import DEFAULT_K, DEFAULT_M_BITS, BloomFilter
+        from etl_spark.cdc.bloom import BLOOM_ALGO, DEFAULT_K, DEFAULT_M_BITS, BloomFilter
 
         os.makedirs(os.path.join(path, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -143,7 +150,12 @@ class LakeTable:
             files={},
             commits={},
             created_unix=time.time(),
-            bloom={"path": bloom_rel, "m_bits": DEFAULT_M_BITS, "k": DEFAULT_K},
+            bloom={
+                "path": bloom_rel,
+                "m_bits": DEFAULT_M_BITS,
+                "k": DEFAULT_K,
+                "algo": BLOOM_ALGO,
+            },
         )
         t = cls(path)
         t._write_manifest(m)
@@ -243,11 +255,37 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    @staticmethod
+    def _reduce_lww(df: DataFrame) -> DataFrame:
+        """Collapse merge-on-read deltas to one row per key — the read-side
+        LWW resolution (same (ts, op_seq) ordering as the write-side merge;
+        map-side partial max_by, one shuffle on the key)."""
+        vals = [c for c in df.columns if c not in KEY_COLS]
+        return (
+            df.groupBy(*KEY_COLS)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in vals]),
+                    F.struct(F.col("ts"), F.col("op_seq")),
+                ).alias("__w")
+            )
+            .select(*KEY_COLS, *[F.col(f"__w.{c}").alias(c) for c in vals])
+        )
+
     def read_storage(
-        self, spark: SparkSession, buckets: list[int] | None = None
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        reduced: bool | None = None,
     ) -> DataFrame:
-        """All storage rows (incl. tombstones + system columns)."""
-        return self._aligned_scan(spark, self.manifest(), buckets)
+        """Storage rows (incl. tombstones + system columns). ``reduced``
+        applies the LWW delta-resolution; default: only when the manifest
+        says deltas exist (no-op shuffle avoided otherwise)."""
+        m = self.manifest()
+        df = self._aligned_scan(spark, m, buckets)
+        if reduced is None:
+            reduced = m.needs_reduce
+        return self._reduce_lww(df) if reduced else df
 
     def read(
         self,
@@ -258,7 +296,10 @@ class LakeTable:
         """Live (non-tombstoned) rows, user schema by default. Pass
         ``version`` for a time-travel read of a retained snapshot."""
         m = self.manifest(version)
-        df = self._aligned_scan(spark, m, None).filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+        df = self._aligned_scan(spark, m, None)
+        if m.needs_reduce:
+            df = self._reduce_lww(df)
+        df = df.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
         if include_system:
             return df
         user_cols = [f.name for f in schema_from_json(m.schema_json).fields]
@@ -266,11 +307,12 @@ class LakeTable:
 
     # ------------------------------------------------------------ commit API
     def load_bloom(self):
-        """The persisted key seen-set (None for pre-bloom tables)."""
-        from etl_spark.cdc.bloom import BloomFilter
+        """The persisted key seen-set. None for pre-bloom tables or sidecars
+        written under a different hash algo (fast path off, never wrong)."""
+        from etl_spark.cdc.bloom import BLOOM_ALGO, BloomFilter
 
         m = self.manifest()
-        if not m.bloom:
+        if not m.bloom or m.bloom.get("algo") != BLOOM_ALGO:
             return None
         with open(os.path.join(self.path, m.bloom["path"]), "rb") as f:
             return BloomFilter.from_bytes(f.read(), m.bloom["m_bits"], m.bloom["k"])
@@ -286,6 +328,7 @@ class LakeTable:
         new_bloom=None,
         append_files: bool = False,
         new_watermark_us: int | None = None,
+        needs_reduce: bool | None = None,
     ) -> Manifest:
         """Swap in a new snapshot: touched buckets get their file lists
         REPLACED (copy-on-write) — or APPENDED when the merge proved the
@@ -315,6 +358,8 @@ class LakeTable:
                 seg_map[s] = batch_id
         bloom_meta = m.bloom
         if new_bloom is not None:
+            from etl_spark.cdc.bloom import BLOOM_ALGO
+
             bloom_rel = os.path.join(MANIFEST_DIR, f"bloom-v{m.version + 1:08d}.bin")
             with open(os.path.join(self.path, bloom_rel), "wb") as f:
                 f.write(new_bloom.to_bytes())
@@ -322,10 +367,12 @@ class LakeTable:
                 "path": bloom_rel,
                 "m_bits": new_bloom.m_bits,
                 "k": new_bloom.k,
+                "algo": BLOOM_ALGO,
             }
         wm = m.watermark_us
         if new_watermark_us is not None:
             wm = new_watermark_us if wm is None else max(wm, new_watermark_us)
+        nr = m.needs_reduce if needs_reduce is None else needs_reduce
         nm = Manifest(
             version=m.version + 1,
             parent=m.version,
@@ -339,6 +386,7 @@ class LakeTable:
             segments=seg_map,
             bloom=bloom_meta,
             watermark_us=wm,
+            needs_reduce=nr,
         )
         self._write_manifest(nm)
         return nm
@@ -436,20 +484,43 @@ class LakeTable:
         self, spark: SparkSession, max_files_per_bucket: int = 4
     ) -> int:
         """Bin-pack buckets that have accumulated more than
-        ``max_files_per_bucket`` data files (the append fast path adds one
-        file per bucket per batch) into one file each. Returns the number of
-        buckets rewritten. Iceberg analog: rewrite_data_files. Data content
-        is unchanged — only file layout; old files stay referenced by older
-        snapshots until expire_snapshots."""
+        ``max_files_per_bucket`` data files (append commits add one file
+        per bucket per batch) into one file each, LWW-collapsing any
+        merge-on-read deltas they contain. Returns the number of buckets
+        rewritten. Iceberg analog: rewrite_data_files. Logical content is
+        unchanged; old files stay referenced by older snapshots until
+        expire_snapshots."""
         m = self.manifest()
         buckets = [
             int(b) for b, fl in m.files.items() if len(fl) > max_files_per_bucket
         ]
         if not buckets:
             return 0
-        rows = self.read_storage(spark, buckets)
+        rows = self.read_storage(spark, buckets, reduced=m.needs_reduce)
         files = self.write_bucket_files(rows, version_tag=f"binpack{m.version + 1}")
-        self.commit_version(files, buckets, None, None)
+        # reduced-rewrite of every data-holding bucket ⇒ table is delta-free
+        all_data_buckets = {int(b) for b, fl in m.files.items() if fl}
+        clear = m.needs_reduce and all_data_buckets.issubset(set(buckets))
+        self.commit_version(
+            files, buckets, None, None, needs_reduce=False if clear else None
+        )
+        return len(buckets)
+
+    def resolve_deltas(self, spark: SparkSession) -> int:
+        """Rewrite EVERY data-holding bucket with the LWW reduction applied,
+        clearing the merge-on-read marker — the Iceberg "major compaction"
+        that converts a delta-heavy table back to one-row-per-key layout.
+        Returns the number of buckets rewritten."""
+        m = self.manifest()
+        if not m.needs_reduce:
+            return 0
+        buckets = [int(b) for b, fl in m.files.items() if fl]
+        if not buckets:
+            self.commit_version({}, [], None, None, needs_reduce=False)
+            return 0
+        rows = self.read_storage(spark, buckets, reduced=True)
+        files = self.write_bucket_files(rows, version_tag=f"resolve{m.version + 1}")
+        self.commit_version(files, buckets, None, None, needs_reduce=False)
         return len(buckets)
 
     def expire_snapshots(self, keep_last: int = 2) -> int:

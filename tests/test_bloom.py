@@ -10,7 +10,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_spark.cdc.apply import replay_feed
-from etl_spark.cdc.bloom import BloomFilter, _key_series, any_possibly_seen, build_bloom
+from etl_spark.cdc.bloom import (
+    BloomFilter,
+    any_possibly_seen,
+    build_bloom,
+    hash_frame,
+)
 from etl_spark.cdc.gen import change_feed_df, write_feed
 from etl_spark.cdc.oracle import expected_final_state
 from etl_spark.lake.table import LakeTable
@@ -58,8 +63,10 @@ class TestDistributedBuild:
             (F.col("id") % 40).cast("int").alias("turn_idx"),
         )
         bloom = build_bloom(df, KEY_COLS, 1 << 16, 4)
+        # local reference: same JVM hash pair, bitset built in one process
+        hp = hash_frame(df, KEY_COLS).toPandas()
         local = BloomFilter(1 << 16, 4)
-        local.add(_key_series(df.toPandas(), KEY_COLS))
+        local.add_hashes(hp["h1"].to_numpy(), hp["h2"].to_numpy())
         assert (bloom.bits == local.bits).all()
 
     def test_any_possibly_seen(self, spark):

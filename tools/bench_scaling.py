@@ -53,8 +53,17 @@ def child(feed_dir: str, cores: int) -> None:
     work = tempfile.mkdtemp(prefix=f"scaling_lake_{cores}_")
     try:
         table = LakeTable.create(os.path.join(work, "lake"), TRANSCRIPT_SCHEMA, n_buckets=64)
-        # warmup: touch the feed so JVM/codegen/file-listing costs are paid
+        # warmup: touch the feed so JVM/codegen/file-listing costs are paid,
+        # and prime the Python workers (pandas/pyarrow import once per core —
+        # ~20-30s of cold-start otherwise billed to the first micro-batch)
         spark.read.parquet(f"{feed_dir}/*").count()
+
+        def _noop(it):
+            yield from it
+
+        spark.range(cores * 4, numPartitions=cores * 4).mapInPandas(
+            _noop, schema="id long"
+        ).count()
         s0, t0j = _cpu_sample()
         t0 = time.time()
         stats = replay_feed(spark, table, feed_dir)

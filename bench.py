@@ -63,6 +63,9 @@ BENCH_QUERIES = [
 
 
 def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
+    """Replay the same deterministic feed through BOTH merge strategies:
+    merge-on-read (headline — the streaming-CDC configuration) and
+    copy-on-write. Final-state row counts must agree."""
     from etl_spark.cdc.apply import replay_feed
     from etl_spark.cdc.gen import change_feed_df, write_feed
     from etl_spark.lake.table import LakeTable
@@ -83,11 +86,12 @@ def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
             ooo_ratio=0.10,
             n_batches=n_segments,
         )
-        write_feed(feed, feed_dir, n_batches=n_segments)
-        gen_sec = time.time() - t0
-        table = LakeTable.create(
-            os.path.join(work, "lake"), TRANSCRIPT_SCHEMA, n_buckets=64
+        n_cores_gen = spark.sparkContext.defaultParallelism
+        write_feed(
+            feed, feed_dir, n_batches=n_segments,
+            files_per_segment=max(32, n_cores_gen),
         )
+        gen_sec = time.time() - t0
 
         # prime Python workers so cold-start isn't billed to batch 1
         def _noop(it):
@@ -97,20 +101,27 @@ def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
         spark.range(n_cores * 4, numPartitions=n_cores * 4).mapInPandas(
             _noop, schema="id long"
         ).count()
-        t0 = time.time()
-        stats = replay_feed(spark, table, feed_dir)
-        apply_sec = time.time() - t0
-        events = sum(s.events_in for s in stats)
-        final_rows = table.read(spark).count()
-        return {
-            "events": events,
-            "segments": n_segments,
-            "gen_sec": round(gen_sec, 2),
-            "apply_sec": round(apply_sec, 2),
-            "events_per_sec": round(events / apply_sec, 1),
-            "final_rows": final_rows,
-            "batch_walls": [round(s.wall_sec, 2) for s in stats],
-        }
+
+        out = {"segments": n_segments, "gen_sec": round(gen_sec, 2)}
+        finals = {}
+        for mode in ("mor", "cow"):
+            table = LakeTable.create(
+                os.path.join(work, f"lake_{mode}"), TRANSCRIPT_SCHEMA, n_buckets=64
+            )
+            t0 = time.time()
+            stats = replay_feed(spark, table, feed_dir, mode=mode)
+            apply_sec = time.time() - t0
+            events = sum(s.events_in for s in stats)
+            finals[mode] = table.read(spark).count()
+            out[mode] = {
+                "apply_sec": round(apply_sec, 2),
+                "events_per_sec": round(events / apply_sec, 1),
+                "batch_walls": [round(s.wall_sec, 2) for s in stats],
+            }
+            out["events"] = events
+        assert finals["mor"] == finals["cow"], finals
+        out["final_rows"] = finals["mor"]
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -139,7 +150,8 @@ def main() -> None:
             # noop write forces full plan execution without driver collect
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             q_secs[name] = round(time.time() - t0, 2)
-    q_secs["cdc_replay"] = cdc["apply_sec"]
+    q_secs["cdc_replay_mor"] = cdc["mor"]["apply_sec"]
+    q_secs["cdc_replay_cow"] = cdc["cow"]["apply_sec"]
 
     total = time.time() - t_total
     print(
@@ -152,9 +164,10 @@ def main() -> None:
                 "sf": sf,
                 "cores": cores,
                 "cdc_events": cdc["events"],
-                "cdc_events_per_sec": cdc["events_per_sec"],
+                "cdc_events_per_sec": cdc["mor"]["events_per_sec"],
+                "cdc_cow_events_per_sec": cdc["cow"]["events_per_sec"],
                 "cdc_final_rows": cdc["final_rows"],
-                "cdc_batch_walls": cdc["batch_walls"],
+                "cdc_batch_walls": cdc["mor"]["batch_walls"],
                 "cdc_gen_sec": cdc["gen_sec"],
             }
         )

@@ -76,6 +76,8 @@ class MergeStats:
     bucket_rows: dict[str, int] = field(default_factory=dict)
     skipped_idempotent: bool = False
     fast_path_append: bool = False  # Bloom proved pure-insert → no join
+    # wall seconds per phase: scan (pass 1), write (pass 2), commit (driver)
+    phase_sec: dict[str, float] = field(default_factory=dict)
 
     def applied(self) -> int:
         return self.inserted + self.updated + self.deleted + self.stale_skipped
@@ -179,6 +181,7 @@ def merge_into(
         )
     stats.touched_buckets = touched
 
+    stats.phase_sec["scan"] = round(time.time() - t0, 3)
     c = counters.get  # filled by the pass-1 action (blocks only on bugs)
     events_in, failed, late_dropped = int(c["n"]), int(c["bad"]), int(c["late"])
     stats.events_in, stats.failed, stats.late_dropped = events_in, failed, late_dropped
@@ -298,9 +301,12 @@ def merge_into(
 
     import pyarrow.parquet as pq
 
+    t1 = time.time()
     files = table.write_bucket_files(
         to_write, version_tag=f"merge-v{batch_id[:12]}", schema_id=new_sid
     )
+    stats.phase_sec["write"] = round(time.time() - t1, 3)
+    t2 = time.time()
     d = disp_obs.get
     stats.inserted = int(d["inserted"])
     stats.updated = int(d["updated"])
@@ -351,4 +357,5 @@ def merge_into(
         new_watermark_us=watermark_us,
         needs_reduce=True if mor_append else None,
     )
+    stats.phase_sec["commit"] = round(time.time() - t2, 3)
     return stats

@@ -18,21 +18,50 @@ def get_spark(
     app_name: str = "etl_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    executors: int | None = None,
+    executor_cores: int = 8,
+    executor_mem_mb: int = 16384,
 ) -> SparkSession:
     """Build (or fetch) a local SparkSession.
 
-    Design note: in local mode there is one JVM; ``spark.driver.memory``
-    is the only memory knob. On a real cluster the same code runs under
-    ``spark-submit --py-files`` with executor counts N and 4N — nothing
-    here assumes single-process execution (all logic is DataFrame-plan
-    level; partitioning is explicit where it matters).
+    Two shapes:
+      * ``cores`` → ``local[cores]``: one JVM, N threads. Simple, but a
+        single JVM stops scaling past ~8 cores (GC/allocator/lock
+        contention — the reason real deployments cap executors at 5-8
+        cores).
+      * ``executors`` → ``local-cluster[executors, executor_cores, mem]``:
+        separate executor JVMs on this machine — the faithful stand-in for
+        a multi-executor cluster and the shape the N-vs-4N scaling
+        evidence uses.
+
+    On a real cluster the same code runs under ``spark-submit --py-files``
+    with executor counts N and 4N — nothing here assumes single-process
+    execution (all logic is DataFrame-plan level; partitioning is explicit
+    where it matters).
     """
-    if cores is None:
-        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
-    if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+    if executors is not None:
+        total = executors * executor_cores
+        if shuffle_partitions is None:
+            shuffle_partitions = max(total, 8)
+        master = f"local-cluster[{executors},{executor_cores},{executor_mem_mb}]"
+        # executor JVMs spawn their own Python workers, which must be able
+        # to import this package (the local analog of --py-files)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        extra_conf = dict(extra_conf or {})
+        prev = extra_conf.get("spark.executorEnv.PYTHONPATH", "")
+        extra_conf["spark.executorEnv.PYTHONPATH"] = (
+            f"{repo_root}:{prev}" if prev else repo_root
+        )
+    else:
+        if cores is None:
+            cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+        total = cores
+        if shuffle_partitions is None:
+            shuffle_partitions = max(cores, 8)
+        master = f"local[{cores}]"
+    cores = total
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))

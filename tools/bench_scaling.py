@@ -43,30 +43,65 @@ def _cpu_sample() -> tuple[int, int]:
     return steal, sum(vals)
 
 
-def child(feed_dir: str, cores: int) -> None:
+def child(feed_dir: str, spec: str, mode: str) -> None:
+    """spec: "t<N>" = local[N] threads in one JVM; "x<N>" = N executor JVMs
+    x 8 cores via local-cluster (the cluster-faithful shape)."""
     from etl_spark.cdc.apply import replay_feed
     from etl_spark.lake.table import LakeTable
     from etl_spark.schema import TRANSCRIPT_SCHEMA
     from etl_spark.session import get_spark
 
-    spark = get_spark(cores=cores, app_name=f"scaling_{cores}")
-    work = tempfile.mkdtemp(prefix=f"scaling_lake_{cores}_")
+    workdir = os.path.dirname(feed_dir.rstrip("/"))
+    unit, num = spec[0], int(spec[1:])
+    if unit == "x":
+        cores = num * 8
+        spark = get_spark(
+            executors=num,
+            app_name=f"scaling_{spec}",
+            extra_conf={"spark.local.dir": workdir},
+        )
+    else:
+        cores = num
+        spark = get_spark(
+            cores=cores,
+            app_name=f"scaling_{spec}",
+            extra_conf={"spark.local.dir": workdir},
+        )
+    work = tempfile.mkdtemp(prefix=f"scaling_lake_{spec}_", dir=workdir)
     try:
         table = LakeTable.create(os.path.join(work, "lake"), TRANSCRIPT_SCHEMA, n_buckets=64)
-        # warmup: touch the feed so JVM/codegen/file-listing costs are paid,
-        # and prime the Python workers (pandas/pyarrow import once per core —
-        # ~20-30s of cold-start otherwise billed to the first micro-batch)
+        # warmup: a small feed replayed through the SAME code paths first —
+        # pays JIT/codegen compilation, heap page-faults, Python worker
+        # imports, and parquet writer init, so none of it is billed to the
+        # timed run (cf. SURVEY M6 "isolating JVM warmup")
+        from etl_spark.cdc.gen import change_feed_df, write_feed
+
+        wf = os.path.join(work, "warmfeed")
+        write_feed(
+            change_feed_df(spark, n_events=200_000, n_convs=2000, max_turns=32,
+                           seed=7, n_batches=2, text_len=240),
+            wf, n_batches=2, files_per_segment=max(8, cores),
+        )
+        wt = LakeTable.create(os.path.join(work, "warmlake"), TRANSCRIPT_SCHEMA, n_buckets=64)
+        replay_feed(spark, wt, wf, mode=mode)
         spark.read.parquet(f"{feed_dir}/*").count()
+        # pure-CPU hardware ceiling probe under the SAME host conditions:
+        # a codegen-only xxhash64 reduction, no IO, no Python. Its per-rep
+        # rate lets efficiency be normalized against what THIS host can
+        # deliver at this core count right now (cloud vCPU frequency and
+        # noisy-neighbor contention vary minute to minute).
+        from pyspark.sql import functions as F
 
-        def _noop(it):
-            yield from it
+        ncpu = 2_000_000_000
+        tc = time.time()
+        spark.range(ncpu, numPartitions=cores * 8).select(
+            F.sum(F.xxhash64(F.col("id"), F.col("id") + 1).cast("double"))
+        ).collect()
+        cpu_rate = ncpu / (time.time() - tc)
 
-        spark.range(cores * 4, numPartitions=cores * 4).mapInPandas(
-            _noop, schema="id long"
-        ).count()
         s0, t0j = _cpu_sample()
         t0 = time.time()
-        stats = replay_feed(spark, table, feed_dir)
+        stats = replay_feed(spark, table, feed_dir, mode=mode)
         wall = time.time() - t0
         s1, t1j = _cpu_sample()
         steal_frac = (s1 - s0) / max(1, t1j - t0j)
@@ -75,11 +110,14 @@ def child(feed_dir: str, cores: int) -> None:
             json.dumps(
                 {
                     "cores": cores,
+                    "spec": spec,
+                    "mode": mode,
                     "apply_sec": round(wall, 2),
                     "events": events,
                     "events_per_sec": round(events / wall, 1),
                     "batch_walls": [round(s.wall_sec, 2) for s in stats],
                     "host_steal_frac": round(steal_frac, 3),
+                    "cpu_probe_rows_per_sec": round(cpu_rate, 0),
                 }
             )
         )
@@ -95,14 +133,28 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--text-len", type=int, default=240,
                     help="max payload text length (bigger → compute-dominated)")
-    ap.add_argument("--child", nargs=2, metavar=("FEED_DIR", "CORES"))
+    ap.add_argument("--mode", choices=["cow", "mor"], default="mor",
+                    help="merge strategy (mor = streaming-CDC default)")
+    ap.add_argument("--unit", choices=["threads", "executors"], default="executors",
+                    help="executors: N vs 4N executor JVMs x 8 cores "
+                         "(local-cluster — the cluster-faithful shape the "
+                         "north rule names); threads: local[N] vs local[4N] "
+                         "in one JVM (subject to single-JVM GC/alloc limits)")
+    ap.add_argument("--workdir", default="/dev/shm" if os.path.isdir("/dev/shm") else None,
+                    help="working dir for feed/lake/shuffle. Default tmpfs: "
+                         "this sandbox has ONE virtual disk whose throughput "
+                         "fluctuates ~6x minute-to-minute; a real cluster "
+                         "writes to parallel object storage, so disk-noise-"
+                         "free RAM backing is the faithful stand-in for "
+                         "measuring COMPUTE scaling")
+    ap.add_argument("--child", nargs=3, metavar=("FEED_DIR", "SPEC", "MODE"))
     args = ap.parse_args()
 
     if args.child:
-        child(args.child[0], int(args.child[1]))
+        child(args.child[0], args.child[1], args.child[2])
         return
 
-    work = tempfile.mkdtemp(prefix="etl_spark_scaling_")
+    work = tempfile.mkdtemp(prefix="etl_spark_scaling_", dir=args.workdir)
     feed_dir = os.path.join(work, "feed")
     try:
         # generate ONE feed (parallelism of this step is irrelevant)
@@ -120,15 +172,22 @@ def main() -> None:
             n_batches=args.segments,
             text_len=args.text_len,
         )
-        write_feed(feed, feed_dir, n_batches=args.segments)
+        # files per segment >= 4N so every map stage has enough input splits
+        # to occupy the larger level (8 files would cap scan parallelism at 8)
+        n_files = max(32, 4 * args.n * (8 if args.unit == "executors" else 1))
+        write_feed(
+            feed, feed_dir, n_batches=args.segments, files_per_segment=n_files,
+        )
         spark.stop()
 
-        results: dict[int, list[dict]] = {args.n: [], 4 * args.n: []}
+        u = "x" if args.unit == "executors" else "t"
+        specs = [f"{u}{args.n}", f"{u}{4 * args.n}"]
+        results: dict[str, list[dict]] = {sp: [] for sp in specs}
         # interleave levels so both sample comparable host-contention windows
         for _rep in range(args.reps):
-            for cores in (args.n, 4 * args.n):
+            for sp in specs:
                 out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--child", feed_dir, str(cores)],
+                    [sys.executable, os.path.abspath(__file__), "--child", feed_dir, sp, args.mode],
                     capture_output=True,
                     text=True,
                     cwd=REPO,
@@ -136,26 +195,32 @@ def main() -> None:
                 )
                 line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
                 r = json.loads(line)
-                results[cores].append(r)
-                print(f"  local[{cores}] rep: {r['apply_sec']}s "
+                results[sp].append(r)
+                print(f"  {sp} rep: {r['apply_sec']}s "
                       f"({r['events_per_sec']} ev/s, steal={r['host_steal_frac']})",
                       file=sys.stderr)
 
         best = {c: max(rs, key=lambda r: r["events_per_sec"]) for c, rs in results.items()}
-        n, n4 = args.n, 4 * args.n
+        n, n4 = specs[0], specs[1]
         eff = (best[n4]["events_per_sec"] / best[n]["events_per_sec"]) / 4.0
+        cpu_best = {c: max(r["cpu_probe_rows_per_sec"] for r in rs) for c, rs in results.items()}
+        hw_eff = (cpu_best[n4] / cpu_best[n]) / 4.0
         print(
             json.dumps(
                 {
                     "events": args.events,
                     "segments": args.segments,
                     "text_len": args.text_len,
+                    "mode": args.mode,
+                    "unit": args.unit,
                     "n": n,
                     "rate_n": best[n]["events_per_sec"],
                     "wall_n": best[n]["apply_sec"],
                     "rate_4n": best[n4]["events_per_sec"],
                     "wall_4n": best[n4]["apply_sec"],
                     "scaling_efficiency": round(eff, 3),
+                    "hw_ceiling_efficiency": round(hw_eff, 3),
+                    "normalized_efficiency": round(eff / hw_eff, 3) if hw_eff else None,
                     "all_runs": {str(c): rs for c, rs in results.items()},
                 }
             )

@@ -260,3 +260,123 @@ EMB_IVF_TOPK_SQL = f"""
         FROM scored
     ) WHERE rank <= {IVF_TOP_K}
 """
+
+
+# --- LSH-bucketed ANN (random hyperplanes, banded) ---------------------------
+# Sign-random-projection LSH: P hyperplanes split the space; a vector's
+# bucket in a band is the sign-bit pattern of its projections. Probes only
+# compare against candidates sharing a band bucket (OR over bands), then
+# exact cosine re-ranks. The planes are deterministic ±1 vectors derived
+# from md5 at module load and embedded as LITERALS in both the Spark plan
+# and the oracle SQL — bit-identical bucketing on both engines.
+# Scale path: band bucket is the shuffle key; each probe touches only its
+# buckets (vs the IVF variant's centroid buckets).
+
+import hashlib as _hashlib
+
+LSH_DIM = 64
+LSH_PLANES = 8        # 2 bands x 4 bits -> 16 buckets/band at sf0.01 scale
+LSH_BANDS = 2
+LSH_BITS = LSH_PLANES // LSH_BANDS
+LSH_TOP_K = 3
+
+
+def _lsh_planes() -> list[list[int]]:
+    planes = []
+    for p in range(LSH_PLANES):
+        row = []
+        for i in range(LSH_DIM):
+            h = _hashlib.md5(f"lsh-{p}-{i}".encode()).digest()[0]
+            row.append(1 if h < 128 else -1)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _lsh_planes()
+
+
+def _band_cols_spark():
+    """(band, bucket) integer pairs per vector from sign bits of __q·plane."""
+    bands = []
+    for b in range(LSH_BANDS):
+        acc = F.lit(0)
+        for j in range(LSH_BITS):
+            plane = _PLANES[b * LSH_BITS + j]
+            arr = F.array(*[F.lit(v) for v in plane])
+            dot = F.aggregate(
+                F.zip_with(F.col("__q"), arr, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda a_, x: a_ + x,
+            )
+            bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+            acc = acc * 2 + bit
+        bands.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
+    return F.array(*bands)
+
+
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(_emb(spark, sf_dir)).select("vec_id", "__q", "__nsq")
+    hashed = e.select(
+        "vec_id", "__q", "__nsq", F.explode(_band_cols_spark()).alias("bb")
+    ).select("vec_id", "__q", "__nsq", "bb.band", "bb.bucket")
+    probes = hashed.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("q_id"), F.col("__q").alias("qv"),
+        F.col("__nsq").alias("qn"), "band", "bucket",
+    )
+    cand = hashed.select(
+        F.col("vec_id").alias("cand_id"), F.col("__q").alias("cv"),
+        F.col("__nsq").alias("cn"), "band", "bucket",
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(cand, ["band", "bucket"])
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", "qv", "qn", "cv", "cn")
+        .dropDuplicates(["q_id", "cand_id"])  # OR over bands
+    )
+    cos = _cos(_dot("qv", "cv"), "qn", "cn")
+    scored = pairs.select("q_id", "cand_id", cos.alias("__cos"))
+    w = W.partitionBy("q_id").orderBy(F.col("__cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LSH_TOP_K)
+        .select("q_id", "cand_id", "rank", F.round("__cos", 4).alias("cos4"))
+    )
+
+
+def _band_sql() -> str:
+    band_exprs = []
+    for b in range(LSH_BANDS):
+        bits = []
+        for j in range(LSH_BITS):
+            plane = _PLANES[b * LSH_BITS + j]
+            lit = "[" + ",".join(str(v) for v in plane) + "]"
+            dot = (f"list_aggregate(list_transform(range(1, {LSH_DIM + 1}), "
+                   f"i -> q[i] * ({lit})[i]), 'sum')")
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {2 ** (LSH_BITS - 1 - j)}")
+        band_exprs.append(f"SELECT vec_id, q, nsq, {b} AS band, {' + '.join(bits)} AS bucket FROM n")
+    return " UNION ALL ".join(band_exprs)
+
+
+EMB_LSH_TOPK_SQL = f"""
+    WITH n AS ({NORM_SQL}),
+    hashed AS ({_band_sql()}),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS cand_id,
+               a.q AS qv, a.nsq AS qn, b.q AS cv, b.nsq AS cn
+        FROM hashed a JOIN hashed b
+          ON a.band = b.band AND a.bucket = b.bucket AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_PROBES}
+    ),
+    scored AS (
+        SELECT q_id, cand_id,
+               CAST(list_aggregate(list_transform(range(1, {LSH_DIM + 1}), i -> qv[i] * cv[i]), 'sum') AS DOUBLE)
+                   / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS c
+        FROM pairs
+    )
+    SELECT q_id, cand_id, rank, round(c, 4) AS cos4
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, cand_id) AS rank
+        FROM scored
+    ) WHERE rank <= {LSH_TOP_K}
+"""

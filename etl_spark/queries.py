@@ -67,6 +67,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_knn_label": (simsearch.emb_knn_label, simsearch.EMB_KNN_LABEL_SQL),
     "emb_neardup_pairs": (simsearch.emb_neardup_pairs, simsearch.EMB_NEARDUP_SQL),
     "emb_ivf_topk": (simsearch.emb_ivf_topk, simsearch.EMB_IVF_TOPK_SQL),
+    "emb_lsh_topk": (simsearch.emb_lsh_topk, simsearch.EMB_LSH_TOPK_SQL),
     # --- multimodal plumbing (Arrow mapInPandas decode stub) ---
     "mm_decode_meta": (multimodal.mm_decode_meta, multimodal.MM_DECODE_META_SQL),
     "mm_frame_sample": (multimodal.mm_frame_sample, multimodal.MM_FRAME_SAMPLE_SQL),

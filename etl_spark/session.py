@@ -52,6 +52,27 @@ def get_spark(
         extra_conf["spark.executorEnv.PYTHONPATH"] = (
             f"{repo_root}:{prev}" if prev else repo_root
         )
+        # CRITICAL: without this, executors get Spark's 1 GiB default heap,
+        # OOM under real batches, and are silently killed+relaunched in a
+        # loop (observed: 100+ executor incarnations per app, whole-stage
+        # stalls of 30-75 s). Size the heap to the worker allowance minus
+        # overhead headroom.
+        extra_conf.setdefault(
+            "spark.executor.memory", f"{max(1024, executor_mem_mb - 4096)}m"
+        )
+        # Each executor JVM sizes GC/JIT/netty pools as if it owned EVERY
+        # host core (os.cpu_count()), so N executors spawn N*~30 background
+        # threads that thrash each other. Cap them to the executor's core
+        # share — on a real cluster the container runtime does this for us.
+        gc_threads = max(2, executor_cores)
+        extra_conf.setdefault(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ParallelGCThreads={gc_threads} -XX:ConcGCThreads=2 "
+            f"-XX:CICompilerCount=2 "
+            f"-XX:ActiveProcessorCount={executor_cores}",
+        )
+        extra_conf.setdefault("spark.shuffle.io.serverThreads", str(executor_cores))
+        extra_conf.setdefault("spark.shuffle.io.clientThreads", str(executor_cores))
     else:
         if cores is None:
             cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)

@@ -13,25 +13,60 @@ Shared derivations (identical on the DuckDB oracle side):
   norm     = lower(trim(regexp_replace(text, '\\s+', ' ')))
   words    = split(norm, ' ')
   shingles = distinct 3-word shingles
+  h1, h2   = the two 60-bit halves of ONE md5 per shingle, reduced mod
+             p = 2^31 - 1; minhash stream i is min((h1 + i*h2) mod p)
+             (Kirsch–Mitzenmacher) — one string hash per shingle, every
+             further stream is two integer ops inside codegen.
+
+Evaluation-count discipline (the round-1 perf bug): Catalyst's
+CollapseProject inlines a withColumn expression into EVERY downstream
+reference, so a lambda doing 3 element_at(words) per shingle re-ran
+split(regexp_replace(text)) ~150× per document (and a generator consuming
+it re-ran it per OUTPUT row → 20s for 5 000 docs). ``_let`` binds a
+computed value to a higher-order-function lambda variable — evaluated
+exactly once, references are variable reads — cutting the whole family to
+sub-second. This also means signatures/simhash are pure per-row array
+math: NO shuffle at all until the band-bucket candidate join.
+
+Recall (threshold 0.5): MinHash 64 hashes / 32 bands × 2 rows gives
+candidate probability 1-(1-j²)^32 ≈ 0.9999 at j=0.5 (round-1's 8/4 gave
+0.68). SimHash bands are 4×4 bits: by pigeonhole any pair with hamming
+≤ 3 agrees on at least one full band — zero candidate misses.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-N_MINHASH = 8          # minhash signature length
-N_BANDS = 4            # LSH bands (2 hashes per band)
+N_MINHASH = 64         # minhash signature length
+N_BANDS = 32           # LSH bands (2 hashes per band)
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 16
+SIMHASH_BANDS = 4      # 4 bands x 4 bits: pigeonhole covers hamming<=3
 SIMHASH_HAMMING_MAX = 3
+MERSENNE_P = (1 << 31) - 1  # modulus for the KM hash streams
 
 _STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "for"]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    """Documents scan, re-spread across the cluster. The local test files
+    arrive as a single input split; a real 100 TB table is already split,
+    making this a cheap no-op policy (1 round of tiny-row shuffle)."""
+    spark_df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return spark_df.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
+def _let(bound: Column, body) -> Column:
+    """Let-binding for Catalyst: evaluate ``bound`` ONCE, reference it many
+    times. transform() binds its lambda variable to the element value, so
+    wrapping the value in a 1-element array and transforming gives a true
+    `let` — CollapseProject cannot inline through a lambda variable."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
 
 
 def _norm() -> F.Column:
@@ -42,10 +77,10 @@ def _with_words(df: DataFrame) -> DataFrame:
     return df.withColumn("__words", F.split(_norm(), " "))
 
 
-def _with_shingles(df: DataFrame) -> DataFrame:
-    """Distinct 3-word shingles; empty array for docs with <3 words (the
-    guard matters: Spark's sequence(1, n) DESCENDS when n < 1)."""
-    w = F.col("__words")
+def _shingles_of(w: Column) -> Column:
+    """Distinct 3-word shingles of a (let-bound) words array; empty array
+    for docs with <3 words (the guard matters: Spark's sequence(1, n)
+    DESCENDS when n < 1)."""
     sh = F.when(
         F.size(w) >= 3,
         F.transform(
@@ -55,7 +90,14 @@ def _with_shingles(df: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return _with_words(df).withColumn("__sh", F.array_distinct(sh))
+    return F.array_distinct(sh)
+
+
+def _with_shingles(df: DataFrame) -> DataFrame:
+    """words → shingles with both levels let-bound (each computed once per
+    row; see module docstring on CollapseProject re-evaluation)."""
+    sh = _let(F.split(_norm(), " "), _shingles_of)
+    return df.withColumn("__sh", sh)
 
 
 # SQL fragments mirroring the derivations above
@@ -200,9 +242,11 @@ def doc_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
+    # sizes scale with |docs| — not broadcastable at 100×; AQE picks the
+    # strategy (it will still broadcast at test scale, where that's right)
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -226,48 +270,83 @@ DOC_SHINGLE_JACCARD_SQL = f"""
 
 
 # --- MinHash + LSH banding ---------------------------------------------------
-# signature_i = min over shingles of md5('i:' || shingle)   (i = 0..7)
-# band_j      = md5(sig_{2j} || '|' || sig_{2j+1})          (j = 0..3)
+# (h1, h2)    = the two 60-bit halves of md5(shingle), mod p = 2^31-1
+# signature_i = min over shingles of (h1 + i*h2) mod p       (i = 0..63)
+# band_j      = sig_{2j} * p + sig_{2j+1}  (collision-free pack, j = 0..31)
 # candidates  = docs sharing any band key (equi-join, NOT cross join)
 # confirmed   = candidates with exact shingle Jaccard >= threshold
+#
+# One string hash per (doc, shingle); the 64 streams are integer ops in
+# codegen. Signature computation is per-row array math — NO shuffle; the
+# only shuffle in the pairs query is the band-key equi-join, which is the
+# 100 TB plan you want (shuffle keyed and bounded by band buckets).
 
 def _signatures(docs_shingled: DataFrame) -> DataFrame:
-    """doc_id → (s0..s7) minhash signature via explode + hash-aggregate.
+    """doc_id → s0..s63 minhash signature via explode + hash-aggregate.
 
-    Explode-then-groupBy beats per-row array lambdas ~20×: the md5 calls
-    run inside whole-stage codegen over a flat (doc_id, shingle) stream,
-    and min() gets map-side PARTIAL aggregation — at 100 TB the shuffle
-    carries only per-partition minima, never the shingle stream."""
+    Explode-then-groupBy keeps everything in whole-stage codegen (array
+    higher-order functions are interpreted in Spark — a per-row array
+    formulation of the same math measured ~25× slower): ONE md5 per
+    (doc, shingle) row, 64 KM streams as integer expressions inside a
+    codegen'd HashAggregate with map-side PARTIAL aggregation — at 100 TB
+    the shuffle carries only per-partition per-doc minima (docs are
+    contiguous in their input split, so partials collapse to ~1 row/doc).
+    Shingle-less docs get NULL signatures via the left join, matching the
+    oracle's min-over-empty-list."""
     ex = docs_shingled.select("doc_id", F.explode("__sh").alias("s"))
+    h = _let(
+        F.md5(F.col("s")),
+        lambda d: F.struct(
+            (F.conv(F.substring(d, 1, 15), 16, 10).cast("long") % MERSENNE_P).alias("h1"),
+            (F.conv(F.substring(d, 17, 15), 16, 10).cast("long") % MERSENNE_P).alias("h2"),
+        ),
+    )
+    hashed = ex.select("doc_id", F.explode(F.array(h)).alias("__h")).select(
+        "doc_id", "__h.h1", "__h.h2"
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"s{i}")
+        F.min((F.col("h1") + i * F.col("h2")) % MERSENNE_P).alias(f"s{i}")
         for i in range(N_MINHASH)
     ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    return docs_shingled.select("doc_id", "__sh").join(
+        hashed.groupBy("doc_id").agg(*aggs), "doc_id", "left"
+    )
 
 
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _signatures(_with_shingles(_docs(spark, sf_dir)))
+    return _signatures(_with_shingles(_docs(spark, sf_dir))).drop("__sh")
 
+
+_SIG_LIST_SQL = (
+    f"list_transform(range(0, {N_MINHASH}), i -> list_min(list_transform(hp, "
+    f"h -> (h[1] + i * h[2]) % {MERSENNE_P})))"
+)
+_HP_SQL = (
+    f"list_transform(sh, x -> [('0x' || substr(md5(x), 1, 15))::BIGINT % {MERSENNE_P}, "
+    f"('0x' || substr(md5(x), 17, 15))::BIGINT % {MERSENNE_P}])"
+)
+_SIG_TABLE_SQL = f"""
+    SELECT doc_id, sh, {_SIG_LIST_SQL} AS sig
+    FROM (SELECT doc_id, sh, {_HP_SQL} AS hp FROM ({DOCS_SHINGLED_SQL}))
+"""
 
 DOC_MINHASH_SIG_SQL = f"""
     SELECT doc_id,
-           {", ".join(f"list_aggregate(list_transform(sh, x -> md5('{i}:' || x)), 'min') AS s{i}" for i in range(N_MINHASH))}
-    FROM ({DOCS_SHINGLED_SQL})
+           {", ".join(f"sig[{i + 1}] AS s{i}" for i in range(N_MINHASH))}
+    FROM ({_SIG_TABLE_SQL})
 """
 
 
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _with_shingles(_docs(spark, sf_dir)).select("doc_id", "__sh")
-    sig = _signatures(docs)
-    bands = sig.select(
+    docs = _signatures(_with_shingles(_docs(spark, sf_dir)))
+    bands = docs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(j).alias("bi"),
-                        F.md5(F.concat_ws("|", f"s{2*j}", f"s{2*j+1}")).alias("bk"),
+                        (F.col(f"s{2*j}") * MERSENNE_P + F.col(f"s{2*j+1}")).alias("bk"),
                     )
                     for j in range(N_BANDS)
                 ]
@@ -299,14 +378,10 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_MINHASH_PAIRS_SQL = f"""
-    WITH s AS ({DOCS_SHINGLED_SQL}),
-    sig AS (
-        SELECT doc_id, sh,
-               {", ".join(f"list_aggregate(list_transform(sh, x -> md5('{i}:' || x)), 'min') AS s{i}" for i in range(N_MINHASH))}
-        FROM s
-    ),
+    WITH sig AS ({_SIG_TABLE_SQL}),
     bands AS (
-        {" UNION ALL ".join(f"SELECT doc_id, {j} AS bi, md5(s{2*j} || '|' || s{2*j+1}) AS bk FROM sig" for j in range(N_BANDS))}
+        SELECT doc_id, i AS bi, sig[2*i + 1] * {MERSENNE_P} + sig[2*i + 2] AS bk
+        FROM sig, unnest(range(0, {N_BANDS})) AS t(i)
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -327,18 +402,23 @@ DOC_MINHASH_PAIRS_SQL = f"""
 # --- SimHash -----------------------------------------------------------------
 # 16-bit simhash over distinct 3-word shingles: bit_j set iff the signed
 # sum of shingle-hash bits is >= 0. Shingle hash = first 60 bits of md5
-# (exact integer in both engines). Pairs are blocked on the top 8 bits
-# (banding), then filtered by Hamming distance — never an unblocked cross
-# join. Shingles (not words) keep the fingerprint position-sensitive.
+# (exact integer in both engines). Pairs are banded 4×4 bits: by
+# pigeonhole a pair within hamming ≤ 3 agrees exactly on ≥ 1 band, so
+# candidate generation has NO recall hole (round 1's single top-8-bit
+# block missed any pair differing in a top bit) and is never an unblocked
+# cross join. Shingles (not words) keep the fingerprint
+# position-sensitive. At production corpus sizes you'd widen the sketch
+# (64-bit simhash, 4×16-bit bands) so band buckets stay selective; the
+# plan shape is identical.
 
-def _word_hash(x: F.Column) -> F.Column:
+def _word_hash(x: Column) -> Column:
     return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
 
 
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explode + 16 partial-aggregated signed bit-sums (one shuffle of
-    per-partition partials; the md5 runs once per (doc, shingle) inside
-    codegen — same rationale as _signatures)."""
+    """Explode + 16 codegen'd signed bit-sums in one HashAggregate (one
+    md5 per (doc, shingle); map-side partials make the shuffle ~1 row per
+    doc — same scale rationale as _signatures)."""
     docs = _with_shingles(_docs(spark, sf_dir))
     ex = docs.select("doc_id", F.explode("__sh").alias("s")).select(
         "doc_id", _word_hash(F.col("s")).alias("__hw")
@@ -378,17 +458,33 @@ DOC_SIMHASH_SQL = f"""
 
 
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = doc_simhash(spark, sf_dir).withColumn(
-        "__block", F.shiftright(F.col("simhash"), 8)
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
+    sh = doc_simhash(spark, sf_dir)
+    bits_per_band = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << bits_per_band) - 1
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("bi"),
+                        F.shiftright(F.col("simhash"), bits_per_band * j)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bk"),
+                    )
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.bi", "band.bk")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
             b,
-            (F.col("a.__block") == F.col("b.__block"))
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -397,15 +493,22 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
     )
 
 
+_SIMHASH_BPB = SIMHASH_BITS // SIMHASH_BANDS
 DOC_SIMHASH_PAIRS_SQL = f"""
-    WITH sh AS ({DOC_SIMHASH_SQL})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    WITH sh AS ({DOC_SIMHASH_SQL}),
+    bands AS (
+        SELECT doc_id, simhash, i AS bi,
+               (simhash >> ({_SIMHASH_BPB} * i)) & {(1 << _SIMHASH_BPB) - 1} AS bk
+        FROM sh, unnest(range(0, {SIMHASH_BANDS})) AS t(i)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-    FROM sh a JOIN sh b
-      ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+    FROM bands a JOIN bands b
+      ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 """
 

@@ -98,6 +98,7 @@ def apply_batch(
     source_files: list[str] | None = None,
     fail_threshold: float = 0.10,
     segments: list[str] | None = None,
+    input_files: list[str] | None = None,
     late_watermark_sec: float | None = None,
     mode: str = "cow",
 ) -> MergeStats:
@@ -153,6 +154,7 @@ def apply_batch(
         fail_threshold=fail_threshold,
         source_files=source_files,
         segments=segments,
+        input_files=input_files,
         mode=mode,
     )
 
@@ -191,6 +193,7 @@ def replay_feed(
             apply_batch(
                 spark, table, df, bid, source_files=[name],
                 fail_threshold=fail_threshold, segments=[name],
+                input_files=[_segment_relative(f) for f in files],
                 late_watermark_sec=late_watermark_sec, mode=mode,
             )
         )

@@ -10,14 +10,19 @@ in the MERGE that skips reading and rewriting the target buckets entirely
 harmless, exactly the composition SURVEY.md §7/M4 calls for.
 
 Scale design: hashing happens in the JVM — ``h1 = xxhash64(*keys)``,
-``h2 = xxhash64(h1)`` (Kirsch–Mitzenmacher double hashing gives the k
-positions as ``h1 + i*h2``) — inside whole-stage codegen; the Python side
-of the Arrow ``mapInPandas`` stage only scatters uint64 positions into a
-numpy bitset (no per-row Python anywhere). Per-partition partial bitsets
-are OR-reduced on the driver (k partitions × m/8 bytes) and the result is
-broadcast back for membership tests. At m=2^23 bits the sidecar is 1 MiB
-and holds ~600k keys at k=4 with ~2% FP — size m up for bigger tables;
-saturation only degrades the fast-path hit rate, never correctness.
+``h2 = xxhash64(1, *keys)`` (two INDEPENDENT hashes of the keys — h2 is
+not a function of h1, so the Kirsch–Mitzenmacher analysis ``pos_i = h1 +
+i*h2`` holds) — inside whole-stage codegen; the Python side of the Arrow
+``mapInPandas`` stage only scatters uint64 positions into a numpy bitset
+(no per-row Python anywhere). Per-partition partial bitsets are
+tree-reduced: a narrow coalesce(_DRIVER_FANIN) + OR-combine stage runs in
+the SAME job (no extra shuffle), so the driver receives at most
+_DRIVER_FANIN bitsets regardless of input partition count — at 4096
+partitions × 1 MiB the round-1 flat collect shipped 4 GiB through the
+driver per micro-batch; this ships 8 MiB. At m=2^23 bits the sidecar is
+1 MiB and holds ~600k keys at k=4 with ~2% FP — size m up for bigger
+tables; saturation only degrades the fast-path hit rate, never
+correctness.
 
 xxhash64 is a fixed published algorithm (seed 42 in Spark), stable across
 processes, restarts and partitionings, so the persisted filter stays valid
@@ -37,8 +42,9 @@ from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_M_BITS = 1 << 23  # 1 MiB sidecar
 DEFAULT_K = 4
-BLOOM_ALGO = "xxh64km1"
+BLOOM_ALGO = "xxh64km2"  # v2: independent h2 (was h2 = xxhash64(h1))
 _SEP = "\x1f"
+_DRIVER_FANIN = 8  # max bitsets shipped to the driver per scan
 
 
 def _key_series(pdf: pd.DataFrame, key_cols: list[str]) -> pd.Series:
@@ -57,11 +63,24 @@ def _hash_pair(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return buf[:, 0], buf[:, 1]
 
 
+def _h1h2(key_cols: list[str]) -> tuple[F.Column, F.Column]:
+    cols = [F.col(c) for c in key_cols]
+    return F.xxhash64(*cols), F.xxhash64(F.lit(1), *cols)
+
+
 def hash_frame(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Project the key columns to the (h1, h2) double-hash pair, computed
-    in the JVM (codegen, no Python)."""
-    h1 = F.xxhash64(*[F.col(c) for c in key_cols])
-    return df.select(h1.alias("h1"), F.xxhash64(h1).alias("h2"))
+    in the JVM (codegen, no Python). h2 hashes the keys with a prepended
+    salt — independent of h1, as Kirsch–Mitzenmacher assumes."""
+    h1, h2 = _h1h2(key_cols)
+    return df.select(h1.alias("h1"), h2.alias("h2"))
+
+
+def _tree_collect(parts: DataFrame, schema: str, combine) -> list:
+    """Collect per-partition reduction rows through a narrow
+    coalesce + combine stage: same job (coalesce is a narrow dependency,
+    no shuffle), but the driver sees at most _DRIVER_FANIN rows."""
+    return parts.coalesce(_DRIVER_FANIN).mapInPandas(combine, schema=schema).collect()
 
 
 def _as_u64(a) -> np.ndarray:
@@ -142,7 +161,19 @@ def build_bloom(
         if any_rows:
             yield pd.DataFrame({"bits": [part.to_bytes()]})
 
-    parts = hash_frame(df, key_cols).mapInPandas(gen, schema="bits binary").collect()
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            for b in pdf["bits"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                acc = arr.copy() if acc is None else (acc | arr)
+        if acc is not None:
+            yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+    parts = _tree_collect(
+        hash_frame(df, key_cols).mapInPandas(gen, schema="bits binary"),
+        "bits binary", combine,
+    )
     out = BloomFilter(m_bits, k)
     for row in parts:
         out.bits |= np.frombuffer(row["bits"], dtype=np.uint8)
@@ -176,10 +207,19 @@ def scan_batch(
         if any_rows:
             yield pd.DataFrame({"bits": [part.to_bytes()], "hit": [hit]})
 
-    rows = (
-        hash_frame(df, key_cols)
-        .mapInPandas(gen, schema="bits binary, hit boolean")
-        .collect()
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc, hit = None, False
+        for pdf in batches:
+            for b, h in zip(pdf["bits"], pdf["hit"]):
+                arr = np.frombuffer(b, dtype=np.uint8)
+                acc = arr.copy() if acc is None else (acc | arr)
+                hit = hit or bool(h)
+        if acc is not None:
+            yield pd.DataFrame({"bits": [acc.tobytes()], "hit": [hit]})
+
+    rows = _tree_collect(
+        hash_frame(df, key_cols).mapInPandas(gen, schema="bits binary, hit boolean"),
+        "bits binary, hit boolean", combine,
     )
     out = BloomFilter(bloom.m_bits, bloom.k)
     any_seen = False
@@ -199,10 +239,8 @@ def scan_batch_buckets(
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((bloom.to_bytes(), bloom.m_bits, bloom.k))
 
-    h1 = F.xxhash64(*[F.col(c) for c in key_cols])
-    proj = df.select(
-        h1.alias("h1"), F.xxhash64(h1).alias("h2"), F.col(bucket_col).alias("b")
-    )
+    h1, h2 = _h1h2(key_cols)
+    proj = df.select(h1.alias("h1"), h2.alias("h2"), F.col(bucket_col).alias("b"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         data, m, kk = bc.value
@@ -224,9 +262,24 @@ def scan_batch_buckets(
                 {"bits": [part.to_bytes()], "hit": [hit], "buckets": [sorted(buckets)]}
             )
 
-    rows = proj.mapInPandas(
-        gen, schema="bits binary, hit boolean, buckets array<int>"
-    ).collect()
+    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc, hit = None, False
+        bks: set[int] = set()
+        for pdf in batches:
+            for b, h, bk in zip(pdf["bits"], pdf["hit"], pdf["buckets"]):
+                arr = np.frombuffer(b, dtype=np.uint8)
+                acc = arr.copy() if acc is None else (acc | arr)
+                hit = hit or bool(h)
+                bks.update(int(x) for x in bk)
+        if acc is not None:
+            yield pd.DataFrame(
+                {"bits": [acc.tobytes()], "hit": [hit], "buckets": [sorted(bks)]}
+            )
+
+    rows = _tree_collect(
+        proj.mapInPandas(gen, schema="bits binary, hit boolean, buckets array<int>"),
+        "bits binary, hit boolean, buckets array<int>", combine,
+    )
     out = BloomFilter(bloom.m_bits, bloom.k)
     any_seen = False
     touched: set[int] = set()

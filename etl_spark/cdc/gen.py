@@ -155,8 +155,15 @@ def write_feed(
         if n_batches is None:
             n_batches = feed.agg(F.max("batch")).collect()[0][0] + 1
         if evolve_from_batch is None:
+            # range-partition on (batch, mod) with the partition count
+            # pinned to the combo count: round-1's hash repartition into
+            # the default shuffle-partition count collided combos and
+            # silently landed well below files_per_segment files per
+            # segment — capping the very scan parallelism the parameter
+            # promises
             (
-                feed.repartition(
+                feed.repartitionByRange(
+                    n_batches * files_per_segment,
                     F.col("batch"),
                     F.pmod(F.col("op_seq"), F.lit(files_per_segment)),
                 )

@@ -70,22 +70,46 @@ def run_stream(
     src = reader.parquet(f"{feed_dir}/*").withColumn("__file", F.input_file_name())
 
     def _apply(df: DataFrame, epoch_id: int) -> None:
+        import os
+
         files = [r[0] for r in df.select("__file").distinct().collect()]
         if not files:
             return
-        # idempotence is per SEGMENT (binlog unit = one feed subdirectory):
-        # after checkpoint loss, Spark re-delivers old segments grouped into
-        # different micro-batches — drop their rows before applying so the
-        # replay is a true no-op regardless of grouping. Segments are
+        # Idempotence is per INPUT FILE: maxFilesPerTrigger can split one
+        # segment's files across triggers, so marking a whole segment done
+        # on its first partial delivery would silently drop the rest (the
+        # round-1 bug, masked by a feed writer that happened to emit fewer
+        # files per segment than the trigger size). After checkpoint loss,
+        # Spark re-delivers old files grouped differently — the per-file
+        # ledger no-ops them regardless of grouping. A segment moves to the
+        # compact per-segment map (and its file entries are pruned) only
+        # once EVERY file in its directory has been applied. Segments are
         # immutable by contract (like the reference's archives).
         def seg(f: str) -> str:
             return _segment_relative(f).split("/")[0]
 
-        done = table.committed_segments()
-        new_files = sorted(f for f in files if seg(f) not in done)
+        done_segs = table.committed_segments()
+        done_inputs = table.committed_inputs()
+
+        def applied(f: str) -> bool:
+            return seg(f) in done_segs or _segment_relative(f) in done_inputs
+
+        new_files = sorted(f for f in files if not applied(f))
         if not new_files:
             return
-        new_segs = sorted({seg(f) for f in new_files})
+        rel_new = [_segment_relative(f) for f in new_files]
+        applied_after = done_inputs | set(rel_new)
+        complete_segs = []
+        for sname in sorted({seg(f) for f in new_files}):
+            d = os.path.join(feed_dir, sname)
+            try:
+                allf = {
+                    f"{sname}/{fn}" for fn in os.listdir(d) if fn.endswith(".parquet")
+                }
+            except OSError:
+                allf = set()
+            if allf and allf <= applied_after:
+                complete_segs.append(sname)
         bid = batch_fingerprint(new_files)
         batch_df = df.filter(F.col("__file").isin(new_files)).drop("__file")
         apply_batch(
@@ -93,9 +117,10 @@ def run_stream(
             table,
             batch_df,
             bid,
-            source_files=new_segs,
+            source_files=sorted({seg(f) for f in new_files}),
             fail_threshold=fail_threshold,
-            segments=new_segs,
+            segments=complete_segs,
+            input_files=rel_new,
             late_watermark_sec=late_watermark_sec,
             mode=mode,
         )

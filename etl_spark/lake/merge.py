@@ -39,7 +39,6 @@ Scale design — exactly TWO distributed passes per micro-batch:
 
 from __future__ import annotations
 
-import os
 import time
 from dataclasses import dataclass, field
 from datetime import datetime
@@ -120,6 +119,7 @@ def merge_into(
     fail_threshold: float = 0.10,
     source_files: list[str] | None = None,
     segments: list[str] | None = None,
+    input_files: list[str] | None = None,
     mode: str = "cow",
 ) -> MergeStats:
     """Apply one validated (but not yet deduped) CDC batch to ``table``.
@@ -165,20 +165,22 @@ def merge_into(
     # ---- pass 1: fused scan — bloom membership + batch bloom + touched
     #      buckets, with the validation counters observed on the same job ----
     batch = valid.withColumn("__bucket", table.bucket_expr())
-    bloom = table.load_bloom()
-    new_bloom = None
-    any_seen = True
-    if bloom is not None:
-        from etl_spark.cdc.bloom import scan_batch_buckets
+    from etl_spark.cdc.bloom import BloomFilter, build_bloom, scan_batch_buckets
 
-        any_seen, batch_bloom, touched = scan_batch_buckets(
-            batch, bloom, KEY_COLS, bucket_col="__bucket"
-        )
-        new_bloom = bloom.union(batch_bloom)
-    else:  # legacy table without a compatible seen-set
-        touched = sorted(
-            r[0] for r in batch.select("__bucket").distinct().collect()
-        )
+    bloom = table.load_bloom()
+    if bloom is None:
+        # Seen-set missing or written under a stale hash algo (engine
+        # upgrade): rebuild ONCE from the table's stored keys instead of
+        # paying a distinct+collect per batch forever. The rebuilt filter
+        # is persisted with this commit's sidecar via new_bloom.
+        if table.has_files():
+            bloom = build_bloom(table.read_storage(spark, reduced=False), KEY_COLS)
+        else:
+            bloom = BloomFilter()
+    any_seen, batch_bloom, touched = scan_batch_buckets(
+        batch, bloom, KEY_COLS, bucket_col="__bucket"
+    )
+    new_bloom = bloom.union(batch_bloom)
     stats.touched_buckets = touched
 
     stats.phase_sec["scan"] = round(time.time() - t0, 3)
@@ -200,6 +202,7 @@ def merge_into(
             {}, [], batch_id,
             {"events_in": events_in, "failed": failed, "late_dropped": late_dropped},
             segments=segments, new_watermark_us=watermark_us,
+            input_files=input_files,
         )
         return stats
 
@@ -208,9 +211,7 @@ def merge_into(
 
     deduped = lww_dedup(batch)
 
-    manifest = table.manifest()
-    has_target_files = any(manifest.files.get(str(b)) for b in touched)
-    fast_append = not has_target_files or not any_seen
+    fast_append = not table.has_files(touched) or not any_seen
     mor_append = mode == "mor" and not fast_append
     if fast_append or mor_append:
         # Append path: either pure insert PROVEN by the Bloom seen-set (no
@@ -299,8 +300,6 @@ def merge_into(
     disp_obs = Observation()
     to_write = merged.observe(disp_obs, *_disp_aggs()).drop("__disp")
 
-    import pyarrow.parquet as pq
-
     t1 = time.time()
     files = table.write_bucket_files(
         to_write, version_tag=f"merge-v{batch_id[:12]}", schema_id=new_sid
@@ -318,7 +317,7 @@ def merge_into(
     for b, entries in files.items():
         n = 0
         for e in entries:
-            e["rows"] = pq.read_metadata(os.path.join(table.path, e["path"])).num_rows
+            e["rows"] = table.file_row_count(e["path"])
             n += e["rows"]
         if n:
             bucket_rows[str(b)] = n
@@ -352,6 +351,7 @@ def merge_into(
         record,
         new_user_schema=evolved,
         segments=segments,
+        input_files=input_files,
         new_bloom=new_bloom,
         append_files=fast_append or mor_append,
         new_watermark_us=watermark_us,

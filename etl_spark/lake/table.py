@@ -86,10 +86,17 @@ class Manifest:
     commits: dict[str, dict[str, Any]]    # batch_id -> commit record
     created_unix: float
     # segment (binlog unit, e.g. "batch=00042") -> batch_id that applied it.
-    # Idempotence is PER SEGMENT, not per delivery grouping: after checkpoint
+    # A segment appears here only once COMPLETELY applied. After checkpoint
     # loss Spark may re-deliver the same segments grouped differently into
     # micro-batches; segment-level tracking still recognizes them as applied.
     segments: dict[str, str] = None  # type: ignore[assignment]
+    # segment-relative input FILE ("batch=00042/part-...parquet") -> batch_id,
+    # for segments only PARTIALLY applied so far: a micro-batch trigger may
+    # split one segment's files across triggers (maxFilesPerTrigger), so
+    # idempotence must be per file. Entries are pruned the moment their
+    # segment completes (moves to ``segments``), so this map is bounded by
+    # in-flight partial segments, not by feed history.
+    applied_inputs: dict[str, str] = None  # type: ignore[assignment]
     # Bloom seen-set sidecar: {"path": rel, "m_bits": int, "k": int} — a
     # summary of every key ever written, enabling the append-only MERGE
     # fast path (see etl_spark/cdc/bloom.py).
@@ -109,6 +116,8 @@ class Manifest:
     def __post_init__(self):
         if self.segments is None:
             self.segments = {}
+        if self.applied_inputs is None:
+            self.applied_inputs = {}
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -117,6 +126,7 @@ class Manifest:
     def from_json(s: str) -> "Manifest":
         d = json.loads(s)
         d.setdefault("segments", {})
+        d.setdefault("applied_inputs", {})
         d.setdefault("bloom", None)
         d.setdefault("watermark_us", None)
         d.setdefault("needs_reduce", False)
@@ -305,6 +315,23 @@ class LakeTable:
         user_cols = [f.name for f in schema_from_json(m.schema_json).fields]
         return df.select(*user_cols)
 
+    def has_files(self, buckets: list[int] | None = None) -> bool:
+        """Any committed data files (optionally: in these buckets)? The
+        backend-neutral emptiness probe merge_into uses — an Iceberg
+        adapter answers from snapshot manifests."""
+        m = self.manifest()
+        if buckets is None:
+            return any(m.files.values())
+        return any(m.files.get(str(b)) for b in buckets)
+
+    def file_row_count(self, rel_path: str) -> int:
+        """Row count of one committed data file from its parquet footer
+        (driver-side, no job). Iceberg adapters read it from the manifest
+        entry instead."""
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(os.path.join(self.path, rel_path)).num_rows
+
     # ------------------------------------------------------------ commit API
     def load_bloom(self):
         """The persisted key seen-set. None for pre-bloom tables or sidecars
@@ -329,6 +356,7 @@ class LakeTable:
         append_files: bool = False,
         new_watermark_us: int | None = None,
         needs_reduce: bool | None = None,
+        input_files: list[str] | None = None,
     ) -> Manifest:
         """Swap in a new snapshot: touched buckets get their file lists
         REPLACED (copy-on-write) — or APPENDED when the merge proved the
@@ -352,10 +380,21 @@ class LakeTable:
             schemas[schema_id] = schema_json
         commits = dict(m.commits)
         seg_map = dict(m.segments)
+        inputs_map = dict(m.applied_inputs)
         if batch_id is not None:
             commits[batch_id] = {"version": m.version + 1, **(commit_record or {})}
+            for fpath in input_files or []:
+                inputs_map[fpath] = batch_id
             for s in segments or []:
                 seg_map[s] = batch_id
+            # a completed segment subsumes its per-file entries — prune them
+            # so applied_inputs stays bounded by IN-FLIGHT partial segments
+            if segments:
+                done = set(segments)
+                inputs_map = {
+                    f: b for f, b in inputs_map.items()
+                    if f.split("/", 1)[0] not in done
+                }
         bloom_meta = m.bloom
         if new_bloom is not None:
             from etl_spark.cdc.bloom import BLOOM_ALGO
@@ -384,6 +423,7 @@ class LakeTable:
             commits=commits,
             created_unix=time.time(),
             segments=seg_map,
+            applied_inputs=inputs_map,
             bloom=bloom_meta,
             watermark_us=wm,
             needs_reduce=nr,
@@ -400,6 +440,12 @@ class LakeTable:
 
     def committed_segments(self) -> set[str]:
         return set(self.manifest().segments)
+
+    def committed_inputs(self) -> set[str]:
+        """Segment-relative input files already applied: every file of every
+        COMPLETE segment plus the per-file entries of partial segments."""
+        m = self.manifest()
+        return set(m.applied_inputs)
 
     def commit_log(self) -> dict[str, dict[str, Any]]:
         return self.manifest().commits
@@ -427,12 +473,18 @@ class LakeTable:
                     "failed": c.get("failed", 0),
                     "late_dropped": c.get("late_dropped", 0),
                     "wall_sec": c.get("wall_sec", 0.0),
+                    # merge mode of the commit: disposition semantics differ
+                    # (mor counts every upsert as "inserted"); consumers
+                    # must not compare the inserted/updated split across
+                    # modes without this column
+                    "mode": c.get("mode", "cow"),
                 }
             )
         schema = (
             "batch_id string, version long, events_in long, dup_dropped long, "
             "inserted long, updated long, deleted long, stale_skipped long, "
-            "carried long, failed long, late_dropped long, wall_sec double"
+            "carried long, failed long, late_dropped long, wall_sec double, "
+            "mode string"
         )
         return spark.createDataFrame(rows, schema=schema)
 
@@ -549,15 +601,23 @@ class LakeTable:
             if v not in keep_v:
                 dead |= refs(self.manifest(v))
         dead -= live
+        # Manifests first: they are the visibility root. A crash between
+        # the two loops then leaves unreferenced-but-present files (safe,
+        # re-collectable on the next call) instead of listed-but-deleted
+        # versions whose time-travel reads would FileNotFound mid-scan.
+        for v in versions:
+            if v not in keep_v:
+                os.remove(os.path.join(self.path, MANIFEST_DIR, f"v{v:08d}.json"))
         n_deleted = 0
         for rel in dead:
             full = os.path.join(self.path, rel)
             if os.path.exists(full):
                 os.remove(full)
                 n_deleted += 1
-        for v in versions:
-            if v not in keep_v:
-                os.remove(os.path.join(self.path, MANIFEST_DIR, f"v{v:08d}.json"))
+            # prune now-empty version directories
+            d = os.path.dirname(full)
+            if os.path.isdir(d) and not os.listdir(d):
+                os.rmdir(d)
         return n_deleted
 
     # ------------------------------------------------------------ data write

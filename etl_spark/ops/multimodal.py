@@ -74,31 +74,58 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing: treat each document as a virtual media
-    stream of 16-char frames, emit every 4th frame's digest through a
-    one-to-many mapInPandas (the UDTF shape a real video frame sampler
-    uses: one input row → N frame rows, batch-wise in Arrow)."""
-    import math
+    """Frame sampling: treat each document as a virtual media stream of
+    16-char frames, emit every 4th frame's digest. The transform is pure
+    expression (explode(sequence) + substring + md5 — whole-stage
+    codegen, no Python in the row path); a REAL codec would slot in as a
+    mapInPandas over the binary payload — that plumbing shape is
+    exercised by mm_decode_meta and kept here as
+    ``mm_frame_sample_udtf`` for reference."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    seq = F.sequence(
+        F.lit(1), F.ceil(F.length("text") / F.lit(16.0)).cast("int"), F.lit(4)
+    )
+    ex = docs.select("doc_id", "text", F.explode(seq).alias("__p"))
+    frame = F.substring(F.col("text"), (F.col("__p") - 1) * 16 + 1, F.lit(16))
+    return ex.select(
+        "doc_id",
+        F.col("__p").cast("int").alias("frame_idx"),
+        F.md5(frame).alias("frame_digest"),
+    )
 
+
+def mm_frame_sample_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-to-many Arrow UDTF shape a real video frame sampler uses
+    (one input row → N frame rows, vectorized per batch). NOT the
+    registered query — the registered plan above is pure expression; this
+    stays as the integration template for an actual decoder, with the
+    per-frame loop vectorized via pandas str slicing."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, digests = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                n_frames = math.ceil(len(text) / 16)
-                for p in range(1, n_frames + 1, 4):
-                    frame = text[(p - 1) * 16 : (p - 1) * 16 + 16]
-                    ids.append(doc_id)
-                    idxs.append(p)
-                    digests.append(hashlib.md5(frame.encode()).hexdigest())
+            n_frames = (pdf["text"].str.len() + 15) // 16
+            reps = (n_frames + 3) // 4  # frames 1, 5, 9, ...
+            idx = pdf.index.repeat(reps)
+            frame_no = pd.Series(
+                [p for r in reps for p in range(1, 4 * r, 4)], dtype="int32"
+            )
+            texts = pdf["text"].loc[idx].reset_index(drop=True)
+            starts = (frame_no - 1) * 16
+            frames = pd.Series(
+                [t[s : s + 16] for t, s in zip(texts, starts)], dtype="object"
+            )
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "frame_digest": pd.Series(digests, dtype="object"),
+                    "doc_id": pdf["doc_id"].loc[idx].reset_index(drop=True).astype("int64"),
+                    "frame_idx": frame_no,
+                    "frame_digest": frames.map(
+                        lambda f: hashlib.md5(f.encode()).hexdigest()
+                    ),
                 }
             )
 

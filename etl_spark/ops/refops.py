@@ -520,3 +520,160 @@ CANONICAL_BROADCAST_SQL = """
       ON e.event_type = m.event_type
     GROUP BY 1
 """
+
+
+# --- P4/P10: deeply nested JSON parse + hop-tree flatten (the reference's
+#     biggest parser pattern: tracelb hop-tree → per-link rows,
+#     /root/reference/parser/pt.go:181-319, schema Hop→Links→Probes at
+#     /root/reference/schema/pt_schema.go:14-58) -----------------------------
+
+_HOP_SCHEMA = (
+    "hops array<struct<addr:string,"
+    "links:array<struct<rtt:array<bigint>,probe:int>>>>"
+)
+
+
+def hop_tree_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip a deterministic Array(Struct(Array(Struct(Array)))) JSON
+    payload through from_json, then flatten hop-tree → per-link rows with
+    posexplode/explode + an array aggregate. The payload is BUILT from the
+    event columns (concat), so the DuckDB oracle can state the flattened
+    result directly — any loss in Spark's parse/flatten breaks the match.
+    All generator+parse work is map-side; no shuffle anywhere."""
+    ev = _events(spark, sf_dir)
+    v = F.round(F.col("value") * 100).cast("long")
+    uid = F.col("user_id").cast("string")
+    payload = F.concat(
+        F.lit('{"hops":[{"addr":"h0-'), uid,
+        F.lit('","links":[{"rtt":['), v, F.lit(","), v + 1,
+        F.lit('],"probe":1}]},{"addr":"h1-'), uid,
+        F.lit('","links":[{"rtt":['), v + 2,
+        F.lit('],"probe":2},{"rtt":[],"probe":3}]}]}'),
+    )
+    parsed = ev.select("event_id", F.from_json(payload, _HOP_SCHEMA).alias("__p"))
+    hops = parsed.select(
+        "event_id", F.posexplode(F.col("__p.hops")).alias("hop_idx", "hop")
+    )
+    links = hops.select(
+        "event_id",
+        "hop_idx",
+        F.col("hop.addr").alias("addr"),
+        F.explode("hop.links").alias("link"),
+    )
+    rtt_sum = F.aggregate(
+        F.col("link.rtt"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return links.select(
+        "event_id",
+        "hop_idx",
+        "addr",
+        F.col("link.probe").alias("probe"),
+        F.size("link.rtt").alias("n_rtt"),
+        rtt_sum.alias("rtt_sum"),
+    )
+
+
+HOP_TREE_FLATTEN_SQL = """
+    WITH e AS (
+        SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS v
+        FROM events
+    )
+    SELECT event_id, hop_idx, addr, probe, n_rtt, rtt_sum FROM (
+        SELECT event_id, 0 AS hop_idx, 'h0-' || CAST(user_id AS VARCHAR) AS addr,
+               1 AS probe, 2 AS n_rtt, v + v + 1 AS rtt_sum FROM e
+        UNION ALL
+        SELECT event_id, 1, 'h1-' || CAST(user_id AS VARCHAR), 2, 1, v + 2 FROM e
+        UNION ALL
+        SELECT event_id, 1, 'h1-' || CAST(user_id AS VARCHAR), 3, 0, CAST(0 AS BIGINT) FROM e
+    )
+"""
+
+
+# --- J1: two-feed in-batch session join (meta file ⋈ snaplog by session
+#     key, /root/reference/parser/ndt.go:295-301,571-582) --------------------
+
+def meta_snaplog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two event feeds carved from the same archive batch — a per-user
+    'meta' record (earliest signup) joined to the 'snaplog' stream
+    (purchases) on the session key. Both sides shuffle once on user_id
+    (co-partitioned equi-join); the meta side is pre-aggregated to one
+    row per key BEFORE the join, so the join input is |users|, not
+    |events| — the same shrink-the-small-side shape the reference applies
+    when it parses the meta file once per archive."""
+    ev = _events(spark, sf_dir)
+    meta = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("__m"))
+        .select(
+            "user_id",
+            F.col("__m.ts").alias("signup_ts"),
+            F.col("__m.event_id").alias("signup_event_id"),
+        )
+    )
+    snap = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    # TIMESTAMP_NTZ: exact µs delta via timestampdiff (see sessionize)
+    delta_us = F.expr("timestampdiff(MICROSECOND, signup_ts, ts)")
+    return snap.join(meta, "user_id").select(
+        "user_id",
+        "event_id",
+        "signup_event_id",
+        delta_us.alias("us_since_signup"),
+        F.col("value").cast("decimal(18,2)").cast("double").alias("amount"),
+    )
+
+
+META_SNAPLOG_JOIN_SQL = """
+    WITH meta AS (
+        SELECT user_id, ts AS signup_ts, event_id AS signup_event_id FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events WHERE event_type = 'signup'
+        ) WHERE rn = 1
+    )
+    SELECT s.user_id, s.event_id, m.signup_event_id,
+           epoch_us(s.ts) - epoch_us(m.signup_ts) AS us_since_signup,
+           CAST(CAST(s.value AS DECIMAL(18,2)) AS DOUBLE) AS amount
+    FROM events s JOIN meta m ON s.user_id = m.user_id
+    WHERE s.event_type = 'purchase'
+"""
+
+
+# --- P5: cross-row lookahead discard (the pollution buffer: a buffered row
+#     is dropped when the NEXT row in file order invalidates it,
+#     /root/reference/parser/pt.go:630-669) ----------------------------------
+
+def lookahead_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() over per-user file order — the Spark analog of the
+    reference's one-element buffer: emit each row only after seeing its
+    successor; a 'view' immediately followed by an 'error' in the same
+    user stream is polluted and discarded. One window shuffle on
+    user_id; no state beyond the frame."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    # coalesce: the stream's LAST row has no successor (NULL lead) and must
+    # be kept — a bare `= 'error'` comparison would go three-valued NULL
+    # and silently drop it
+    out = ev.withColumn("next_type", nxt).filter(
+        ~(
+            (F.col("event_type") == "view")
+            & (F.coalesce(F.col("next_type"), F.lit("")) == "error")
+        )
+    )
+    return out.select("user_id", "event_id", "event_type", "next_type")
+
+
+LOOKAHEAD_DISCARD_SQL = """
+    SELECT user_id, event_id, event_type, next_type FROM (
+        SELECT user_id, event_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ) WHERE NOT (event_type = 'view' AND coalesce(next_type, '') = 'error')
+"""

@@ -114,22 +114,35 @@ EMB_COSINE_TOPK_SQL = f"""
 
 
 # --- 1-NN label vote (every vector classified by its nearest neighbor) -------
+# Candidates come from the deterministic random-hyperplane LSH bands
+# (module bottom) — a (band, bucket) equi-join, never an all-pairs cross
+# join: every vector is a probe here, so the round-1 all-pairs plan was
+# O(N²) and non-runnable at 100×. The oracle mirrors the identical band
+# literals, so both engines agree on the (approximate) candidate set and
+# the exact re-rank within it. Vectors alone in all their buckets emit no
+# row on either side.
 
 def emb_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _quantized(_emb(spark, sf_dir)).select("vec_id", "label", "__q", "__nsq")
-    a = e.select(
-        F.col("vec_id").alias("q_id"), F.col("__q").alias("qv"), F.col("__nsq").alias("qn")
+    hashed = e.select(
+        "vec_id", "label", "__q", "__nsq",
+        F.explode(_band_cols_spark(KNN_BANDS, KNN_BITS)).alias("bb"),
+    ).select("vec_id", "label", "__q", "__nsq", "bb.band", "bb.bucket")
+    a = hashed.select(
+        F.col("vec_id").alias("q_id"), F.col("__q").alias("qv"),
+        F.col("__nsq").alias("qn"), "band", "bucket",
     )
-    b = e.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("label").alias("cand_label"),
-        F.col("__q").alias("cv"),
-        F.col("__nsq").alias("cn"),
+    b = hashed.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label"),
+        F.col("__q").alias("cv"), F.col("__nsq").alias("cn"), "band", "bucket",
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("q_id") != F.col("cand_id"))
+        .dropDuplicates(["q_id", "cand_id"])  # OR over bands
     )
     cos = _cos(_dot("qv", "cv"), "qn", "cn")
-    scored = a.join(b, F.col("q_id") != F.col("cand_id")).select(
-        "q_id", "cand_id", "cand_label", cos.alias("__cos")
-    )
+    scored = pairs.select("q_id", "cand_id", "cand_label", cos.alias("__cos"))
     w = W.partitionBy("q_id").orderBy(F.col("__cos").desc(), F.col("cand_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -143,11 +156,21 @@ def emb_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_KNN_LABEL_SQL = f"""
+def _knn_label_sql() -> str:
+    return f"""
     WITH n AS ({NORM_SQL}),
+    hashed AS ({{bands}}),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS cand_id, b.label AS cand_label,
+               a.q AS qv, a.nsq AS qn, b.q AS cv, b.nsq AS cn
+        FROM hashed a JOIN hashed b
+          ON a.band = b.band AND a.bucket = b.bucket AND b.vec_id <> a.vec_id
+    ),
     scored AS (
-        SELECT a.vec_id AS q_id, b.vec_id AS cand_id, b.label AS cand_label, {COS_SQL} AS c
-        FROM n a JOIN n b ON b.vec_id <> a.vec_id
+        SELECT q_id, cand_id, cand_label,
+               CAST(list_aggregate(list_transform(range(1, {LSH_DIM + 1}), i -> qv[i] * cv[i]), 'sum') AS DOUBLE)
+                   / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS c
+        FROM pairs
     )
     SELECT q_id, cand_id AS nn_id, cand_label AS nn_label, round(c, 4) AS cos4
     FROM (
@@ -158,29 +181,57 @@ EMB_KNN_LABEL_SQL = f"""
 
 
 # --- embedding-cosine near-dup pairs ----------------------------------------
+# Same LSH candidate generation, but with the high-recall geometry (4
+# bands × 2 bits): at cos ≥ 0.9 (true near-dups) a 2-bit band agrees with
+# p ≈ 0.73, so 4 bands catch ~99% of real duplicate pairs; the loose demo
+# threshold of {NEARDUP_COS} is oracle-mirrored so both engines see the
+# identical candidate set. Production corpora: add planes/bands, the plan
+# shape (band-bucket equi-join → exact verify) is unchanged.
 
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _quantized(_emb(spark, sf_dir)).select("vec_id", "__q", "__nsq")
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("__q").alias("qa"), F.col("__nsq").alias("na")
+    hashed = e.select(
+        "vec_id", "__q", "__nsq",
+        F.explode(_band_cols_spark(NEARDUP_BANDS, NEARDUP_BITS)).alias("bb"),
+    ).select("vec_id", "__q", "__nsq", "bb.band", "bb.bucket")
+    a = hashed.select(
+        F.col("vec_id").alias("vec_a"), F.col("__q").alias("qa"),
+        F.col("__nsq").alias("na"), "band", "bucket",
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("__q").alias("qb"), F.col("__nsq").alias("nb")
+    b = hashed.select(
+        F.col("vec_id").alias("vec_b"), F.col("__q").alias("qb"),
+        F.col("__nsq").alias("nb"), "band", "bucket",
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
     )
     cos = _cos(_dot("qa", "qb"), "na", "nb")
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("__cos"))
+        pairs.select("vec_a", "vec_b", cos.alias("__cos"))
         .filter(F.col("__cos") >= NEARDUP_COS)
         .select("vec_a", "vec_b", F.round("__cos", 4).alias("cos4"))
     )
 
 
-EMB_NEARDUP_SQL = f"""
-    WITH n AS ({NORM_SQL})
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({COS_SQL}, 4) AS cos4
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE {COS_SQL} >= {NEARDUP_COS}
+def _neardup_sql() -> str:
+    return f"""
+    WITH n AS ({NORM_SQL}),
+    hashed AS ({{bands}}),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.q AS qa, a.nsq AS na, b.q AS qb, b.nsq AS nb
+        FROM hashed a JOIN hashed b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(c, 4) AS cos4
+    FROM (
+        SELECT vec_a, vec_b,
+               CAST(list_aggregate(list_transform(range(1, {LSH_DIM + 1}), i -> qa[i] * qb[i]), 'sum') AS DOUBLE)
+                   / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS c
+        FROM pairs
+    ) WHERE c >= {NEARDUP_COS}
 """
 
 
@@ -295,13 +346,17 @@ def _lsh_planes() -> list[list[int]]:
 _PLANES = _lsh_planes()
 
 
-def _band_cols_spark():
-    """(band, bucket) integer pairs per vector from sign bits of __q·plane."""
+def _band_cols_spark(n_bands: int = None, bits: int = None):
+    """(band, bucket) integer pairs per vector from sign bits of __q·plane.
+    The same 8 planes serve two geometries: selective 2×4 (topk/knn) and
+    high-recall 4×2 (near-dup)."""
+    n_bands = LSH_BANDS if n_bands is None else n_bands
+    bits = LSH_BITS if bits is None else bits
     bands = []
-    for b in range(LSH_BANDS):
+    for b in range(n_bands):
         acc = F.lit(0)
-        for j in range(LSH_BITS):
-            plane = _PLANES[b * LSH_BITS + j]
+        for j in range(bits):
+            plane = _PLANES[b * bits + j]
             arr = F.array(*[F.lit(v) for v in plane])
             dot = F.aggregate(
                 F.zip_with(F.col("__q"), arr, lambda x, y: x * y),
@@ -312,6 +367,10 @@ def _band_cols_spark():
             acc = acc * 2 + bit
         bands.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
     return F.array(*bands)
+
+
+KNN_BANDS, KNN_BITS = 2, 4          # selective geometry (ANN search)
+NEARDUP_BANDS, NEARDUP_BITS = 4, 2  # high-recall geometry (dedup)
 
 
 def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,17 +403,22 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _band_sql() -> str:
+def _band_sql(n_bands: int = None, n_bits: int = None, extra_cols: str = "") -> str:
+    n_bands = LSH_BANDS if n_bands is None else n_bands
+    n_bits = LSH_BITS if n_bits is None else n_bits
     band_exprs = []
-    for b in range(LSH_BANDS):
+    for b in range(n_bands):
         bits = []
-        for j in range(LSH_BITS):
-            plane = _PLANES[b * LSH_BITS + j]
+        for j in range(n_bits):
+            plane = _PLANES[b * n_bits + j]
             lit = "[" + ",".join(str(v) for v in plane) + "]"
             dot = (f"list_aggregate(list_transform(range(1, {LSH_DIM + 1}), "
                    f"i -> q[i] * ({lit})[i]), 'sum')")
-            bits.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {2 ** (LSH_BITS - 1 - j)}")
-        band_exprs.append(f"SELECT vec_id, q, nsq, {b} AS band, {' + '.join(bits)} AS bucket FROM n")
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {2 ** (n_bits - 1 - j)}")
+        band_exprs.append(
+            f"SELECT vec_id{extra_cols}, q, nsq, {b} AS band, "
+            f"{' + '.join(bits)} AS bucket FROM n"
+        )
     return " UNION ALL ".join(band_exprs)
 
 
@@ -380,3 +444,8 @@ EMB_LSH_TOPK_SQL = f"""
         FROM scored
     ) WHERE rank <= {LSH_TOP_K}
 """
+
+EMB_KNN_LABEL_SQL = _knn_label_sql().format(
+    bands=_band_sql(KNN_BANDS, KNN_BITS, extra_cols=", label")
+)
+EMB_NEARDUP_SQL = _neardup_sql().format(bands=_band_sql(NEARDUP_BANDS, NEARDUP_BITS))

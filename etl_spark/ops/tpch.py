@@ -7,8 +7,12 @@ single final cast to DOUBLE so Spark and DuckDB agree bit-for-bit
 (floating sums would differ in the last ulp by summation order).
 
 Plan notes (checked via .explain("formatted")):
-  * dims (region/nation/customer/supplier/orders) are broadcast — no
-    shuffle on the fact table for joins, only for the final groupBy;
+  * only TRUE dimension tables (region: 5 rows, nation: 25 rows — fixed
+    cardinality at any scale factor) carry an explicit broadcast hint;
+    orders/customer GROW with the fact table, so their join strategy is
+    left to AQE, which broadcasts at test scale (right there) and shuffles
+    at 100× (right there) — a hard-coded fact-side broadcast OOMs a real
+    cluster;
   * revenue per order aggregates BEFORE joining orders (pre-aggregation
     shrinks the join input from |lineitem| to |orders|).
 """
@@ -69,8 +73,8 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     rev = li.groupBy("l_orderkey").agg(F.sum(_rev()).alias("__rev"))
     out = (
-        rev.join(F.broadcast(orders), rev.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .orderBy(F.col("__rev").desc(), F.col("o_orderkey"))
         .limit(10)
         .select(
@@ -104,8 +108,8 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")

@@ -42,6 +42,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         refops.canonical_broadcast,
         refops.CANONICAL_BROADCAST_SQL,
     ),
+    "hop_tree_flatten": (refops.hop_tree_flatten, refops.HOP_TREE_FLATTEN_SQL),
+    "meta_snaplog_join": (refops.meta_snaplog_join, refops.META_SNAPLOG_JOIN_SQL),
+    "lookahead_discard": (refops.lookahead_discard, refops.LOOKAHEAD_DISCARD_SQL),
     # --- star-schema analytics (joins/agg/top-k) ---
     "q1_pricing_summary": (tpch.q1_pricing_summary, tpch.Q1_SQL),
     "top_orders_by_revenue": (tpch.top_orders_by_revenue, tpch.TOP_ORDERS_SQL),

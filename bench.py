@@ -77,6 +77,16 @@ BENCH_QUERIES = [
 #   cdc_replay_state — superseded by the dedicated throughput replay.
 
 
+def _steal_sample() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — hypervisor contention probe."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except OSError:
+        return 0, 1
+
+
 def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
     """Replay the same deterministic feed through BOTH merge strategies:
     merge-on-read (headline — the streaming-CDC configuration) and
@@ -127,23 +137,41 @@ def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
             )
             replay_feed(spark, wt, wf, mode=mode)
 
+        # best-of-REPS per mode: this sandbox sits on a hypervisor with
+        # BURSTY cpu steal (observed 0→35% minute to minute); a single
+        # sample can bill a 10× host stall to one batch. Interleaved
+        # min-of-k is the standard way to measure the engine rather than
+        # the neighbor. Per-rep steal fractions are reported so any
+        # remaining contamination is visible.
+        reps = int(os.environ.get("BENCH_CDC_REPS", "2"))
         out = {"segments": n_segments, "gen_sec": round(gen_sec, 2)}
         finals = {}
+        runs: dict[str, list[dict]] = {"mor": [], "cow": []}
+        for rep in range(reps):
+            for mode in ("mor", "cow"):
+                table = LakeTable.create(
+                    os.path.join(work, f"lake_{mode}_{rep}"),
+                    TRANSCRIPT_SCHEMA, n_buckets=64,
+                )
+                s0, j0 = _steal_sample()
+                t0 = time.time()
+                stats = replay_feed(spark, table, feed_dir, mode=mode)
+                apply_sec = time.time() - t0
+                s1, j1 = _steal_sample()
+                events = sum(s.events_in for s in stats)
+                finals[mode] = table.read(spark).count()
+                runs[mode].append(
+                    {
+                        "apply_sec": round(apply_sec, 2),
+                        "events_per_sec": round(events / apply_sec, 1),
+                        "batch_walls": [round(s.wall_sec, 2) for s in stats],
+                        "steal_frac": round((s1 - s0) / max(1, j1 - j0), 3),
+                    }
+                )
+                out["events"] = events
         for mode in ("mor", "cow"):
-            table = LakeTable.create(
-                os.path.join(work, f"lake_{mode}"), TRANSCRIPT_SCHEMA, n_buckets=64
-            )
-            t0 = time.time()
-            stats = replay_feed(spark, table, feed_dir, mode=mode)
-            apply_sec = time.time() - t0
-            events = sum(s.events_in for s in stats)
-            finals[mode] = table.read(spark).count()
-            out[mode] = {
-                "apply_sec": round(apply_sec, 2),
-                "events_per_sec": round(events / apply_sec, 1),
-                "batch_walls": [round(s.wall_sec, 2) for s in stats],
-            }
-            out["events"] = events
+            out[mode] = max(runs[mode], key=lambda r: r["events_per_sec"])
+            out[f"{mode}_all_runs"] = runs[mode]
         assert finals["mor"] == finals["cow"], finals
         out["final_rows"] = finals["mor"]
         return out
@@ -160,7 +188,18 @@ def main() -> None:
 
     from etl_spark.session import get_spark
 
-    spark = get_spark(cores=cores, app_name="etl_spark_bench")
+    # shuffle/spill files follow the same reasoning as the data dirs:
+    # tmpfs-backed so the timed numbers measure the engine, not this
+    # sandbox's one noisy virtual disk
+    base = os.environ.get(
+        "BENCH_WORK_DIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    local_dir = tempfile.mkdtemp(prefix="etl_spark_bench_local_", dir=base)
+    spark = get_spark(
+        cores=cores,
+        app_name="etl_spark_bench",
+        extra_conf={"spark.local.dir": local_dir},
+    )
 
     t_total = time.time()
     cdc = run_cdc_replay(spark, n_events)
@@ -178,12 +217,17 @@ def main() -> None:
                     "noop"
                 ).save()
 
+        # best-of-2 per query (same bursty-steal rationale as the replay)
         for name in BENCH_QUERIES:
             fn, _sql = REGISTRY[name]
-            t0 = time.time()
-            # noop write forces full plan execution without driver collect
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            q_secs[name] = round(time.time() - t0, 2)
+            best = None
+            for _rep in range(2):
+                t0 = time.time()
+                # noop write forces full plan execution, no driver collect
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                wall = time.time() - t0
+                best = wall if best is None else min(best, wall)
+            q_secs[name] = round(best, 2)
     q_secs["cdc_replay_mor"] = cdc["mor"]["apply_sec"]
     q_secs["cdc_replay_cow"] = cdc["cow"]["apply_sec"]
 

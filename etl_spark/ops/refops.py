@@ -677,3 +677,52 @@ LOOKAHEAD_DISCARD_SQL = """
         FROM events
     ) WHERE NOT (event_type = 'view' AND coalesce(next_type, '') = 'error')
 """
+
+
+# --- grouped-map session repair (applyInPandas — the sanctioned per-group
+#     escape hatch, SURVEY §2.10; reference: per-session snaplog repair
+#     loop, /root/reference/parser/ndt.go:210-309) ---------------------------
+
+def session_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user stream repair as a GROUPED-MAP: each user's events arrive
+    as one pandas DataFrame (Arrow batch), are re-ordered by (ts,
+    event_id), renumbered 0..n-1, and annotated with the value delta to
+    the previous event — the imperative per-group shape a real session
+    repairer (gap fill, resequencing) needs when window functions can't
+    express it. Vectorized inside the group (pandas ops, no Python row
+    loop); ONE shuffle on the group key, same as the window formulation
+    the oracle uses. At 100 TB the group key (user) is the unit of
+    parallelism — hot users are the skew risk, the same tradeoff the
+    window formulation has."""
+    import pandas as pd
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+
+    def repair(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        out = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "seq": pd.Series(range(len(pdf)), dtype="int32"),
+                "value_delta": (
+                    (pdf["value"] - pdf["value"].shift(1)).round(4).astype("float64")
+                ),
+            }
+        )
+        return out
+
+    return ev.groupBy("user_id").applyInPandas(
+        repair, schema="user_id long, event_id long, seq int, value_delta double"
+    )
+
+
+SESSION_REPAIR_SQL = """
+    SELECT user_id, event_id,
+           CAST(row_number() OVER w - 1 AS INTEGER) AS seq,
+           round(value - lag(value) OVER w, 4) AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

@@ -43,6 +43,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         refops.CANONICAL_BROADCAST_SQL,
     ),
     "hop_tree_flatten": (refops.hop_tree_flatten, refops.HOP_TREE_FLATTEN_SQL),
+    "session_repair": (refops.session_repair, refops.SESSION_REPAIR_SQL),
     "meta_snaplog_join": (refops.meta_snaplog_join, refops.META_SNAPLOG_JOIN_SQL),
     "lookahead_discard": (refops.lookahead_discard, refops.LOOKAHEAD_DISCARD_SQL),
     # --- star-schema analytics (joins/agg/top-k) ---

@@ -726,3 +726,53 @@ SESSION_REPAIR_SQL = """
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+# --- §2.8 unbase64 archive-filename decode (reference: DecodeFilename,
+#     /root/reference/etl/globals.go:377-394 — archive names carry
+#     base64-encoded metadata that the task parser decodes then splits) ----
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def archive_path_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the reference's encoded-filename convention: build the
+    archive path whose last segment is base64(lang|doc_id), then recover
+    the fields by unbase64 + split — pure codegen expressions (base64 /
+    regexp_extract / unbase64 / split), no UDF, fully pushdown-friendly."""
+    docs = _documents(spark, sf_dir)
+    payload = F.concat(F.col("lang"), F.lit("|"), F.col("doc_id").cast("string"))
+    path = F.concat(
+        F.col("source"), F.lit("/"),
+        F.base64(payload.cast("binary")), F.lit(".jsonl.gz"),
+    )
+    with_path = docs.select("doc_id", "lang", path.alias("archive_path"))
+    token = F.regexp_extract(F.col("archive_path"), r"/([^/]+)\.jsonl\.gz$", 1)
+    decoded = F.unbase64(token).cast("string")
+    return with_path.select(
+        "doc_id",
+        "archive_path",
+        F.split(decoded, r"\|").getItem(0).alias("dec_lang"),
+        F.split(decoded, r"\|").getItem(1).cast("long").alias("dec_doc_id"),
+        (F.split(decoded, r"\|").getItem(0) == F.col("lang")).alias("round_trip_ok"),
+    )
+
+
+ARCHIVE_PATH_DECODE_SQL = r"""
+    WITH p AS (
+        SELECT doc_id, lang,
+               source || '/' || base64(encode(lang || '|' || CAST(doc_id AS VARCHAR)))
+                      || '.jsonl.gz' AS archive_path
+        FROM documents
+    ), d AS (
+        SELECT *,
+               decode(from_base64(regexp_extract(archive_path, '/([^/]+)\.jsonl\.gz$', 1))) AS dec
+        FROM p
+    )
+    SELECT doc_id, archive_path,
+           string_split(dec, '|')[1] AS dec_lang,
+           CAST(string_split(dec, '|')[2] AS BIGINT) AS dec_doc_id,
+           string_split(dec, '|')[1] = lang AS round_trip_ok
+    FROM d
+"""

@@ -46,6 +46,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "session_repair": (refops.session_repair, refops.SESSION_REPAIR_SQL),
     "meta_snaplog_join": (refops.meta_snaplog_join, refops.META_SNAPLOG_JOIN_SQL),
     "lookahead_discard": (refops.lookahead_discard, refops.LOOKAHEAD_DISCARD_SQL),
+    "archive_path_decode": (refops.archive_path_decode, refops.ARCHIVE_PATH_DECODE_SQL),
     # --- star-schema analytics (joins/agg/top-k) ---
     "q1_pricing_summary": (tpch.q1_pricing_summary, tpch.Q1_SQL),
     "top_orders_by_revenue": (tpch.top_orders_by_revenue, tpch.TOP_ORDERS_SQL),

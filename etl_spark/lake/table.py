@@ -450,6 +450,19 @@ class LakeTable:
     def commit_log(self) -> dict[str, dict[str, Any]]:
         return self.manifest().commits
 
+    def describe(self) -> list[dict[str, Any]]:
+        """DESCRIBE TABLE: (name, type, nullable, comment) for the current
+        user schema plus the engine's system columns. Comments ride in
+        StructField metadata (reference: field descriptions propagated to
+        the warehouse schema, /root/reference/schema/schema.go:101-124)."""
+        from etl_spark.schema import describe_schema
+
+        rows = describe_schema(self.user_schema())
+        sys_rows = describe_schema(T.StructType(list(_SYSTEM_FIELDS)))
+        for r in sys_rows:
+            r["comment"] = r["comment"] or "engine system column"
+        return rows + sys_rows
+
     # ------------------------------------------------------- lineage/metrics
     def metrics_df(self, spark: SparkSession) -> DataFrame:
         """Per-batch metrics table (one row per applied batch), from the

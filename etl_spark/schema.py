@@ -14,13 +14,31 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 # --- user-facing transcript row (BASELINE.json input_hint) -----------------
+# Column comments ride in StructField metadata and survive schema evolution
+# — the analog of the reference propagating field Descriptions into the
+# warehouse schema (/root/reference/schema/schema.go:101-124).
+COLUMN_COMMENTS = {
+    "conv_id": "conversation id (merge key 1/2; bucket-partition column)",
+    "turn_idx": "0-based turn index within the conversation (merge key 2/2)",
+    "role": "speaker of the turn: system | user | assistant | tool",
+    "text": "turn payload text (per-turn equality is the replay invariant)",
+    "tool": "tool name when role='tool' or the turn carries a tool call",
+    "ts": "event commit time — last-writer-wins ordering, with op_seq tiebreak",
+}
+
+
+def _f(name: str, dtype: T.DataType, nullable: bool) -> T.StructField:
+    meta = {"comment": COLUMN_COMMENTS[name]} if name in COLUMN_COMMENTS else {}
+    return T.StructField(name, dtype, nullable, metadata=meta)
+
+
 TRANSCRIPT_FIELDS = [
-    T.StructField("conv_id", T.StringType(), False),
-    T.StructField("turn_idx", T.IntegerType(), False),
-    T.StructField("role", T.StringType(), True),
-    T.StructField("text", T.StringType(), True),
-    T.StructField("tool", T.StringType(), True),
-    T.StructField("ts", T.TimestampType(), True),
+    _f("conv_id", T.StringType(), False),
+    _f("turn_idx", T.IntegerType(), False),
+    _f("role", T.StringType(), True),
+    _f("text", T.StringType(), True),
+    _f("tool", T.StringType(), True),
+    _f("ts", T.TimestampType(), True),
 ]
 TRANSCRIPT_SCHEMA = T.StructType(TRANSCRIPT_FIELDS)
 
@@ -80,7 +98,10 @@ def evolve_schema(current: T.StructType, incoming: T.StructType) -> T.StructType
         elif cur.dataType == f.dataType:
             continue
         elif can_widen(cur.dataType, f.dataType):
-            out[[x.name for x in out].index(f.name)] = T.StructField(f.name, f.dataType, True)
+            # widen in place, carrying the column comment (metadata) forward
+            out[[x.name for x in out].index(f.name)] = T.StructField(
+                f.name, f.dataType, True, metadata=cur.metadata
+            )
         elif can_widen(f.dataType, cur.dataType):
             continue  # incoming is narrower; current already covers it
         else:
@@ -89,6 +110,21 @@ def evolve_schema(current: T.StructType, incoming: T.StructType) -> T.StructType
                 f"{cur.dataType.simpleString()} -> {f.dataType.simpleString()}"
             )
     return T.StructType(out)
+
+
+def describe_schema(schema: T.StructType) -> list[dict]:
+    """(name, type, nullable, comment) rows — the DESCRIBE TABLE surface
+    (reference: field descriptions propagated to the warehouse schema,
+    /root/reference/schema/schema.go:101-124)."""
+    return [
+        {
+            "name": f.name,
+            "type": f.dataType.simpleString(),
+            "nullable": f.nullable,
+            "comment": (f.metadata or {}).get("comment"),
+        }
+        for f in schema.fields
+    ]
 
 
 def schema_to_json(schema: T.StructType) -> str:

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "meta_snaplog_join",
     "lookahead_discard",
     "doc_shingle_jaccard",
+    "session_repair",
 ]
 # Excluded from the timed suite (correctness-only at sf0.01):
 #   cdc_replay_state — superseded by the dedicated throughput replay.

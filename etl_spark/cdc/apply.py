@@ -166,19 +166,31 @@ def replay_feed(
     fail_threshold: float = 0.10,
     late_watermark_sec: float | None = None,
     mode: str = "cow",
+    json_schema=None,
 ) -> list[MergeStats]:
     """Batch-mode replay of a feed directory (one subdir per binlog segment,
     lexicographic order = arrival order). Used by tests, bench, and as the
     debug single-archive path. Resumable by construction: already-committed
-    batches no-op via their input fingerprint."""
+    batches no-op via their input fingerprint.
+
+    Segments may be parquet (snappy/zstd/gzip — codec is transparent to the
+    scan) or gzip-compressed JSON-lines (``*.json.gz``), the wire shape of
+    the reference's archive feeds (gzip member files inside tar archives,
+    /root/reference/storage/storage.go:77-121). JSONL segments are read with
+    the explicit change-event schema (``json_schema``, default
+    ``CHANGE_SCHEMA``) — never schema inference, which would cost a second
+    pass over 100 TB and type timestamps as strings."""
     out: list[MergeStats] = []
     done = table.committed_segments()
+    _JSON_EXTS = (".json.gz", ".jsonl.gz", ".json", ".jsonl")
     for name in sorted(os.listdir(feed_dir)):
         d = os.path.join(feed_dir, name)
         if not os.path.isdir(d):
             continue
         files = sorted(
-            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") or f.endswith(_JSON_EXTS)
         )
         if not files:
             continue
@@ -188,7 +200,18 @@ def replay_feed(
             s.skipped_idempotent = True
             out.append(s)
             continue
-        df = spark.read.parquet(d)
+        if files[0].endswith(".parquet"):
+            df = spark.read.parquet(d)
+        else:
+            if json_schema is None:
+                from etl_spark.schema import CHANGE_SCHEMA as json_schema
+            df = (
+                spark.read.schema(json_schema)
+                # µs-precision timestamps (default JSON format is millis;
+                # LWW ordering is µs-sensitive)
+                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+                .json(files)
+            )
         out.append(
             apply_batch(
                 spark, table, df, bid, source_files=[name],

@@ -76,6 +76,44 @@ def lww_dedup_salted(batch: DataFrame, salt_buckets: int = 32) -> DataFrame:
     )
 
 
+def lww_dedup_clustered(batch: DataFrame, bucket_col: str = "__bucket") -> DataFrame:
+    """LWW dedup that shuffles ONCE on the table bucket instead of twice
+    (key-hash exchange for the aggregate + bucket exchange for the write).
+
+    Because key → bucket is functional (bucket = pmod(hash(conv_id), n)),
+    every duplicate of a key lands in the same bucket partition. Sorting the
+    partition by (key, ts DESC, op_seq DESC) makes the FIRST row of each key
+    run the last-writer winner; a lag() comparison over the same window
+    keeps exactly those rows. All JVM-side (exchange + sort + filter inside
+    whole-stage codegen, no Python), and the output is both clustered by
+    bucket AND sorted by key — the bucket write needs no second exchange,
+    and the per-bucket parquet files carry sorted key runs (tighter min/max
+    stats for the MOR read-time merge and snapshot scans).
+
+    Used on the append/MOR hot path where the deduped batch flows straight
+    to the bucket-partitioned write. The COW full-merge path keeps the
+    map-side-combining ``lww_dedup``: its join re-exchanges on the key
+    anyway, so the saved exchange does not exist there.
+
+    Skew: the exchange key is the bucket (≥64 hash-spread conversations per
+    value), not the conversation — a hot conversation costs one partition a
+    longer SORT, not a hot reducer for a hash aggregate. Same batch-size
+    scaling as the salted variant, without the second aggregation pass.
+    """
+    w = W.partitionBy(bucket_col).orderBy(
+        *[F.col(c) for c in KEY_COLS], F.col("ts").desc(), F.col("op_seq").desc()
+    )
+    prev = F.struct(*[F.lag(c).over(w).alias(c) for c in KEY_COLS])
+    cur = F.struct(*[F.col(c) for c in KEY_COLS])
+    # eqNullSafe: the first row of a partition sees a struct of NULL lags —
+    # plain != would evaluate to NULL and the filter would drop it
+    return (
+        batch.withColumn("__first", ~prev.eqNullSafe(cur))
+        .filter(F.col("__first"))
+        .drop("__first")
+    )
+
+
 def lww_dedup_window(batch: DataFrame) -> DataFrame:
     w = W.partitionBy(*KEY_COLS).orderBy(F.col("ts").desc(), F.col("op_seq").desc())
     return (

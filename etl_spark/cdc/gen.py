@@ -136,11 +136,20 @@ def write_feed(
     evolve_from_batch: int | None = None,
     n_batches: int | None = None,
     files_per_segment: int = 8,
+    fmt: str = "parquet",
+    codec: str | None = None,
 ) -> list[str]:
-    """Materialize the feed as one parquet directory per batch
+    """Materialize the feed as one directory per batch
     (``feed/batch=00042/``), simulating binlog segment arrival. Pre-evolution
     batches are written WITHOUT the evolved columns (they didn't exist yet).
     Returns the ordered list of batch directories.
+
+    ``fmt``: "parquet" (default) or "jsonl" — gzip-compressed JSON-lines
+    segments, the wire shape of the reference's archive feeds (tar.gz of
+    row files, /root/reference/storage/storage.go). ``codec`` overrides the
+    compression codec: for parquet "snappy"/"zstd"/"gzip" (zstd exercises
+    the pure-Java zstd-jni path — the S4 substrate), for jsonl "gzip"
+    (default) or "none".
 
     Each segment is split into ``files_per_segment`` parquet files so a
     consumer's scan stage parallelizes even for a single segment (a one-file
@@ -154,6 +163,24 @@ def write_feed(
     try:
         if n_batches is None:
             n_batches = feed.agg(F.max("batch")).collect()[0][0] + 1
+        if fmt == "jsonl":
+            dirs = []
+            for k in range(n_batches):
+                part = feed.filter(F.col("batch") == k).drop("batch")
+                if evolve_from_batch is not None and k < evolve_from_batch:
+                    part = part.drop(*EVOLVED_COLS)
+                d = os.path.join(feed_dir, f"batch={k:05d}")
+                (
+                    part.repartition(files_per_segment)
+                    .write.mode("overwrite")
+                    .option("compression", codec or "gzip")
+                    # default JSON timestamp format truncates to millis —
+                    # µs precision is load-bearing for LWW ordering
+                    .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+                    .json(d)
+                )
+                dirs.append(d)
+            return dirs
         if evolve_from_batch is None:
             # range-partition on (batch, mod) with the partition count
             # pinned to the combo count: round-1's hash repartition into
@@ -169,6 +196,7 @@ def write_feed(
                 )
                 .write.partitionBy("batch")
                 .mode("overwrite")
+                .option("compression", codec or "snappy")
                 .parquet(feed_dir)
             )
             dirs = []
@@ -193,7 +221,9 @@ def write_feed(
             d = os.path.join(feed_dir, f"batch={k:05d}")
             part.repartition(
                 max(1, part.sparkSession.sparkContext.defaultParallelism // 4)
-            ).write.mode("overwrite").parquet(d)
+            ).write.mode("overwrite").option(
+                "compression", codec or "snappy"
+            ).parquet(d)
             dirs.append(d)
         return dirs
     finally:

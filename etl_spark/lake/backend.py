@@ -68,7 +68,8 @@ class LakeBackend(Protocol):
                      buckets: list[int] | None = None,
                      reduced: bool | None = None) -> DataFrame: ...
     def write_bucket_files(self, storage_df: DataFrame, version_tag: str,
-                           schema_id: str | None = None) -> dict: ...
+                           schema_id: str | None = None,
+                           pre_clustered: bool = False) -> dict: ...
     def file_row_count(self, rel_path: str) -> int: ...
 
     # ---- atomic commit

@@ -207,12 +207,20 @@ def merge_into(
         return stats
 
     # ---- pass 2: LWW dedup + merge plan + bucket-partitioned write ----
-    from etl_spark.cdc.dedup import lww_dedup
-
-    deduped = lww_dedup(batch)
+    from etl_spark.cdc.dedup import lww_dedup, lww_dedup_clustered
 
     fast_append = not table.has_files(touched) or not any_seen
     mor_append = mode == "mor" and not fast_append
+    if fast_append or mor_append:
+        # Append path: dedup grouped by the TABLE BUCKET — one exchange
+        # total for the whole pass (dedup output is already clustered for
+        # the bucket-partitioned write), vs key-exchange + bucket-exchange
+        # for the aggregate formulation. Halves per-batch shuffle volume —
+        # at 10^10 events/day the dedup exchange IS the pipeline's largest
+        # recurring shuffle.
+        deduped = lww_dedup_clustered(batch, "__bucket")
+    else:
+        deduped = lww_dedup(batch)
     if fast_append or mor_append:
         # Append path: either pure insert PROVEN by the Bloom seen-set (no
         # batch key can exist in the table — zero write amplification, no
@@ -302,7 +310,10 @@ def merge_into(
 
     t1 = time.time()
     files = table.write_bucket_files(
-        to_write, version_tag=f"merge-v{batch_id[:12]}", schema_id=new_sid
+        to_write,
+        version_tag=f"merge-v{batch_id[:12]}",
+        schema_id=new_sid,
+        pre_clustered=fast_append or mor_append,
     )
     stats.phase_sec["write"] = round(time.time() - t1, 3)
     t2 = time.time()

@@ -642,19 +642,37 @@ class LakeTable:
         return str(len(m.schemas))
 
     def write_bucket_files(
-        self, storage_df: DataFrame, version_tag: str, schema_id: str | None = None
+        self,
+        storage_df: DataFrame,
+        version_tag: str,
+        schema_id: str | None = None,
+        pre_clustered: bool = False,
     ) -> dict[int, list[dict[str, Any]]]:
         """Write storage rows partitioned by bucket under a unique version
         dir; return the per-bucket file entries for the manifest. Files are
-        invisible until commit_version swaps the pointer."""
+        invisible until commit_version swaps the pointer.
+
+        ``pre_clustered``: the caller guarantees rows are already clustered
+        by bucket (e.g. the dedup exchange was keyed on the bucket), so the
+        write-side exchange is skipped — partitionBy then writes ~one file
+        per bucket straight from the incoming partitions."""
         m = self.manifest()
         sid = schema_id if schema_id is not None else m.current_schema_id
         vdir_rel = os.path.join("data", f"{version_tag}-{uuid.uuid4().hex[:8]}")
         vdir = os.path.join(self.path, vdir_rel)
         df = storage_df.withColumn("__bucket", self.bucket_expr())
-        # ~one file per bucket: cluster rows of a bucket into the same task
-        df = df.repartition(F.col("__bucket"))
-        df.write.partitionBy("__bucket").mode("overwrite").parquet(vdir)
+        if not pre_clustered:
+            # ~one file per bucket: cluster rows of a bucket into the same task
+            df = df.repartition(F.col("__bucket"))
+        # 32 MiB row groups: a task whose shuffle partition spans several
+        # buckets holds one open ParquetRecordWriter per bucket dir, and the
+        # default 128 MiB block buffer × open-writers × concurrent-tasks is
+        # exactly the heap spike that stalls small-heap executors mid-write
+        # (micro-batch delta files are bucket-sized, never 128 MiB row-group
+        # material; compaction rewrites them with default blocks later)
+        df.write.option("parquet.block.size", str(32 * 1024 * 1024)).partitionBy(
+            "__bucket"
+        ).mode("overwrite").parquet(vdir)
         out: dict[int, list[dict[str, Any]]] = {}
         if not os.path.isdir(vdir):
             return out

@@ -43,6 +43,40 @@ def _cpu_sample() -> tuple[int, int]:
     return steal, sum(vals)
 
 
+def _tree_cpu_jiffies(root_pid: int) -> int:
+    """utime+stime (+ reaped-children cutime/cstime) summed over the process
+    tree rooted at root_pid — driver JVM, executor JVMs, pyspark daemons.
+    Deltas of this around the timed window give ENGINE CPU-seconds, the
+    quantity the hypervisor cannot distort: this sandbox's steal is
+    anticorrelated with parallelism (measured: the 4N leg of every
+    interleaved pair draws 3-7% steal while the N leg draws ~0.2%), so
+    wall-clock pairs systematically under-state scaling. events per
+    CPU-second at N vs 4N is the scale-invariant control."""
+    kids: dict[int, list[int]] = {}
+    stat: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        rest = s[s.rindex(")") + 2:].split()  # comm may contain spaces
+        pid = int(d)
+        kids.setdefault(int(rest[1]), []).append(pid)
+        stat[pid] = (int(rest[11]) + int(rest[12]), int(rest[13]) + int(rest[14]))
+    total, seen, stack = 0, set(), [root_pid]
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in stat:
+            continue
+        seen.add(p)
+        total += stat[p][0] + stat[p][1]
+        stack.extend(kids.get(p, []))
+    return total
+
+
 def child(feed_dir: str, spec: str, mode: str) -> None:
     """spec: "t<N>" = local[N] threads in one JVM; "x<N>" or "x<N>c<C>" =
     N executor JVMs x C cores (default 8) via local-cluster (the
@@ -73,7 +107,7 @@ def child(feed_dir: str, spec: str, mode: str) -> None:
         spark = get_spark(
             executors=num,
             executor_cores=exec_cores,
-            executor_mem_mb=10240,  # 6g heap + overhead headroom
+            executor_mem_mb=12288,  # 8g heap + overhead headroom
             app_name=f"scaling_{spec}",
             extra_conf={"spark.local.dir": workdir},
         )
@@ -117,11 +151,14 @@ def child(feed_dir: str, spec: str, mode: str) -> None:
         cpu_rate = ncpu / (time.time() - tc)
 
         s0, t0j = _cpu_sample()
+        j0 = _tree_cpu_jiffies(os.getpid())
         t0 = time.time()
         stats = replay_feed(spark, table, feed_dir, mode=mode)
         wall = time.time() - t0
+        j1 = _tree_cpu_jiffies(os.getpid())
         s1, t1j = _cpu_sample()
         steal_frac = (s1 - s0) / max(1, t1j - t0j)
+        cpu_sec = (j1 - j0) / os.sysconf("SC_CLK_TCK")
         events = sum(s.events_in for s in stats)
         print(
             json.dumps(
@@ -133,7 +170,14 @@ def child(feed_dir: str, spec: str, mode: str) -> None:
                     "events": events,
                     "events_per_sec": round(events / wall, 1),
                     "batch_walls": [round(s.wall_sec, 2) for s in stats],
+                    "batch_phases": [
+                        {k: round(v, 2) for k, v in s.phase_sec.items()}
+                        for s in stats
+                    ],
                     "host_steal_frac": round(steal_frac, 3),
+                    "engine_cpu_sec": round(cpu_sec, 1),
+                    "events_per_cpu_sec": round(events / max(0.01, cpu_sec), 1),
+                    "cpu_util_frac": round(cpu_sec / (wall * cores), 3),
                     "cpu_probe_rows_per_sec": round(cpu_rate, 0),
                 }
             )
@@ -210,6 +254,17 @@ def main() -> None:
             feed, feed_dir, n_batches=args.segments, files_per_segment=n_files,
         )
         spark.stop()
+        # stop() ends the SparkContext but the 24g-heap gateway JVM lives
+        # until this process exits — kill it so it can't hold RSS / burn GC
+        # cycles alongside the timed children
+        try:
+            from pyspark import SparkContext
+
+            SparkContext._gateway.shutdown()  # type: ignore[union-attr]
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+        except Exception:
+            pass
 
         if args.unit == "executors":
             suffix = f"c{args.exec_cores}" if args.exec_cores != 8 else ""
@@ -246,6 +301,17 @@ def main() -> None:
         eff = (best[n4]["events_per_sec"] / best[n]["events_per_sec"]) / 4.0
         cpu_best = {c: max(r["cpu_probe_rows_per_sec"] for r in rs) for c, rs in results.items()}
         hw_eff = (cpu_best[n4] / cpu_best[n]) / 4.0
+        # events per engine-CPU-second: flat N→4N ⇒ the engine adds no
+        # per-core overhead with scale — wall-clock efficiency on a real
+        # (non-overcommitted) cluster is then bounded by cluster health,
+        # not the engine. Best-of-k per level, like the wall rates.
+        ecs_best = {
+            c: max(r.get("events_per_cpu_sec", 0) for r in rs)
+            for c, rs in results.items()
+        }
+        cpu_work_eff = (
+            round(ecs_best[n4] / ecs_best[n], 3) if ecs_best[n] else None
+        )
         print(
             json.dumps(
                 {
@@ -264,6 +330,9 @@ def main() -> None:
                     "best_pair_efficiency": max(pair_effs) if pair_effs else None,
                     "hw_ceiling_efficiency": round(hw_eff, 3),
                     "normalized_efficiency": round(eff / hw_eff, 3) if hw_eff else None,
+                    "events_per_cpu_sec_n": ecs_best[n],
+                    "events_per_cpu_sec_4n": ecs_best[n4],
+                    "cpu_work_efficiency": cpu_work_eff,
                     "all_runs": {str(c): rs for c, rs in results.items()},
                 }
             )

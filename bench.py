@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "lookahead_discard",
     "doc_shingle_jaccard",
     "session_repair",
+    "type_day_rollup",
+    "stratified_sample",
+    "doc_top_terms",
+    "doc_dup_groups",
 ]
 # Excluded from the timed suite (correctness-only at sf0.01):
 #   cdc_replay_state — superseded by the dedicated throughput replay.

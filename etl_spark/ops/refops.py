@@ -776,3 +776,68 @@ ARCHIVE_PATH_DECODE_SQL = r"""
            string_split(dec, '|')[1] = lang AS round_trip_ok
     FROM d
 """
+
+
+# --- grouping-sets rollup (multi-level aggregate in ONE pass) ----------------
+# ROLLUP(event_type, day) computes per-(type, day), per-type, and grand
+# totals in a single hash aggregate with map-side partials — one shuffle
+# instead of three for the three levels (the reference materializes its
+# daily and all-time counters as separate passes over the metrics stream,
+# /root/reference/metrics/metrics.go). grp disambiguates the NULL-key
+# levels (Spark grouping_id == DuckDB GROUPING bitmask, highest bit =
+# first column). Day is emitted as a yyyy-MM-dd STRING so both engines
+# agree on the type exactly.
+
+def type_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return ev.rollup(F.col("event_type"), day).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.grouping_id().cast("int").alias("grp"),
+    )
+
+
+TYPE_DAY_ROLLUP_SQL = """
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS INTEGER) AS grp
+    FROM events
+    GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+
+# --- deterministic stratified sampling ---------------------------------------
+# Fixed-size uniform sample PER STRATUM (event_type), deterministic across
+# engines and runs: rank rows inside each stratum by a hash of the row key
+# and keep the first K. One shuffle on the stratum key; the per-partition
+# sort is bounded by the stratum size. At 100 TB strata are huge — the
+# same plan holds because Spark's window sort spills, but the cheaper
+# production variant is a two-phase top-k (partial per-partition top-K,
+# then merge), identical in shape to top_events_per_user.
+
+SAMPLE_K = 50
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    h = F.md5(F.col("event_id").cast("string"))
+    w = W.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("samp_rank", F.row_number().over(w))
+        .filter(F.col("samp_rank") <= SAMPLE_K)
+        .select("event_id", "event_type", "samp_rank")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+    SELECT event_id, event_type, samp_rank FROM (
+        SELECT event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS samp_rank
+        FROM events
+    ) WHERE samp_rank <= {SAMPLE_K}
+"""

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 N_MINHASH = 64         # minhash signature length
 N_BANDS = 32           # LSH bands (2 hashes per band)
@@ -596,4 +596,138 @@ DOC_FIELD_ZIP_SQL = f"""
     SELECT doc_id, 'f' || CAST(i AS VARCHAR) AS field, w[i] AS word
     FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents),
          unnest(generate_series(1, least(len(w), 4))) AS t(i)
+"""
+
+
+# --- duplicate-cluster canonicalization (connected components) ---------------
+# The production step AFTER near-dup pair detection: group transitive
+# duplicates into clusters and keep one canonical doc per cluster
+# (cluster_id = min doc_id reachable through verified MinHash pairs).
+# Spark: iterative min-label propagation — a driver LOOP whose every step
+# is a distributed equi-join + hash-aggregate (never a collect of row
+# data); lineage is truncated per step with localCheckpoint so plans stay
+# O(1) deep. Converges in O(component diameter) steps — near-dup clusters
+# are shallow (duplicates of one source), so 2-4 steps in practice. At
+# 100 TB the same loop holds (each step is one shuffle keyed by doc_id);
+# for adversarially long chains swap the step body for the
+# large-star/small-star alternation (Kiveris et al., "Connected
+# Components in MapReduce"), which is the identical join shape with
+# O(log n) convergence.
+
+def doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = doc_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)  # pairs plan is wide; compute it once
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _step in range(32):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "old")
+            .join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("old", F.coalesce("nbr_min", "old")).alias("label"),
+                "old",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels.select("doc_id", "label")
+        if changed == 0:
+            break
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce("label", F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_canonical"
+        ),
+    )
+
+
+DOC_DUP_GROUPS_SQL = f"""
+    WITH RECURSIVE pairs AS ({DOC_MINHASH_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT d.doc_id,
+           coalesce(c.cl, d.doc_id) AS cluster_id,
+           coalesce(c.cl, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d
+    LEFT JOIN (SELECT a, least(a, min(b)) AS cl FROM reach GROUP BY a) c
+      ON c.a = d.doc_id
+"""
+
+
+# --- TF-IDF-style top terms per document -------------------------------------
+# Two hash aggregates (term frequency per doc, then document frequency per
+# term — both with map-side partials) + one join + per-doc top-k window.
+# The df side scales with VOCABULARY, not corpus rows, so AQE picks its
+# join strategy (broadcast while it fits, shuffle beyond). Ranking is by
+# (tf DESC, df ASC, term ASC) — integer-deterministic, no float scores to
+# drift between engines; consumers get (tf, df) and can apply any idf
+# formula downstream.
+
+N_TOP_TERMS = 3
+
+
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_words(_docs(spark, sf_dir))
+    terms = docs.select("doc_id", F.explode("__words").alias("term")).filter(
+        (F.col("term") != "") & ~F.col("term").isin(_STOPWORDS)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    rank = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(
+            F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+        )
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", rank)
+        .filter(F.col("rank") <= N_TOP_TERMS)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+_STOP_LIST_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+DOC_TOP_TERMS_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, unnest(w) AS term
+        FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents)
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM t
+        WHERE term <> '' AND term NOT IN ({_STOP_LIST_SQL})
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id, term, tf, df, rank FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC)
+                   AS rank
+        FROM tf JOIN dfreq USING (term)
+    ) WHERE rank <= {N_TOP_TERMS}
 """

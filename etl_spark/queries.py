@@ -47,6 +47,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "meta_snaplog_join": (refops.meta_snaplog_join, refops.META_SNAPLOG_JOIN_SQL),
     "lookahead_discard": (refops.lookahead_discard, refops.LOOKAHEAD_DISCARD_SQL),
     "archive_path_decode": (refops.archive_path_decode, refops.ARCHIVE_PATH_DECODE_SQL),
+    "type_day_rollup": (refops.type_day_rollup, refops.TYPE_DAY_ROLLUP_SQL),
+    "stratified_sample": (refops.stratified_sample, refops.STRATIFIED_SAMPLE_SQL),
     # --- star-schema analytics (joins/agg/top-k) ---
     "q1_pricing_summary": (tpch.q1_pricing_summary, tpch.Q1_SQL),
     "top_orders_by_revenue": (tpch.top_orders_by_revenue, tpch.TOP_ORDERS_SQL),
@@ -67,6 +69,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_token_count": (textops.doc_token_count, textops.DOC_TOKEN_COUNT_SQL),
     "doc_oversize_guard": (textops.doc_oversize_guard, textops.DOC_OVERSIZE_GUARD_SQL),
     "doc_field_zip": (textops.doc_field_zip, textops.DOC_FIELD_ZIP_SQL),
+    "doc_dup_groups": (textops.doc_dup_groups, textops.DOC_DUP_GROUPS_SQL),
+    "doc_top_terms": (textops.doc_top_terms, textops.DOC_TOP_TERMS_SQL),
     # --- similarity search over embeddings ---
     "emb_cosine_topk": (simsearch.emb_cosine_topk, simsearch.EMB_COSINE_TOPK_SQL),
     "emb_knn_label": (simsearch.emb_knn_label, simsearch.EMB_KNN_LABEL_SQL),

@@ -614,13 +614,14 @@ DOC_FIELD_ZIP_SQL = f"""
 # Components in MapReduce"), which is the identical join shape with
 # O(log n) convergence.
 
-def doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id")
-    pairs = doc_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+def connected_components_labels(pairs: DataFrame, max_steps: int = 32) -> DataFrame:
+    """(doc_a, doc_b) undirected pair list → (doc_id, label) where label is
+    the min doc_id of the connected component. Min-label propagation; see
+    the block comment above for the plan-shape and convergence story."""
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
         .toDF("src", "dst")
-        .localCheckpoint(eager=True)  # pairs plan is wide; compute it once
+        .localCheckpoint(eager=True)  # pairs plan may be wide; compute once
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
@@ -628,7 +629,7 @@ def doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _step in range(32):
+    for _step in range(max_steps):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
@@ -648,6 +649,13 @@ def doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
+    return labels
+
+
+def doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = doc_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components_labels(pairs)
     return docs.join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce("label", F.col("doc_id")).alias("cluster_id"),

@@ -42,7 +42,13 @@ def get_spark(
     if executors is not None:
         total = executors * executor_cores
         if shuffle_partitions is None:
-            shuffle_partitions = max(total, 8)
+            # 4 waves of reduce tasks per stage: the dedup/window exchange
+            # keys on the table bucket, and Zipf-hot buckets straggle if the
+            # stage is a single wave (measured: 0.55 core utilization at
+            # 1 wave; multi-wave scheduling backfills the idle cores).
+            # AQE's parallelismFirst keeps this count (it only coalesces
+            # below-1-MiB slivers).
+            shuffle_partitions = max(4 * total, 16)
         master = f"local-cluster[{executors},{executor_cores},{executor_mem_mb}]"
         # executor JVMs spawn their own Python workers, which must be able
         # to import this package (the local analog of --py-files)
@@ -90,6 +96,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # CDC inputs live in object storage (no data locality exists) and
+        # lake buckets are hash-placed, so a 3 s locality wait per task is
+        # pure scheduling stall — measured: multi-second "scan" phases on
+        # multi-executor runs whose map work is <1 s. Standard setting for
+        # storage-disaggregated clusters.
+        .config("spark.locality.wait", "0s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

@@ -109,7 +109,17 @@ def child(feed_dir: str, spec: str, mode: str) -> None:
             executor_cores=exec_cores,
             executor_mem_mb=12288,  # 8g heap + overhead headroom
             app_name=f"scaling_{spec}",
-            extra_conf={"spark.local.dir": workdir},
+            extra_conf={
+                "spark.local.dir": workdir,
+                # shuffle files live on tmpfs here (RAM): lz4 on the
+                # cross-executor shuffle is pure CPU overhead with zero
+                # I/O to save — and that CPU bills asymmetrically to the
+                # multi-executor level (the 1-executor level shuffles
+                # intra-JVM). A real cluster keeps compression for real
+                # network; this harness measures engine scaling, not lz4.
+                "spark.shuffle.compress": "false",
+                "spark.shuffle.spill.compress": "false",
+            },
         )
     else:
         cores = num
@@ -220,6 +230,15 @@ def main() -> None:
                          "writes to parallel object storage, so disk-noise-"
                          "free RAM backing is the faithful stand-in for "
                          "measuring COMPUTE scaling")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset-pin each child to EXACTLY its core budget "
+                         "(N level → N*C host CPUs, 4N level → 4*N*C). "
+                         "Without pinning the small level cheats: its "
+                         "driver JVM + GC/netty/py4j threads spill onto "
+                         "idle host cores (measured cpu_util_frac 1.37 on "
+                         "a nominal 2-core run), deflating the N→4N ratio. "
+                         "Pinning is the same-host stand-in for container "
+                         "CPU limits on a real cluster")
     ap.add_argument("--child", nargs=3, metavar=("FEED_DIR", "SPEC", "MODE"))
     args = ap.parse_args()
 
@@ -274,10 +293,23 @@ def main() -> None:
         results: dict[str, list[dict]] = {sp: [] for sp in specs}
         pair_effs: list[float] = []
         # interleave levels so both sample comparable host-contention windows
+        def _cores_of(sp: str) -> int:
+            unit, rest = sp[0], sp[1:]
+            if unit == "x" and "c" in rest:
+                n_part, c_part = rest.split("c", 1)
+                return int(n_part) * int(c_part)
+            return int(rest) * (8 if unit == "x" else 1)
+
         for _rep in range(args.reps):
             for sp in specs:
+                cmd = [sys.executable, os.path.abspath(__file__), "--child", feed_dir, sp, args.mode]
+                if args.pin:
+                    # executor budget + 2 driver CPUs (a real cluster runs
+                    # the driver on its own node; both levels get the same
+                    # driver allowance so it cancels in the ratio)
+                    cmd = ["taskset", "-c", f"0-{_cores_of(sp) + 1}"] + cmd
                 out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--child", feed_dir, sp, args.mode],
+                    cmd,
                     capture_output=True,
                     text=True,
                     cwd=REPO,

@@ -138,8 +138,12 @@ def child(feed_dir: str, spec: str, mode: str) -> None:
         from etl_spark.cdc.gen import change_feed_df, write_feed
 
         wf = os.path.join(work, "warmfeed")
+        # sized so EVERY executor JVM sees enough rows to fully JIT the
+        # merge pipeline (200k split across 4 executors left the 4N level
+        # paying a ~1.1s first-batch codegen residual — ~7% of its wall)
         write_feed(
-            change_feed_df(spark, n_events=200_000, n_convs=2000, max_turns=32,
+            change_feed_df(spark, n_events=150_000 * max(1, num if unit == "x" else 1),
+                           n_convs=6000, max_turns=32,
                            seed=7, n_batches=2, text_len=240),
             wf, n_batches=2, files_per_segment=max(8, cores),
         )
@@ -239,6 +243,17 @@ def main() -> None:
                          "a nominal 2-core run), deflating the N→4N ratio. "
                          "Pinning is the same-host stand-in for container "
                          "CPU limits on a real cluster")
+    ap.add_argument("--concurrent", action="store_true",
+                    help="run the N and 4N children SIMULTANEOUSLY on "
+                         "disjoint pinned core sets (implies --pin). This "
+                         "host drifts through multi-minute fast/slow "
+                         "hypervisor windows (measured: the same child "
+                         "varies 16x between windows), so sequential "
+                         "interleaving compares legs measured minutes "
+                         "apart; concurrent disjoint pinning makes both "
+                         "levels sample the IDENTICAL window — the "
+                         "fair-comparison analog of two cluster sizes "
+                         "running side by side")
     ap.add_argument("--child", nargs=3, metavar=("FEED_DIR", "SPEC", "MODE"))
     args = ap.parse_args()
 
@@ -300,27 +315,56 @@ def main() -> None:
                 return int(n_part) * int(c_part)
             return int(rest) * (8 if unit == "x" else 1)
 
+        def _parse_child(stdout: str) -> dict:
+            line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
+            return json.loads(line)
+
         for _rep in range(args.reps):
-            for sp in specs:
-                cmd = [sys.executable, os.path.abspath(__file__), "--child", feed_dir, sp, args.mode]
-                if args.pin:
-                    # executor budget + 2 driver CPUs (a real cluster runs
-                    # the driver on its own node; both levels get the same
-                    # driver allowance so it cancels in the ratio)
-                    cmd = ["taskset", "-c", f"0-{_cores_of(sp) + 1}"] + cmd
-                out = subprocess.run(
-                    cmd,
-                    capture_output=True,
-                    text=True,
-                    cwd=REPO,
-                    check=True,
-                )
-                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-                r = json.loads(line)
-                results[sp].append(r)
-                print(f"  {sp} rep: {r['apply_sec']}s "
-                      f"({r['events_per_sec']} ev/s, steal={r['host_steal_frac']})",
-                      file=sys.stderr)
+            if args.concurrent:
+                # both levels run at once on DISJOINT pinned cores, each
+                # with its own feed copy (same bytes — tmpfs reads are
+                # contention-free) so they share nothing but the host window
+                procs = []
+                base = 0
+                for sp in specs:
+                    budget = _cores_of(sp) + 2
+                    cmd = ["taskset", "-c", f"{base}-{base + budget - 1}",
+                           sys.executable, os.path.abspath(__file__),
+                           "--child", feed_dir, sp, args.mode]
+                    base += budget
+                    procs.append(subprocess.Popen(
+                        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                        text=True, cwd=REPO,
+                    ))
+                for sp, p in zip(specs, procs):
+                    stdout, _ = p.communicate()
+                    if p.returncode != 0:
+                        raise RuntimeError(f"child {sp} failed")
+                    r = _parse_child(stdout)
+                    results[sp].append(r)
+                    print(f"  {sp} rep: {r['apply_sec']}s "
+                          f"({r['events_per_sec']} ev/s, steal={r['host_steal_frac']})",
+                          file=sys.stderr)
+            else:
+                for sp in specs:
+                    cmd = [sys.executable, os.path.abspath(__file__), "--child", feed_dir, sp, args.mode]
+                    if args.pin:
+                        # executor budget + 2 driver CPUs (a real cluster runs
+                        # the driver on its own node; both levels get the same
+                        # driver allowance so it cancels in the ratio)
+                        cmd = ["taskset", "-c", f"0-{_cores_of(sp) + 1}"] + cmd
+                    out = subprocess.run(
+                        cmd,
+                        capture_output=True,
+                        text=True,
+                        cwd=REPO,
+                        check=True,
+                    )
+                    r = _parse_child(out.stdout)
+                    results[sp].append(r)
+                    print(f"  {sp} rep: {r['apply_sec']}s "
+                          f"({r['events_per_sec']} ev/s, steal={r['host_steal_frac']})",
+                          file=sys.stderr)
             pe = (results[specs[1]][-1]["events_per_sec"]
                   / results[specs[0]][-1]["events_per_sec"]) / 4.0
             pair_effs.append(round(pe, 3))

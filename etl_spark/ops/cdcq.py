@@ -167,3 +167,47 @@ def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = LakeTable.create(os.path.join(work, "lake"), user_schema, n_buckets=16)
     replay_feed(spark, table, feed_dir)
     return table.read(spark).select(*FINAL_COLS)
+
+
+STREAM_STATS_SQL = f"""
+    WITH feed AS ({FEED_SQL})
+    SELECT conv_id,
+           count(*) AS events_seen,
+           max(turn_idx) AS max_turn,
+           max(ts) AS last_ts
+    FROM feed GROUP BY conv_id
+"""
+
+
+def cdc_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful STREAMING path (SURVEY §2.9): the derived feed is split
+    into 3 binlog segments × 2 files and drained through
+    ``conv_running_stats`` (applyInPandasWithState) with
+    maxFilesPerTrigger=2, so per-conversation counters MUST survive ≥3
+    micro-batch boundaries; the latest emission per conversation is
+    returned and must equal the global batch aggregate (the oracle) —
+    trigger-count-independent by construction. Reference analog:
+    per-session state carried across the input scan
+    (/root/reference/parser/ndt.go:210-309)."""
+    from etl_spark.cdc.gen import write_feed
+    from etl_spark.cdc.stateful import conv_running_stats
+
+    feed = change_feed_from_events(spark, sf_dir).withColumn(
+        "batch", F.pmod(F.col("op_seq"), F.lit(3)).cast("int")
+    )
+    work = tempfile.mkdtemp(prefix="etl_spark_stream_stats_")
+    feed_dir = os.path.join(work, "feed")
+    write_feed(feed, feed_dir, n_batches=3, files_per_segment=2)
+    out_dir = os.path.join(work, "out")
+    conv_running_stats(
+        spark, feed_dir, os.path.join(work, "ckpt"), out_dir,
+        max_files_per_trigger=2,
+    )
+    out = spark.read.parquet(out_dir)
+    last = out.groupBy("conv_id").agg(F.max("emit_seq").alias("emit_seq"))
+    return out.join(last, ["conv_id", "emit_seq"]).select(
+        "conv_id",
+        "events_seen",
+        "max_turn",
+        F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
+    )

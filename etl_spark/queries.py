@@ -22,6 +22,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_lww_salted": (cdcq.cdc_lww_salted, cdcq.LWW_STATE_SQL),
     "cdc_replay_state": (cdcq.cdc_replay_state, cdcq.LWW_STATE_SQL),
     "cdc_dispositions": (cdcq.cdc_dispositions, cdcq.DISPOSITIONS_SQL),
+    "cdc_stream_stats": (cdcq.cdc_stream_stats, cdcq.STREAM_STATS_SQL),
     # --- reference dataflow operators (SURVEY §2.3/§2.4/§2.6) ---
     "last_event_summary": (refops.last_event_summary, refops.LAST_EVENT_SUMMARY_SQL),
     "snapshot_thinning": (refops.snapshot_thinning, refops.SNAPSHOT_THINNING_SQL),

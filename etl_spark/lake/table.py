@@ -357,13 +357,18 @@ class LakeTable:
         new_watermark_us: int | None = None,
         needs_reduce: bool | None = None,
         input_files: list[str] | None = None,
+        drop_bloom: bool = False,
     ) -> Manifest:
         """Swap in a new snapshot: touched buckets get their file lists
         REPLACED (copy-on-write) — or APPENDED when the merge proved the
         batch pure-insert via the Bloom seen-set (merge-on-read-style
         append, zero write amplification). ``new_bloom`` (a BloomFilter)
         is persisted as a sidecar BEFORE the pointer swap so the manifest
-        never references a missing file."""
+        never references a missing file. ``drop_bloom`` removes the
+        seen-set reference instead: the fused merge-on-read path appends
+        without scanning for membership, so the stored bloom no longer
+        covers the table's keys — dropping it makes the staleness explicit
+        (the next copy-on-write merge or compaction rebuilds it)."""
         m = self.manifest()
         files = dict(m.files)
         for b in touched_buckets:
@@ -395,7 +400,7 @@ class LakeTable:
                     f: b for f, b in inputs_map.items()
                     if f.split("/", 1)[0] not in done
                 }
-        bloom_meta = m.bloom
+        bloom_meta = None if drop_bloom else m.bloom
         if new_bloom is not None:
             from etl_spark.cdc.bloom import BLOOM_ALGO
 

@@ -130,7 +130,14 @@ def child(feed_dir: str, spec: str, mode: str) -> None:
         )
     work = tempfile.mkdtemp(prefix=f"scaling_lake_{spec}_", dir=workdir)
     try:
-        table = LakeTable.create(os.path.join(work, "lake"), TRANSCRIPT_SCHEMA, n_buckets=64)
+        # bucket count: the dedup exchange keys on the bucket; more buckets
+        # average out per-reduce-task Poisson load variance but cost one
+        # parquet writer init per bucket per batch — measured: 256 buckets
+        # LOST 17% throughput to writer setup vs 64. 64 is the sweet spot
+        # at this batch size; a 10^10-event table would raise buckets AND
+        # batch size together to keep ~64 MB per bucket-file.
+        n_buckets = int(os.environ.get("SCALING_N_BUCKETS", "64"))
+        table = LakeTable.create(os.path.join(work, "lake"), TRANSCRIPT_SCHEMA, n_buckets=n_buckets)
         # warmup: a small feed replayed through the SAME code paths first —
         # pays JIT/codegen compilation, heap page-faults, Python worker
         # imports, and parquet writer init, so none of it is billed to the

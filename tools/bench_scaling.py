@@ -204,7 +204,38 @@ def child(feed_dir: str, spec: str, mode: str) -> None:
             )
         )
     finally:
+        # stop the session EXPLICITLY: without it the driver + local-cluster
+        # master/worker/executor JVMs outlive this python process by many
+        # seconds (reconnect retries, GC), and the harness launches the next
+        # leg <1s later PINNED TO THE SAME CORES — measured: back-to-back
+        # legs ran 3-6x slower than identical spaced-out manual runs until
+        # this landed
+        try:
+            spark.stop()
+        except Exception:
+            pass
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _wait_jvm_drain(timeout_sec: float = 45.0) -> None:
+    """Block until no java process of a prior leg survives (see child())."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_sec:
+        alive = 0
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/comm") as f:
+                    if f.read().strip() == "java":
+                        alive += 1
+            except OSError:
+                continue
+        if alive == 0:
+            return
+        time.sleep(0.5)
+    print(f"  warning: {alive} java procs still alive after {timeout_sec}s",
+          file=sys.stderr)
 
 
 def main() -> None:
@@ -295,9 +326,12 @@ def main() -> None:
             feed, feed_dir, n_batches=args.segments, files_per_segment=n_files,
         )
         spark.stop()
-        # stop() ends the SparkContext but the 24g-heap gateway JVM lives
-        # until this process exits — kill it so it can't hold RSS / burn GC
-        # cycles alongside the timed children
+        # stop() ends the SparkContext but the gateway JVM lives on — and
+        # py4j's gateway.shutdown() does NOT reliably kill it either:
+        # measured, the orphaned 17 GB-RSS gen JVM spun at ~80-160% CPU,
+        # UNPINNED, for the entire harness run, poisoning every timed leg
+        # (harness legs ran 3-6x slower than identical spaced-out manual
+        # runs until this landed). SIGKILL our own java children outright.
         try:
             from pyspark import SparkContext
 
@@ -306,6 +340,22 @@ def main() -> None:
             SparkContext._jvm = None
         except Exception:
             pass
+        import signal
+
+        me = os.getpid()
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    s = f.read()
+                comm = s[s.index("(") + 1:s.rindex(")")]
+                ppid = int(s[s.rindex(")") + 2:].split()[1])
+                if comm == "java" and ppid == me:
+                    os.kill(int(d), signal.SIGKILL)
+            except (OSError, ValueError):
+                continue
+        _wait_jvm_drain()
 
         if args.unit == "executors":
             suffix = f"c{args.exec_cores}" if args.exec_cores != 8 else ""
@@ -333,6 +383,7 @@ def main() -> None:
                 # contention-free) so they share nothing but the host window
                 procs = []
                 base = 0
+                _wait_jvm_drain()  # a prior rep's JVMs must be gone
                 for sp in specs:
                     budget = _cores_of(sp) + 2
                     cmd = ["taskset", "-c", f"{base}-{base + budget - 1}",
@@ -354,6 +405,7 @@ def main() -> None:
                           file=sys.stderr)
             else:
                 for sp in specs:
+                    _wait_jvm_drain()  # a prior leg's JVMs must be gone
                     cmd = [sys.executable, os.path.abspath(__file__), "--child", feed_dir, sp, args.mode]
                     if args.pin:
                         # executor budget + 2 driver CPUs (a real cluster runs

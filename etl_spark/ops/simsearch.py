@@ -124,25 +124,35 @@ EMB_COSINE_TOPK_SQL = f"""
 
 def emb_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _quantized(_emb(spark, sf_dir)).select("vec_id", "label", "__q", "__nsq")
-    hashed = e.select(
-        "vec_id", "label", "__q", "__nsq",
-        F.explode(_band_cols_spark(KNN_BANDS, KNN_BITS)).alias("bb"),
-    ).select("vec_id", "label", "__q", "__nsq", "bb.band", "bb.bucket")
-    a = hashed.select(
-        F.col("vec_id").alias("q_id"), F.col("__q").alias("qv"),
-        F.col("__nsq").alias("qn"), "band", "bucket",
-    )
-    b = hashed.select(
-        F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label"),
-        F.col("__q").alias("cv"), F.col("__nsq").alias("cn"), "band", "bucket",
-    )
+    # Band join on IDS ONLY: the exchange under the candidate join carries
+    # (vec_id, band, bucket) — three longs — not the 64-long quantized
+    # vectors. Vectors are fetched AFTER the pair dedup, one hash join per
+    # side, so vector bytes cross the wire once per surviving pair instead
+    # of once per (band × bucket-mate).
+    bb = e.select(
+        "vec_id", F.explode(_band_cols_spark(KNN_BANDS, KNN_BITS)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bucket")
+    a = bb.select(F.col("vec_id").alias("q_id"), "band", "bucket")
+    b = bb.select(F.col("vec_id").alias("cand_id"), "band", "bucket")
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id")
         .dropDuplicates(["q_id", "cand_id"])  # OR over bands
     )
+    qv = e.select(
+        F.col("vec_id").alias("q_id"), F.col("__q").alias("qv"),
+        F.col("__nsq").alias("qn"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label"),
+        F.col("__q").alias("cv"), F.col("__nsq").alias("cn"),
+    )
     cos = _cos(_dot("qv", "cv"), "qn", "cn")
-    scored = pairs.select("q_id", "cand_id", "cand_label", cos.alias("__cos"))
+    scored = (
+        pairs.join(qv, "q_id").join(cv, "cand_id")
+        .select("q_id", "cand_id", "cand_label", cos.alias("__cos"))
+    )
     w = W.partitionBy("q_id").orderBy(F.col("__cos").desc(), F.col("cand_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -190,26 +200,31 @@ def _knn_label_sql() -> str:
 
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _quantized(_emb(spark, sf_dir)).select("vec_id", "__q", "__nsq")
-    hashed = e.select(
-        "vec_id", "__q", "__nsq",
-        F.explode(_band_cols_spark(NEARDUP_BANDS, NEARDUP_BITS)).alias("bb"),
-    ).select("vec_id", "__q", "__nsq", "bb.band", "bb.bucket")
-    a = hashed.select(
-        F.col("vec_id").alias("vec_a"), F.col("__q").alias("qa"),
-        F.col("__nsq").alias("na"), "band", "bucket",
-    )
-    b = hashed.select(
-        F.col("vec_id").alias("vec_b"), F.col("__q").alias("qb"),
-        F.col("__nsq").alias("nb"), "band", "bucket",
-    )
+    # Same ids-only band join as emb_knn_label: vectors join in after the
+    # pair dedup, not through the band explode.
+    bb = e.select(
+        "vec_id", F.explode(_band_cols_spark(NEARDUP_BANDS, NEARDUP_BITS)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bucket")
+    a = bb.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = bb.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("__q").alias("qa"),
+        F.col("__nsq").alias("na"),
+    )
+    vb = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("__q").alias("qb"),
+        F.col("__nsq").alias("nb"),
     )
     cos = _cos(_dot("qa", "qb"), "na", "nb")
     return (
-        pairs.select("vec_a", "vec_b", cos.alias("__cos"))
+        pairs.join(va, "vec_a").join(vb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("__cos"))
         .filter(F.col("__cos") >= NEARDUP_COS)
         .select("vec_a", "vec_b", F.round("__cos", 4).alias("cos4"))
     )

@@ -43,6 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "cdc_lww_state",
     "cdc_lww_salted",
+    "cdc_conv_stats",
     "last_event_summary",
     "snapshot_thinning",
     "minute_rollup",
@@ -77,6 +78,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "doc_top_terms",
     "doc_dup_groups",
+    "doc_repetition_ratio",
+    "emb_ivf_recall",
 ]
 # Excluded from the timed suite (correctness-only at sf0.01):
 #   cdc_replay_state — superseded by the dedicated throughput replay.

@@ -211,3 +211,31 @@ def cdc_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_turn",
         F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),
     )
+
+
+# --- per-conversation final-state rollup -------------------------------------
+# The downstream consumer view over the merged lake state: how long is each
+# conversation, how tool-heavy, and when did it last change. One hash
+# aggregate over the LWW reduction — at 100 TB the groupBy key (conv_id) is
+# a strict prefix of the dedup key, so AQE reuses the dedup exchange's
+# clustering (no second shuffle after the partial-agg combine).
+
+CONV_STATS_SQL = f"""
+    SELECT conv_id,
+           count(*) AS n_turns,
+           count(tool) AS n_tool_turns,
+           max(ts) AS last_ts,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM ({LWW_STATE_SQL})
+    GROUP BY conv_id
+"""
+
+
+def cdc_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = cdc_lww_state(spark, sf_dir)
+    return state.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.count("tool").alias("n_tool_turns"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )

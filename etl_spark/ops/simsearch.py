@@ -464,3 +464,74 @@ EMB_KNN_LABEL_SQL = _knn_label_sql().format(
     bands=_band_sql(KNN_BANDS, KNN_BITS, extra_cols=", label")
 )
 EMB_NEARDUP_SQL = _neardup_sql().format(bands=_band_sql(NEARDUP_BANDS, NEARDUP_BITS))
+
+
+# --- IVF recall audit ---------------------------------------------------------
+# "Measure, don't guess": the IVF index trades recall for touching 1/k of
+# the corpus per probe — this query MEASURES that recall against the exact
+# brute-force top-k for the same probe set, per probe, in basis points
+# (integer-exact floor arithmetic, same rationale as doc_repetition_ratio).
+# The production loop: run this on a sample after (re)building an index;
+# alert if recall drops below target. Exact side broadcasts the probe set
+# and scans the corpus once; hit-test is an equi-join on (q_id, cand_id).
+
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf = emb_ivf_topk(spark, sf_dir).select("q_id", "cand_id").withColumn(
+        "__hit", F.lit(1)
+    )
+    e = _quantized(_emb(spark, sf_dir)).select("vec_id", "__q", "__nsq")
+    probes = e.filter(
+        (F.col("vec_id") >= N_CENTROIDS) & (F.col("vec_id") < 2 * N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("q_id"), F.col("__q").alias("qv"),
+        F.col("__nsq").alias("qn"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("__q").alias("cv"),
+        F.col("__nsq").alias("cn"),
+    )
+    cos = _cos(_dot("qv", "cv"), "qn", "cn")
+    scored = (
+        F.broadcast(probes)
+        .join(cand, F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", cos.alias("__cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("__cos").desc(), F.col("cand_id"))
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= IVF_TOP_K)
+        .select("q_id", "cand_id")
+    )
+    return (
+        exact.join(ivf, ["q_id", "cand_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("__hit").alias("n_hits"),
+            F.floor(F.lit(10000.0) * F.count("__hit") / F.lit(IVF_TOP_K)).alias(
+                "recall_bp"
+            ),
+        )
+    )
+
+
+EMB_IVF_RECALL_SQL = f"""
+    WITH n AS ({NORM_SQL}),
+    exact AS (
+        SELECT q_id, cand_id FROM (
+            SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id ORDER BY {COS_SQL} DESC, b.vec_id
+                   ) AS rn
+            FROM n a JOIN n b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id >= {N_CENTROIDS} AND a.vec_id < {2 * N_CENTROIDS}
+        ) WHERE rn <= {IVF_TOP_K}
+    ),
+    ivf AS (SELECT q_id, cand_id FROM ({EMB_IVF_TOPK_SQL}))
+    SELECT e.q_id,
+           CAST(count(i.cand_id) AS BIGINT) AS n_hits,
+           CAST(floor(10000.0 * count(i.cand_id) / {IVF_TOP_K}) AS BIGINT)
+               AS recall_bp
+    FROM exact e LEFT JOIN ivf i
+      ON e.q_id = i.q_id AND e.cand_id = i.cand_id
+    GROUP BY e.q_id
+"""

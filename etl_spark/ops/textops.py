@@ -739,3 +739,44 @@ DOC_TOP_TERMS_SQL = f"""
         FROM tf JOIN dfreq USING (term)
     ) WHERE rank <= {N_TOP_TERMS}
 """
+
+
+# --- repetition ratio (quality signal) ----------------------------------------
+# Boilerplate/spam detector used by training-data curation: how much of a
+# document is repeated tokens. Reported in basis points via INTEGER-exact
+# arithmetic — floor(10000 * repeated / total) — so the Spark plan and the
+# DuckDB oracle agree bit-for-bit (a round() of a double ratio can split on
+# half-even vs half-up at dyadic ties like 5/32; floor of the identical
+# double cannot). Pure Catalyst expressions, map-only plan.
+
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_words(_docs(spark, sf_dir))
+    counts = _let(
+        F.filter(F.col("__words"), lambda x: x != F.lit("")),
+        lambda w: F.struct(
+            F.size(w).alias("n"), F.size(F.array_distinct(w)).alias("d")
+        ),
+    )
+    n, d = F.col("__t.n"), F.col("__t.d")
+    return docs.select("doc_id", counts.alias("__t")).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        d.cast("long").alias("n_distinct"),
+        F.when(n == 0, F.lit(0).cast("long"))
+        .otherwise(F.floor(F.lit(10000.0) * (n - d) / n))
+        .alias("rep_bp"),
+    )
+
+
+DOC_REPETITION_SQL = f"""
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(d AS BIGINT) AS n_distinct,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE floor(10000.0 * (n - d) / n) END AS BIGINT) AS rep_bp
+    FROM (
+        SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS d
+        FROM (SELECT doc_id, list_filter({WORDS_SQL}, x -> x <> '') AS w
+              FROM documents)
+    )
+"""

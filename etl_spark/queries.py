@@ -23,6 +23,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_replay_state": (cdcq.cdc_replay_state, cdcq.LWW_STATE_SQL),
     "cdc_dispositions": (cdcq.cdc_dispositions, cdcq.DISPOSITIONS_SQL),
     "cdc_stream_stats": (cdcq.cdc_stream_stats, cdcq.STREAM_STATS_SQL),
+    "cdc_conv_stats": (cdcq.cdc_conv_stats, cdcq.CONV_STATS_SQL),
     # --- reference dataflow operators (SURVEY §2.3/§2.4/§2.6) ---
     "last_event_summary": (refops.last_event_summary, refops.LAST_EVENT_SUMMARY_SQL),
     "snapshot_thinning": (refops.snapshot_thinning, refops.SNAPSHOT_THINNING_SQL),
@@ -72,11 +73,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_field_zip": (textops.doc_field_zip, textops.DOC_FIELD_ZIP_SQL),
     "doc_dup_groups": (textops.doc_dup_groups, textops.DOC_DUP_GROUPS_SQL),
     "doc_top_terms": (textops.doc_top_terms, textops.DOC_TOP_TERMS_SQL),
+    "doc_repetition_ratio": (
+        textops.doc_repetition_ratio,
+        textops.DOC_REPETITION_SQL,
+    ),
     # --- similarity search over embeddings ---
     "emb_cosine_topk": (simsearch.emb_cosine_topk, simsearch.EMB_COSINE_TOPK_SQL),
     "emb_knn_label": (simsearch.emb_knn_label, simsearch.EMB_KNN_LABEL_SQL),
     "emb_neardup_pairs": (simsearch.emb_neardup_pairs, simsearch.EMB_NEARDUP_SQL),
     "emb_ivf_topk": (simsearch.emb_ivf_topk, simsearch.EMB_IVF_TOPK_SQL),
+    "emb_ivf_recall": (simsearch.emb_ivf_recall, simsearch.EMB_IVF_RECALL_SQL),
     "emb_lsh_topk": (simsearch.emb_lsh_topk, simsearch.EMB_LSH_TOPK_SQL),
     # --- multimodal plumbing (Arrow mapInPandas decode stub) ---
     "mm_decode_meta": (multimodal.mm_decode_meta, multimodal.MM_DECODE_META_SQL),

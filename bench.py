@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "cdc_lww_state",
     "cdc_lww_salted",
     "cdc_conv_stats",
+    "cdc_changelog",
     "last_event_summary",
     "snapshot_thinning",
     "minute_rollup",

@@ -315,6 +315,71 @@ class LakeTable:
         user_cols = [f.name for f in schema_from_json(m.schema_json).fields]
         return df.select(*user_cols)
 
+    def changes_between(
+        self, spark: SparkSession, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Changelog read between two retained snapshots — the read-side CDC
+        surface (Iceberg changelog scan / Delta CDF analog; the reference
+        keeps stable keys exactly so downstream systems can diff and dedup,
+        /root/reference/parser/parser.go:150-176).
+
+        One full-outer join of the two reduced snapshot states on the
+        primary key. Both sides are the same bucket-aligned scan reduced by
+        `_reduce_lww`, so each contributes one key-hash exchange and the
+        join is co-partitioned — no driver-side row work, scales with the
+        larger snapshot. Emits post-image rows (from the newer snapshot)
+        tagged ``_change_type`` in {'insert','update_postimage','delete'};
+        unchanged keys emit nothing; delete rows carry the key with NULL
+        user values. A key that is dead on both sides (tombstoned, then the
+        tombstone expired) emits nothing.
+        """
+        ma, mb = self.manifest(v_from), self.manifest(v_to)
+        a = self._reduce_lww(self._aligned_scan(spark, ma, None)).select(
+            *KEY_COLS,
+            F.col("op_seq").alias("__a_seq"),
+            F.coalesce(F.col("deleted"), F.lit(False)).alias("__a_del"),
+        )
+        user_fields = schema_from_json(mb.schema_json).fields
+        val_fields = [f for f in user_fields if f.name not in KEY_COLS]
+        b = self._reduce_lww(self._aligned_scan(spark, mb, None)).select(
+            *KEY_COLS,
+            *[F.col(f.name) for f in val_fields],
+            F.col("op_seq").alias("__b_seq"),
+            F.coalesce(F.col("deleted"), F.lit(False)).alias("__b_del"),
+        )
+        j = a.join(b, list(KEY_COLS), "full_outer")
+        a_live = F.col("__a_seq").isNotNull() & ~F.coalesce(
+            F.col("__a_del"), F.lit(True)
+        )
+        b_live = F.col("__b_seq").isNotNull() & ~F.coalesce(
+            F.col("__b_del"), F.lit(True)
+        )
+        # op_seq is unique per change event, so the winning event differs
+        # between snapshots iff its op_seq does
+        change = (
+            F.when(~a_live & b_live, F.lit("insert"))
+            .when(a_live & ~b_live, F.lit("delete"))
+            .when(
+                a_live & b_live & (F.col("__a_seq") != F.col("__b_seq")),
+                F.lit("update_postimage"),
+            )
+        )
+        is_del = change == F.lit("delete")
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(
+                *KEY_COLS,
+                *[
+                    F.when(is_del, F.lit(None).cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    for f in val_fields
+                ],
+                "_change_type",
+            )
+        )
+
     def has_files(self, buckets: list[int] | None = None) -> bool:
         """Any committed data files (optionally: in these buckets)? The
         backend-neutral emptiness probe merge_into uses — an Iceberg

@@ -239,3 +239,90 @@ def cdc_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+
+
+# --- changelog read (CDC read-side: snapshot diff) ----------------------------
+
+CHANGELOG_SQL = f"""
+    WITH feed AS ({FEED_SQL}),
+    s1 AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, op_seq DESC
+            ) AS rn
+            FROM feed WHERE op_seq % 4 = 0
+        ) WHERE rn = 1
+    ),
+    sf AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY ts DESC, op_seq DESC
+            ) AS rn
+            FROM feed
+        ) WHERE rn = 1
+    ),
+    d AS (
+        SELECT
+            coalesce(a.conv_id, b.conv_id) AS conv_id,
+            coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+            b.role AS role, b.text AS text, b.tool AS tool, b.ts AS ts,
+            CASE
+                WHEN (a.op_seq IS NULL OR a.op = 'D')
+                     AND b.op_seq IS NOT NULL AND b.op <> 'D'
+                    THEN 'insert'
+                WHEN a.op_seq IS NOT NULL AND a.op <> 'D'
+                     AND (b.op_seq IS NULL OR b.op = 'D')
+                    THEN 'delete'
+                WHEN a.op_seq IS NOT NULL AND a.op <> 'D'
+                     AND b.op_seq IS NOT NULL AND b.op <> 'D'
+                     AND a.op_seq <> b.op_seq
+                    THEN 'update_postimage'
+            END AS _change_type
+        FROM s1 a FULL OUTER JOIN sf b
+          ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+    )
+    SELECT conv_id, turn_idx,
+           CASE WHEN _change_type = 'delete' THEN NULL ELSE role END AS role,
+           CASE WHEN _change_type = 'delete' THEN NULL ELSE text END AS text,
+           CASE WHEN _change_type = 'delete' THEN NULL ELSE tool END AS tool,
+           CASE WHEN _change_type = 'delete' THEN NULL ELSE ts END AS ts,
+           _change_type
+    FROM d WHERE _change_type IS NOT NULL
+"""
+
+
+def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog read (LakeTable.changes_between): replay the 4-segment
+    feed, then diff snapshot v1 (state after segment 0) against the
+    current snapshot. The oracle reproduces the same diff from the raw
+    feed: LWW state over op_seq%4=0 vs LWW state over everything,
+    insert/update_postimage/delete classified by winner liveness and
+    winning op_seq. Exercises time-travel manifests + the co-partitioned
+    full-outer snapshot join."""
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.apply import replay_feed
+    from etl_spark.cdc.gen import write_feed
+    from etl_spark.lake.table import LakeTable
+
+    feed = change_feed_from_events(spark, sf_dir).withColumn(
+        "batch", F.pmod(F.col("op_seq"), F.lit(4)).cast("int")
+    )
+    work = tempfile.mkdtemp(prefix="etl_spark_changelog_")
+    feed_dir = os.path.join(work, "feed")
+    write_feed(feed, feed_dir, n_batches=4)
+    feed_t = {f.name: f.dataType for f in feed.schema.fields}
+    user_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", feed_t["ts"], True),
+        ]
+    )
+    table = LakeTable.create(os.path.join(work, "lake"), user_schema, n_buckets=16)
+    replay_feed(spark, table, feed_dir)
+    versions = table.versions()
+    return table.changes_between(spark, v_from=versions[1])

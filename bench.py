@@ -84,6 +84,8 @@ BENCH_QUERIES = [
 ]
 # Excluded from the timed suite (correctness-only at sf0.01):
 #   cdc_replay_state — superseded by the dedicated throughput replay.
+#   cdc_evolution_replay — same replay cost as cdc_replay_state with
+#     era-evolved segments; timing it would just re-measure the replay.
 
 
 def _steal_sample() -> tuple[int, int]:

@@ -326,3 +326,74 @@ def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_feed(spark, table, feed_dir)
     versions = table.versions()
     return table.changes_between(spark, v_from=versions[1])
+
+
+# --- mid-stream schema evolution (north-star case) -----------------------------
+
+EVOLUTION_SQL = f"""
+    WITH feed AS (
+        SELECT f.*,
+               CASE WHEN op_seq % 4 >= 2 AND op <> 'D'
+                    THEN 'v' || CAST(op_seq % 5 AS VARCHAR) END AS tool_version,
+               CASE WHEN op_seq % 4 >= 2 AND op <> 'D'
+                    THEN op_seq % 1000 END AS tool_latency_ms
+        FROM ({FEED_SQL}) f
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, op_seq DESC
+        ) AS rn
+        FROM feed
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts,
+           tool_version, tool_latency_ms
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def cdc_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star schema-evolution case as an oracle-checked query: new
+    tool metadata columns (tool_version, tool_latency_ms) appear from
+    segment 2 of 4 — segments 0-1 are physically written WITHOUT them
+    (they didn't exist yet). The engine evolves the table schema on first
+    contact (era-tagged files, no rewrite of old data), and the final
+    state must equal the oracle's LWW reduction where pre-evolution
+    winners carry NULLs. Reference analog: era-gated fields arriving as
+    new JSON keys (/root/reference/parser/ndt5_result.go:72-78)."""
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.apply import replay_feed
+    from etl_spark.cdc.gen import write_feed
+    from etl_spark.lake.table import LakeTable
+
+    feed = change_feed_from_events(spark, sf_dir)
+    live = F.col("op") != "D"
+    feed = (
+        feed.withColumn(
+            "tool_version",
+            F.when(
+                live, F.concat(F.lit("v"), (F.col("op_seq") % 5).cast("string"))
+            ),
+        )
+        .withColumn(
+            "tool_latency_ms", F.when(live, F.col("op_seq") % 1000)
+        )
+        .withColumn("batch", F.pmod(F.col("op_seq"), F.lit(4)).cast("int"))
+    )
+    work = tempfile.mkdtemp(prefix="etl_spark_evolution_")
+    feed_dir = os.path.join(work, "feed")
+    write_feed(feed, feed_dir, evolve_from_batch=2, n_batches=4)
+    feed_t = {f.name: f.dataType for f in feed.schema.fields}
+    user_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", feed_t["ts"], True),
+        ]
+    )
+    table = LakeTable.create(os.path.join(work, "lake"), user_schema, n_buckets=16)
+    replay_feed(spark, table, feed_dir)
+    return table.read(spark)

@@ -89,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("resolve", help="major compaction: collapse MOR deltas")
     p.add_argument("--table", required=True)
 
+    p = sub.add_parser("rebucket", help="bucket-count evolution: rewrite into bucket(N, conv_id)")
+    p.add_argument("--table", required=True)
+    p.add_argument("--buckets", type=int, required=True)
+
     p = sub.add_parser("expire", help="expire old snapshots")
     p.add_argument("--table", required=True)
     p.add_argument("--keep-last", type=int, default=2)
@@ -172,6 +176,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "resolve":
         n = table.resolve_deltas(spark)
         print(json.dumps({"buckets_rewritten": n}))
+    elif args.cmd == "rebucket":
+        n = table.rebucket(spark, args.buckets)
+        print(json.dumps({"data_buckets": n, "n_buckets": table.n_buckets}))
     elif args.cmd == "expire":
         n = table.expire_snapshots(keep_last=args.keep_last)
         print(json.dumps({"files_deleted": n, "versions": table.versions()}))

@@ -65,6 +65,12 @@ _SYSTEM_FIELDS = [
 ]
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed this snapshot version first (optimistic
+    concurrency, Iceberg-style): the caller should re-read the table state
+    and retry its commit against the new current version."""
+
+
 def _atomic_write(path: str, data: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -72,6 +78,27 @@ def _atomic_write(path: str, data: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+
+
+def _atomic_create_exclusive(path: str, data: str) -> None:
+    """Like _atomic_write but FAILS if ``path`` already exists — the
+    compare-and-swap primitive behind optimistic-concurrency commits.
+    hard-link(2) of a fully-fsynced temp file is atomic and never
+    overwrites, unlike rename(2)."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"snapshot {os.path.basename(path)} was committed by another "
+            "writer; re-read the table and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 @dataclass
@@ -168,7 +195,12 @@ class LakeTable:
             },
         )
         t = cls(path)
-        t._write_manifest(m)
+        try:
+            t._write_manifest(m)
+        except CommitConflictError:
+            raise FileExistsError(
+                f"table already exists at {path} (use create_if_not_exists)"
+            ) from None
         return t
 
     @classmethod
@@ -205,7 +237,13 @@ class LakeTable:
 
     def _write_manifest(self, m: Manifest) -> None:
         name = f"v{m.version:08d}.json"
-        _atomic_write(os.path.join(self.path, MANIFEST_DIR, name), m.to_json())
+        # exclusive create = the optimistic-concurrency gate: if another
+        # writer (streaming driver vs compaction/expiry job) committed this
+        # version first, raise CommitConflictError instead of clobbering its
+        # snapshot — the loser re-reads and retries against the new current
+        _atomic_create_exclusive(
+            os.path.join(self.path, MANIFEST_DIR, name), m.to_json()
+        )
         # the pointer swap is THE commit point — everything before is invisible
         _atomic_write(os.path.join(self.path, MANIFEST_DIR, CURRENT_PTR), name)
 
@@ -221,10 +259,13 @@ class LakeTable:
     def n_buckets(self) -> int:
         return self.manifest().n_buckets
 
-    def bucket_expr(self, conv_col: str = "conv_id") -> F.Column:
+    def bucket_expr(
+        self, conv_col: str = "conv_id", n_buckets: int | None = None
+    ) -> F.Column:
         """Deterministic bucket assignment; all turns of a conversation share
         a bucket, so MERGE shuffles are bounded to touched buckets."""
-        return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(self.n_buckets)).cast("int")
+        n = self.n_buckets if n_buckets is None else n_buckets
+        return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n)).cast("int")
 
     # ---------------------------------------------------------------- reads
     def _aligned_scan(
@@ -423,6 +464,7 @@ class LakeTable:
         needs_reduce: bool | None = None,
         input_files: list[str] | None = None,
         drop_bloom: bool = False,
+        new_n_buckets: int | None = None,
     ) -> Manifest:
         """Swap in a new snapshot: touched buckets get their file lists
         REPLACED (copy-on-write) — or APPENDED when the merge proved the
@@ -488,7 +530,7 @@ class LakeTable:
             schema_json=schema_json,
             schemas=schemas,
             current_schema_id=schema_id,
-            n_buckets=m.n_buckets,
+            n_buckets=m.n_buckets if new_n_buckets is None else new_n_buckets,
             files=files,
             commits=commits,
             created_unix=time.time(),
@@ -658,6 +700,47 @@ class LakeTable:
         self.commit_version(files, buckets, None, None, needs_reduce=False)
         return len(buckets)
 
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
+        """Bucket-count evolution (Iceberg partition-spec-evolution analog):
+        rewrite the whole table into a ``bucket(new_n_buckets, conv_id)``
+        layout in one distributed pass — scan, optional LWW reduce, one
+        exchange on the new bucket, bucket-partitioned write — and commit
+        it as a new snapshot. Old snapshots keep their layout and count, so
+        time-travel reads are unaffected.
+
+        This is how a table outgrows its write parallelism at 10^10 scale:
+        the bucket count bounds write fan-out, merge shuffle width, and the
+        number of files a MOR read merges per key — a table created at 64
+        buckets cannot feed 1000 executors until it is rebucketed. Key set
+        and the key-level Bloom seen-set are unchanged (tombstones are
+        carried over verbatim). Returns the number of buckets in the new
+        layout that hold data."""
+        m = self.manifest()
+        if new_n_buckets == m.n_buckets:
+            return 0
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        rows = self.read_storage(spark, reduced=m.needs_reduce)
+        files = self.write_bucket_files(
+            rows,
+            version_tag=f"rebucket{m.version + 1}",
+            n_buckets=new_n_buckets,
+        )
+        # replace every bucket id of BOTH layouts: old ids not present in
+        # the new layout must be cleared from the manifest
+        touched = sorted(
+            {int(b) for b in m.files} | set(files.keys())
+        )
+        self.commit_version(
+            files,
+            touched,
+            None,
+            None,
+            needs_reduce=False,
+            new_n_buckets=new_n_buckets,
+        )
+        return len([b for b, fl in files.items() if fl])
+
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Drop all but the newest ``keep_last`` manifest versions and
         physically delete data/bloom files referenced ONLY by expired
@@ -717,6 +800,7 @@ class LakeTable:
         version_tag: str,
         schema_id: str | None = None,
         pre_clustered: bool = False,
+        n_buckets: int | None = None,
     ) -> dict[int, list[dict[str, Any]]]:
         """Write storage rows partitioned by bucket under a unique version
         dir; return the per-bucket file entries for the manifest. Files are
@@ -730,7 +814,9 @@ class LakeTable:
         sid = schema_id if schema_id is not None else m.current_schema_id
         vdir_rel = os.path.join("data", f"{version_tag}-{uuid.uuid4().hex[:8]}")
         vdir = os.path.join(self.path, vdir_rel)
-        df = storage_df.withColumn("__bucket", self.bucket_expr())
+        df = storage_df.withColumn(
+            "__bucket", self.bucket_expr(n_buckets=n_buckets)
+        )
         if not pre_clustered:
             # ~one file per bucket: cluster rows of a bucket into the same task
             df = df.repartition(F.col("__bucket"))

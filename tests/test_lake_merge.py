@@ -150,3 +150,27 @@ def test_expire_tombstones(spark, tmpdir_path):
     assert n == 1
     assert t.read_storage(spark).count() == 1
     assert t.read(spark).count() == 1
+
+
+def test_concurrent_commit_conflict_detected(spark, tmpdir_path):
+    """Optimistic concurrency: a second writer committing the same snapshot
+    version must fail with CommitConflictError instead of clobbering the
+    first writer's snapshot (streaming driver racing a maintenance job)."""
+    import dataclasses
+
+    import pytest
+
+    from etl_spark.lake.table import CommitConflictError
+
+    t = _table(tmpdir_path)
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:01"), 1, "c1", 0, "user", "one", None, "f1"),
+    ]), "b1")
+    # simulate the race: a stale writer tries to re-commit the version that
+    # the first writer just created
+    stale = dataclasses.replace(t.manifest())
+    with pytest.raises(CommitConflictError):
+        t._write_manifest(stale)
+    # the winning snapshot is untouched
+    assert t.read(spark).count() == 1
+    assert t.versions()[-1] == stale.version

@@ -375,14 +375,27 @@ class LakeTable:
         tombstone expired) emits nothing.
         """
         ma, mb = self.manifest(v_from), self.manifest(v_to)
-        a = self._reduce_lww(self._aligned_scan(spark, ma, None)).select(
+        # manifest-level pruning: data files are immutable, so a bucket
+        # whose file list is IDENTICAL in both manifests cannot contain a
+        # change — skip scanning it on either side. At scale this turns the
+        # diff from O(table) into O(buckets touched between the versions).
+        # (Incomparable across a rebucket: bucket ids mean different key
+        # ranges, so fall back to a full scan.)
+        buckets: list[int] | None = None
+        if ma.n_buckets == mb.n_buckets:
+            buckets = sorted(
+                int(b)
+                for b in set(ma.files) | set(mb.files)
+                if ma.files.get(b, []) != mb.files.get(b, [])
+            )
+        a = self._reduce_lww(self._aligned_scan(spark, ma, buckets)).select(
             *KEY_COLS,
             F.col("op_seq").alias("__a_seq"),
             F.coalesce(F.col("deleted"), F.lit(False)).alias("__a_del"),
         )
         user_fields = schema_from_json(mb.schema_json).fields
         val_fields = [f for f in user_fields if f.name not in KEY_COLS]
-        b = self._reduce_lww(self._aligned_scan(spark, mb, None)).select(
+        b = self._reduce_lww(self._aligned_scan(spark, mb, buckets)).select(
             *KEY_COLS,
             *[F.col(f.name) for f in val_fields],
             F.col("op_seq").alias("__b_seq"),

@@ -74,3 +74,27 @@ def test_changes_between_tombstone_then_reinsert(spark, tmpdir_path):
     v2 = sorted(t.versions())[-2]
     rows2 = t.changes_between(spark, v_from=v2).collect()
     assert len(rows2) == 1 and rows2[0]["_change_type"] == "insert"
+
+
+def test_changes_between_prunes_untouched_buckets(spark, tmpdir_path):
+    """Manifest-level pruning: buckets whose file lists are identical in
+    both versions are not scanned at all (files are immutable)."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=8)
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:01"), i + 1, f"c{i}", 0, "user", f"t{i}", None, "f1")
+        for i in range(40)
+    ]), "b1")
+    v1 = t.versions()[-1]
+    # touch exactly one conversation -> exactly one bucket
+    apply_batch(spark, t, _mk(spark, [
+        ("U", _ts("2024-01-01T00:01:00"), 100, "c7", 0, "user", "t7 v2", None, "f2"),
+    ]), "b2")
+    df = t.changes_between(spark, v_from=v1)
+    rows = df.collect()
+    assert [(r["conv_id"], r["_change_type"], r["text"]) for r in rows] == [
+        ("c7", "update_postimage", "t7 v2")
+    ]
+    scanned = df.inputFiles()
+    assert scanned, "expected at least the touched bucket to be scanned"
+    buckets_scanned = {p.split("__bucket=")[1].split("/")[0] for p in scanned}
+    assert len(buckets_scanned) == 1, buckets_scanned

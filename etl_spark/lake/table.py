@@ -224,8 +224,16 @@ class LakeTable:
                 name = f.read().strip()
         else:
             name = f"v{version:08d}.json"
-        with open(os.path.join(self.path, MANIFEST_DIR, name)) as f:
-            return Manifest.from_json(f.read())
+        try:
+            with open(os.path.join(self.path, MANIFEST_DIR, name)) as f:
+                return Manifest.from_json(f.read())
+        except FileNotFoundError:
+            if version is None:
+                raise
+            raise ValueError(
+                f"snapshot v{version} is not retained (expired or never "
+                f"existed); retained versions: {self.versions()}"
+            ) from None
 
     def versions(self) -> list[int]:
         """All retained snapshot versions, ascending (Iceberg: snapshot log)."""

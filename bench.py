@@ -86,6 +86,8 @@ BENCH_QUERIES = [
 #   cdc_replay_state — superseded by the dedicated throughput replay.
 #   cdc_evolution_replay — same replay cost as cdc_replay_state with
 #     era-evolved segments; timing it would just re-measure the replay.
+#   cdc_rebucket_replay — replay + full-table rewrite into a new bucket
+#     layout; correctness row for bucket-count evolution.
 
 
 def _steal_sample() -> tuple[int, int]:

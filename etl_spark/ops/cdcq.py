@@ -397,3 +397,38 @@ def cdc_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = LakeTable.create(os.path.join(work, "lake"), user_schema, n_buckets=16)
     replay_feed(spark, table, feed_dir)
     return table.read(spark)
+
+
+def cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count evolution under the oracle: full 4-segment replay into
+    a 16-bucket table, then rebucket(48) — the final state read from the
+    NEW layout must still equal the global LWW reduction (same oracle as
+    cdc_replay_state). Proves the rewrite carries rows, tombstones, and
+    schema eras without loss."""
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.apply import replay_feed
+    from etl_spark.cdc.gen import write_feed
+    from etl_spark.lake.table import LakeTable
+
+    feed = change_feed_from_events(spark, sf_dir).withColumn(
+        "batch", F.pmod(F.col("op_seq"), F.lit(4)).cast("int")
+    )
+    work = tempfile.mkdtemp(prefix="etl_spark_rebucket_")
+    feed_dir = os.path.join(work, "feed")
+    write_feed(feed, feed_dir, n_batches=4)
+    feed_t = {f.name: f.dataType for f in feed.schema.fields}
+    user_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", feed_t["ts"], True),
+        ]
+    )
+    table = LakeTable.create(os.path.join(work, "lake"), user_schema, n_buckets=16)
+    replay_feed(spark, table, feed_dir)
+    table.rebucket(spark, 48)
+    return table.read(spark).select(*FINAL_COLS)

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "doc_dup_groups",
     "doc_repetition_ratio",
     "emb_ivf_recall",
+    "mm_resize_plan",
 ]
 # Excluded from the timed suite (correctness-only at sf0.01):
 #   cdc_replay_state — superseded by the dedicated throughput replay.

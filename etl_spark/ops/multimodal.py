@@ -152,3 +152,57 @@ MM_DECODE_META_SQL = """
            (['png','jpg','wav'])[CAST(('0x' || substr(md5(text), 13, 2))::BIGINT % 3 AS INTEGER) + 1] AS fmt
     FROM documents
 """
+
+
+# --- resize planning ----------------------------------------------------------
+# The stage between decode and feature extraction in an image/video
+# pipeline: plan the letterboxed target geometry for each asset. Pure
+# integer arithmetic over the decoded metadata (fit into TARGET x TARGET
+# preserving aspect ratio; scale in basis points so the plan is exact and
+# engine-portable) — the actual pixel resample would slot into the same
+# mapInPandas plumbing as the decoder. Map-only Catalyst plan.
+
+RESIZE_TARGET = 224
+
+
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = mm_decode_meta(spark, sf_dir).select("doc_id", "width", "height")
+    w, h = F.col("width").cast("long"), F.col("height").cast("long")
+    t = F.lit(RESIZE_TARGET).cast("long")
+    # scale_bp = floor(10000 * t / max(w, h)): downscale the LONG side to
+    # the target; never upscale past 10000 bp (1.0x)
+    scale_bp = F.least(F.lit(10000).cast("long"), F.floor(F.lit(10000.0) * t / F.greatest(w, h)))
+    out_w = F.floor(w * scale_bp / F.lit(10000.0)).cast("long")
+    out_h = F.floor(h * scale_bp / F.lit(10000.0)).cast("long")
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        scale_bp.alias("scale_bp"),
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+        F.floor((t - out_w) / F.lit(2.0)).alias("pad_x"),
+        F.floor((t - out_h) / F.lit(2.0)).alias("pad_y"),
+    )
+
+
+MM_RESIZE_PLAN_SQL = f"""
+    WITH meta AS ({MM_DECODE_META_SQL}),
+    scaled AS (
+        SELECT *,
+               least(10000, CAST(floor(10000.0 * {RESIZE_TARGET} / greatest(width, height)) AS BIGINT)) AS scale_bp
+        FROM meta
+    ),
+    sized AS (
+        SELECT doc_id, width, height, scale_bp,
+               CAST(floor(width * scale_bp / 10000.0) AS BIGINT) AS out_w,
+               CAST(floor(height * scale_bp / 10000.0) AS BIGINT) AS out_h
+        FROM scaled
+    )
+    -- NB: duckdb's // is NOT floor division on doubles, and its
+    -- double->int CAST rounds — floor() explicitly, matching Spark
+    SELECT doc_id, width, height, scale_bp, out_w, out_h,
+           CAST(floor(({RESIZE_TARGET} - out_w) / 2.0) AS BIGINT) AS pad_x,
+           CAST(floor(({RESIZE_TARGET} - out_h) / 2.0) AS BIGINT) AS pad_y
+    FROM sized
+"""

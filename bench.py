@@ -161,6 +161,27 @@ def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
         out = {"segments": n_segments, "gen_sec": round(gen_sec, 2)}
         finals = {}
         runs: dict[str, list[dict]] = {"mor": [], "cow": []}
+        # streaming leg: the SAME feed drained through the Structured
+        # Streaming driver (readStream -> foreachBatch -> merge, checkpoint,
+        # availableNow) — the north star's apply loop, measured against the
+        # batch replay. One pass, merge-on-read.
+        from etl_spark.cdc.stream import run_stream
+
+        st_table = LakeTable.create(
+            os.path.join(work, "lake_stream"), TRANSCRIPT_SCHEMA, n_buckets=64
+        )
+        t0 = time.time()
+        run_stream(
+            spark, st_table, feed_dir,
+            checkpoint_dir=os.path.join(work, "ckpt_stream"),
+            available_now=True, mode="mor",
+        )
+        stream_sec = time.time() - t0
+        out["stream"] = {
+            "apply_sec": round(stream_sec, 2),
+            "final_rows": st_table.read(spark).count(),
+        }
+
         for rep in range(reps):
             for mode in ("mor", "cow"):
                 table = LakeTable.create(
@@ -186,8 +207,13 @@ def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
         for mode in ("mor", "cow"):
             out[mode] = max(runs[mode], key=lambda r: r["events_per_sec"])
             out[f"{mode}_all_runs"] = runs[mode]
-        assert finals["mor"] == finals["cow"], finals
+        assert finals["mor"] == finals["cow"] == out["stream"]["final_rows"], (
+            finals, out["stream"],
+        )
         out["final_rows"] = finals["mor"]
+        out["stream"]["events_per_sec"] = round(
+            out["events"] / out["stream"]["apply_sec"], 1
+        )
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -265,6 +291,7 @@ def main() -> None:
                 "cdc_events": cdc["events"],
                 "cdc_events_per_sec": cdc["mor"]["events_per_sec"],
                 "cdc_cow_events_per_sec": cdc["cow"]["events_per_sec"],
+                "cdc_stream_events_per_sec": cdc["stream"]["events_per_sec"],
                 "cdc_final_rows": cdc["final_rows"],
                 "cdc_batch_walls": cdc["mor"]["batch_walls"],
                 "cdc_gen_sec": cdc["gen_sec"],

@@ -93,6 +93,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--buckets", type=int, required=True)
 
+    p = sub.add_parser("changelog", help="changelog read: diff two retained snapshots")
+    p.add_argument("--table", required=True)
+    p.add_argument("--from", dest="v_from", type=int, required=True)
+    p.add_argument("--to", dest="v_to", type=int, default=None)
+
     p = sub.add_parser("expire", help="expire old snapshots")
     p.add_argument("--table", required=True)
     p.add_argument("--keep-last", type=int, default=2)
@@ -179,6 +184,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "rebucket":
         n = table.rebucket(spark, args.buckets)
         print(json.dumps({"data_buckets": n, "n_buckets": table.n_buckets}))
+    elif args.cmd == "changelog":
+        table.changes_between(spark, args.v_from, args.v_to).orderBy(
+            "conv_id", "turn_idx"
+        ).show(100, truncate=False)
     elif args.cmd == "expire":
         n = table.expire_snapshots(keep_last=args.keep_last)
         print(json.dumps({"files_deleted": n, "versions": table.versions()}))

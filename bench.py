@@ -44,7 +44,6 @@ BENCH_QUERIES = [
     "cdc_lww_state",
     "cdc_lww_salted",
     "cdc_conv_stats",
-    "cdc_changelog",
     "last_event_summary",
     "snapshot_thinning",
     "minute_rollup",
@@ -89,6 +88,8 @@ BENCH_QUERIES = [
 #     era-evolved segments; timing it would just re-measure the replay.
 #   cdc_rebucket_replay — replay + full-table rewrite into a new bucket
 #     layout; correctness row for bucket-count evolution.
+#   cdc_changelog — replay + snapshot diff; its wall is dominated by the
+#     same replay the throughput metric already times.
 
 
 def _steal_sample() -> tuple[int, int]:

@@ -17,6 +17,7 @@ LWW test), Zipf-ish hot-conversation skew, schema-evolution batch K
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -130,6 +131,24 @@ def _hash_col(col: str, seed: int, tag: int) -> F.Column:
     return F.xxhash64(F.col(col), F.lit(seed), F.lit(tag))
 
 
+
+def _stamp_arrival_order(dirs: list[str]) -> list[str]:
+    """Give each segment's files a strictly later mtime than its
+    predecessor's. Spark's file source sequences micro-batch triggers by
+    modification time; a single write job gives EVERY segment's files the
+    same mtime, so trigger order becomes arbitrary — and a segment consumed
+    out of order by more than the watermark delay gets its rows dropped as
+    late (observed as a rare flake in the windowed-rollup tests). A real
+    binlog segment arrives strictly after its predecessor; stamping
+    ascending mtimes makes the simulated feed honor that contract."""
+    base = time.time() - len(dirs)
+    for k, d in enumerate(dirs):
+        for root, _subdirs, files in os.walk(d):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (base + k, base + k))
+    return dirs
+
+
 def write_feed(
     feed: DataFrame,
     feed_dir: str,
@@ -180,7 +199,7 @@ def write_feed(
                     .json(d)
                 )
                 dirs.append(d)
-            return dirs
+            return _stamp_arrival_order(dirs)
         if evolve_from_batch is None:
             # range-partition on (batch, mod) with the partition count
             # pinned to the combo count: round-1's hash repartition into
@@ -212,7 +231,7 @@ def write_feed(
                 p = os.path.join(feed_dir, name)
                 if os.path.isfile(p):
                     os.remove(p)
-            return dirs
+            return _stamp_arrival_order(dirs)
         dirs = []
         for k in range(n_batches):
             part = feed.filter(F.col("batch") == k).drop("batch")
@@ -225,6 +244,6 @@ def write_feed(
                 "compression", codec or "snappy"
             ).parquet(d)
             dirs.append(d)
-        return dirs
+        return _stamp_arrival_order(dirs)
     finally:
         feed.unpersist()

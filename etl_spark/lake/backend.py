@@ -29,6 +29,7 @@ nothing else:
 | write_bucket_files     | data-file write via the format's writer            |
 | file_row_count         | manifest entry record_count                        |
 | commit_version         | transaction commit (atomic snapshot swap)          |
+| current_version        | current snapshot id (OCC base for commits)         |
 | high_watermark_us      | snapshot property                                  |
 | metrics_df/lineage_df  | a companion metrics table                          |
 """
@@ -44,6 +45,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 class LakeBackend(Protocol):
     # ---- identity / commit ledger
     def is_committed(self, batch_id: str) -> bool: ...
+    def current_version(self) -> int: ...
     def committed_segments(self) -> set[str]: ...
     def committed_inputs(self) -> set[str]: ...
     def commit_log(self) -> dict[str, dict[str, Any]]: ...

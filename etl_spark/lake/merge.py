@@ -165,6 +165,9 @@ def merge_into(
     if table.is_committed(batch_id):
         stats.skipped_idempotent = True
         return stats
+    # optimistic concurrency: every read below (schema, bloom, bucket
+    # scans) is based on THIS snapshot; the commit validates against it
+    base_version = table.current_version()
 
     # ---- schema evolution (additive columns / widenings in the batch) ----
     cur_user = table.user_schema()
@@ -212,7 +215,7 @@ def merge_into(
             table, batch, batch_id, stats, counters, _append_select,
             fail_threshold=fail_threshold, source_files=source_files,
             segments=segments, input_files=input_files, evolved=evolved,
-            new_sid=new_sid, t0=t0,
+            new_sid=new_sid, t0=t0, base_version=base_version,
         )
 
     # ---- pass 1 (cow): fused scan — bloom membership + batch bloom +
@@ -255,7 +258,7 @@ def merge_into(
             {}, [], batch_id,
             {"events_in": events_in, "failed": failed, "late_dropped": late_dropped},
             segments=segments, new_watermark_us=watermark_us,
-            input_files=input_files,
+            input_files=input_files, expected_version=base_version,
         )
         return stats
 
@@ -391,9 +394,11 @@ def merge_into(
         append_files=fast_append,
         new_watermark_us=watermark_us,
         needs_reduce=None,
+        expected_version=base_version,
     )
     stats.phase_sec["commit"] = round(time.time() - t2, 3)
     return stats
+
 
 def _merge_mor_fused(
     table: LakeTable,
@@ -409,6 +414,7 @@ def _merge_mor_fused(
     evolved,
     new_sid: str,
     t0: float,
+    base_version: int,
 ) -> MergeStats:
     """Merge-on-read in ONE distributed pass (see module docstring).
 
@@ -456,7 +462,7 @@ def _merge_mor_fused(
             {}, [], batch_id,
             {"events_in": events_in, "failed": failed, "late_dropped": late_dropped},
             segments=segments, new_watermark_us=watermark_us,
-            input_files=input_files,
+            input_files=input_files, expected_version=base_version,
         )
         return stats
 
@@ -509,6 +515,7 @@ def _merge_mor_fused(
         new_watermark_us=watermark_us,
         needs_reduce=None if empty_before else True,
         drop_bloom=True,
+        expected_version=base_version,
     )
     stats.phase_sec["commit"] = round(time.time() - t2, 3)
     return stats

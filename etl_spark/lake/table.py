@@ -94,8 +94,11 @@ def _atomic_create_exclusive(path: str, data: str) -> None:
         os.link(tmp, path)
     except FileExistsError:
         raise CommitConflictError(
-            f"snapshot {os.path.basename(path)} was committed by another "
-            "writer; re-read the table and retry"
+            f"snapshot {os.path.basename(path)} already exists: either a "
+            "concurrent writer just committed it (re-read the table and "
+            "retry), or a crashed writer left it orphaned before the "
+            "pointer swap (no other writer running? expire_snapshots() "
+            "removes orphans)"
         ) from None
     finally:
         os.unlink(tmp)
@@ -236,11 +239,18 @@ class LakeTable:
             ) from None
 
     def versions(self) -> list[int]:
-        """All retained snapshot versions, ascending (Iceberg: snapshot log)."""
+        """All retained COMMITTED snapshot versions, ascending (Iceberg:
+        snapshot log). A manifest file NEWER than the current pointer is an
+        orphan from a writer that crashed between the exclusive manifest
+        create and the pointer swap — it was never committed, so it is not
+        listed (and not time-travel-readable); expire_snapshots removes it."""
+        cur = self.manifest().version
         out = []
         for fn in os.listdir(os.path.join(self.path, MANIFEST_DIR)):
             if fn.startswith("v") and fn.endswith(".json"):
-                out.append(int(fn[1:-5]))
+                v = int(fn[1:-5])
+                if v <= cur:
+                    out.append(v)
         return sorted(out)
 
     def _write_manifest(self, m: Manifest) -> None:
@@ -396,14 +406,21 @@ class LakeTable:
                 for b in set(ma.files) | set(mb.files)
                 if ma.files.get(b, []) != mb.files.get(b, [])
             )
-        a = self._reduce_lww(self._aligned_scan(spark, ma, buckets)).select(
+        def _state(m: Manifest) -> DataFrame:
+            df = self._aligned_scan(spark, m, buckets)
+            # reduce only when that snapshot actually holds MOR deltas —
+            # COW snapshots are already one-row-per-key (same gating as
+            # read_storage); the join below shuffles on the key anyway
+            return self._reduce_lww(df) if m.needs_reduce else df
+
+        a = _state(ma).select(
             *KEY_COLS,
             F.col("op_seq").alias("__a_seq"),
             F.coalesce(F.col("deleted"), F.lit(False)).alias("__a_del"),
         )
         user_fields = schema_from_json(mb.schema_json).fields
         val_fields = [f for f in user_fields if f.name not in KEY_COLS]
-        b = self._reduce_lww(self._aligned_scan(spark, mb, buckets)).select(
+        b = _state(mb).select(
             *KEY_COLS,
             *[F.col(f.name) for f in val_fields],
             F.col("op_seq").alias("__b_seq"),
@@ -486,6 +503,7 @@ class LakeTable:
         input_files: list[str] | None = None,
         drop_bloom: bool = False,
         new_n_buckets: int | None = None,
+        expected_version: int | None = None,
     ) -> Manifest:
         """Swap in a new snapshot: touched buckets get their file lists
         REPLACED (copy-on-write) — or APPENDED when the merge proved the
@@ -498,6 +516,19 @@ class LakeTable:
         covers the table's keys — dropping it makes the staleness explicit
         (the next copy-on-write merge or compaction rebuilds it)."""
         m = self.manifest()
+        # optimistic concurrency, check half: the caller states which
+        # version its computation READ (scan, dedup, file writes). If
+        # another writer committed since, the file lists computed here are
+        # stale — replacing buckets would silently drop the other writer's
+        # rows. The exclusive manifest create below closes the residual
+        # check-to-link window (two writers that both pass this check race
+        # to create the same v{N+1}; exactly one wins).
+        if expected_version is not None and m.version != expected_version:
+            raise CommitConflictError(
+                f"table advanced to v{m.version} since this writer read "
+                f"v{expected_version}; recompute against the current "
+                "snapshot and retry"
+            )
         files = dict(m.files)
         for b in touched_buckets:
             add = new_files_by_bucket.get(b, [])
@@ -563,6 +594,12 @@ class LakeTable:
         )
         self._write_manifest(nm)
         return nm
+
+    def current_version(self) -> int:
+        """The committed snapshot version (LakeBackend protocol; Iceberg:
+        current snapshot id) — the OCC base a writer passes back to
+        commit_version as expected_version."""
+        return self.manifest().version
 
     def high_watermark_us(self) -> int | None:
         """Max event-time (µs) ever applied — the event-time frontier."""
@@ -675,7 +712,9 @@ class LakeTable:
         )
         n = int(doomed.count())
         files = self.write_bucket_files(keep, version_tag=f"compact{m.version + 1}")
-        self.commit_version(files, buckets, None, None)
+        self.commit_version(
+            files, buckets, None, None, expected_version=m.version
+        )
         return n
 
     def compact_small_files(
@@ -700,7 +739,8 @@ class LakeTable:
         all_data_buckets = {int(b) for b, fl in m.files.items() if fl}
         clear = m.needs_reduce and all_data_buckets.issubset(set(buckets))
         self.commit_version(
-            files, buckets, None, None, needs_reduce=False if clear else None
+            files, buckets, None, None, needs_reduce=False if clear else None,
+            expected_version=m.version,
         )
         return len(buckets)
 
@@ -714,11 +754,17 @@ class LakeTable:
             return 0
         buckets = [int(b) for b, fl in m.files.items() if fl]
         if not buckets:
-            self.commit_version({}, [], None, None, needs_reduce=False)
+            self.commit_version(
+                {}, [], None, None, needs_reduce=False,
+                expected_version=m.version,
+            )
             return 0
         rows = self.read_storage(spark, buckets, reduced=True)
         files = self.write_bucket_files(rows, version_tag=f"resolve{m.version + 1}")
-        self.commit_version(files, buckets, None, None, needs_reduce=False)
+        self.commit_version(
+            files, buckets, None, None, needs_reduce=False,
+            expected_version=m.version,
+        )
         return len(buckets)
 
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
@@ -759,6 +805,7 @@ class LakeTable:
             None,
             needs_reduce=False,
             new_n_buckets=new_n_buckets,
+            expected_version=m.version,
         )
         return len([b for b, fl in files.items() if fl])
 
@@ -767,11 +814,20 @@ class LakeTable:
         physically delete data/bloom files referenced ONLY by expired
         versions. Returns the number of data files deleted. Iceberg analog:
         expire_snapshots. Time travel remains valid for retained versions."""
+        cur = self.manifest().version
+        # crash recovery: a manifest newer than the current pointer is an
+        # orphan of a writer killed between manifest create and pointer
+        # swap (it blocks the next commit's exclusive create). Expiry runs
+        # in a no-concurrent-writer window by contract, so removing it
+        # here is safe; its data files are collected as unreferenced below.
+        mdir = os.path.join(self.path, MANIFEST_DIR)
+        for fn in list(os.listdir(mdir)):
+            if fn.startswith("v") and fn.endswith(".json") and int(fn[1:-5]) > cur:
+                os.remove(os.path.join(mdir, fn))
         versions = self.versions()
         if len(versions) <= keep_last:
             return 0
         keep_v = set(versions[-keep_last:])
-        cur = self.manifest().version
         keep_v.add(cur)  # never expire the committed snapshot
 
         def refs(m: Manifest) -> set[str]:
@@ -805,6 +861,18 @@ class LakeTable:
             d = os.path.dirname(full)
             if os.path.isdir(d) and not os.listdir(d):
                 os.rmdir(d)
+        # orphan-file sweep: data version-dirs referenced by NO retained
+        # manifest — left by crashed commits and failfast-aborted batches
+        # (which write files but never swap the pointer)
+        import shutil
+
+        live_dirs = {rel.split("/")[1] for rel in live if rel.startswith("data/")}
+        data_dir = os.path.join(self.path, "data")
+        for d in list(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:
+            full = os.path.join(data_dir, d)
+            if d not in live_dirs and os.path.isdir(full):
+                n_deleted += sum(len(fs) for _, _, fs in os.walk(full))
+                shutil.rmtree(full, ignore_errors=True)
         return n_deleted
 
     # ------------------------------------------------------------ data write

@@ -19,7 +19,9 @@ reduction the reference delegates to gardener's key-based dedup
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -27,6 +29,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from etl_spark.cdc.dedup import lww_dedup, lww_dedup_salted
 
 FINAL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _work_dir(prefix: str) -> str:
+    """Temp dir for replay-backed queries. The returned DataFrame reads
+    these files LAZILY (the caller executes the plan later), so cleanup is
+    deferred to process exit instead of leaking the feed + lake per call."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
 
 # ---------------------------------------------------------------------------
 # deterministic feed derivation (Spark side ≡ SQL side below)
@@ -148,7 +160,7 @@ def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = change_feed_from_events(spark, sf_dir).withColumn(
         "batch", F.pmod(F.col("op_seq"), F.lit(4)).cast("int")
     )
-    work = tempfile.mkdtemp(prefix="etl_spark_replay_")
+    work = _work_dir("etl_spark_replay_")
     feed_dir = os.path.join(work, "feed")
     write_feed(feed, feed_dir, n_batches=4)
     # table schema mirrors the feed's payload types exactly (parquet loads
@@ -195,7 +207,7 @@ def cdc_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = change_feed_from_events(spark, sf_dir).withColumn(
         "batch", F.pmod(F.col("op_seq"), F.lit(3)).cast("int")
     )
-    work = tempfile.mkdtemp(prefix="etl_spark_stream_stats_")
+    work = _work_dir("etl_spark_stream_stats_")
     feed_dir = os.path.join(work, "feed")
     write_feed(feed, feed_dir, n_batches=3, files_per_segment=2)
     out_dir = os.path.join(work, "out")
@@ -308,7 +320,7 @@ def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = change_feed_from_events(spark, sf_dir).withColumn(
         "batch", F.pmod(F.col("op_seq"), F.lit(4)).cast("int")
     )
-    work = tempfile.mkdtemp(prefix="etl_spark_changelog_")
+    work = _work_dir("etl_spark_changelog_")
     feed_dir = os.path.join(work, "feed")
     write_feed(feed, feed_dir, n_batches=4)
     feed_t = {f.name: f.dataType for f in feed.schema.fields}
@@ -380,7 +392,7 @@ def cdc_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("batch", F.pmod(F.col("op_seq"), F.lit(4)).cast("int"))
     )
-    work = tempfile.mkdtemp(prefix="etl_spark_evolution_")
+    work = _work_dir("etl_spark_evolution_")
     feed_dir = os.path.join(work, "feed")
     write_feed(feed, feed_dir, evolve_from_batch=2, n_batches=4)
     feed_t = {f.name: f.dataType for f in feed.schema.fields}
@@ -414,7 +426,7 @@ def cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = change_feed_from_events(spark, sf_dir).withColumn(
         "batch", F.pmod(F.col("op_seq"), F.lit(4)).cast("int")
     )
-    work = tempfile.mkdtemp(prefix="etl_spark_rebucket_")
+    work = _work_dir("etl_spark_rebucket_")
     feed_dir = os.path.join(work, "feed")
     write_feed(feed, feed_dir, n_batches=4)
     feed_t = {f.name: f.dataType for f in feed.schema.fields}

@@ -174,3 +174,52 @@ def test_concurrent_commit_conflict_detected(spark, tmpdir_path):
     # the winning snapshot is untouched
     assert t.read(spark).count() == 1
     assert t.versions()[-1] == stale.version
+
+
+def test_stale_base_commit_conflict(spark, tmpdir_path):
+    """Read-compute-commit OCC: a writer whose computation was based on an
+    older snapshot must get CommitConflictError, not silently clobber the
+    buckets another writer committed in between."""
+    import pytest
+
+    from etl_spark.lake.table import CommitConflictError
+
+    t = _table(tmpdir_path)
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:01"), 1, "c1", 0, "user", "one", None, "f1"),
+    ]), "b1")
+    base = t.manifest().version  # this writer's computation reads v1
+    apply_batch(spark, t, _mk(spark, [  # another writer advances to v2
+        ("I", _ts("2024-01-01T00:00:02"), 2, "c2", 0, "user", "two", None, "f2"),
+    ]), "b2")
+    with pytest.raises(CommitConflictError, match="advanced"):
+        t.commit_version({}, [], None, None, expected_version=base)
+    assert t.read(spark).count() == 2
+
+
+def test_crashed_commit_orphan_recovery(spark, tmpdir_path):
+    """A manifest created without the pointer swap (writer crashed mid-
+    commit) is invisible to versions()/time-travel and is removed by
+    expire_snapshots, unwedging future commits."""
+    import json
+    import os
+
+    from etl_spark.lake.table import MANIFEST_DIR
+
+    t = _table(tmpdir_path)
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:01"), 1, "c1", 0, "user", "one", None, "f1"),
+    ]), "b1")
+    cur = t.manifest().version
+    # simulate the crash: orphan manifest for cur+1, pointer NOT swapped
+    orphan = dict(t.manifest().__dict__, version=cur + 1, parent=cur)
+    with open(os.path.join(t.path, MANIFEST_DIR, f"v{cur + 1:08d}.json"), "w") as f:
+        f.write(json.dumps(orphan))
+    assert t.versions()[-1] == cur  # orphan not listed
+    t.expire_snapshots(keep_last=10)  # removes the orphan
+    # the next commit takes cur+1 cleanly
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:02"), 2, "c2", 0, "user", "two", None, "f2"),
+    ]), "b2")
+    assert t.manifest().version == cur + 1
+    assert t.read(spark).count() == 2

@@ -90,6 +90,9 @@ BENCH_QUERIES = [
 #     layout; correctness row for bucket-count evolution.
 #   cdc_changelog — replay + snapshot diff; its wall is dominated by the
 #     same replay the throughput metric already times.
+#   cdc_point_lookup / cdc_mv_conv_stats — replay-backed too; their
+#     non-replay component (stats-pruned point read / changelog-scoped MV
+#     refresh) is timed separately by run_serving_bench below.
 
 
 def _steal_sample() -> tuple[int, int]:
@@ -208,6 +211,30 @@ def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
         for mode in ("mor", "cow"):
             out[mode] = max(runs[mode], key=lambda r: r["events_per_sec"])
             out[f"{mode}_all_runs"] = runs[mode]
+
+        # serving-path latencies over the last replayed MOR table: a point
+        # lookup scans one bucket's stats-selected files (not the table),
+        # and the conv-summary MV refresh re-aggregates only conversations
+        # touched since its last sync (here: the last replay segment).
+        from etl_spark.lake.mv import ConvSummaryMV
+
+        serv_table = LakeTable(os.path.join(work, f"lake_mor_{reps - 1}"))
+        plan = serv_table.plan_point_lookup(spark, "conv-00000042")
+        t0 = time.time()
+        pl_rows = serv_table.point_read(spark, "conv-00000042").count()
+        serv = {
+            "point_lookup_sec": round(time.time() - t0, 3),
+            "point_lookup_rows": pl_rows,
+            "files_scanned": len(plan["files"]),
+            "files_total": plan["files_total"],
+        }
+        versions = serv_table.versions()
+        mv = ConvSummaryMV(os.path.join(work, "mv"))
+        mv.full_refresh(spark, serv_table, version=versions[-2])
+        t0 = time.time()
+        serv["mv_affected_convs"] = mv.refresh(spark, serv_table)
+        serv["mv_refresh_sec"] = round(time.time() - t0, 3)
+        out["serving"] = serv
         assert finals["mor"] == finals["cow"] == out["stream"]["final_rows"], (
             finals, out["stream"],
         )
@@ -296,6 +323,7 @@ def main() -> None:
                 "cdc_final_rows": cdc["final_rows"],
                 "cdc_batch_walls": cdc["mor"]["batch_walls"],
                 "cdc_gen_sec": cdc["gen_sec"],
+                "serving": cdc["serving"],
             }
         )
     )

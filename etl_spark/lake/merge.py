@@ -355,7 +355,8 @@ def merge_into(
     for b, entries in files.items():
         n = 0
         for e in entries:
-            e["rows"] = table.file_row_count(e["path"])
+            if e.get("rows") is None:
+                e["rows"] = table.file_row_count(e["path"])
             n += e["rows"]
         if n:
             bucket_rows[str(b)] = n
@@ -476,7 +477,8 @@ def _merge_mor_fused(
     for b, entries in files.items():
         n = 0
         for e in entries:
-            e["rows"] = table.file_row_count(e["path"])
+            if e.get("rows") is None:
+                e["rows"] = table.file_row_count(e["path"])
             n += e["rows"]
         if n:
             bucket_rows[str(b)] = n

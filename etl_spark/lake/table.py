@@ -287,7 +287,11 @@ class LakeTable:
 
     # ---------------------------------------------------------------- reads
     def _aligned_scan(
-        self, spark: SparkSession, m: Manifest, buckets: list[int] | None
+        self,
+        spark: SparkSession,
+        m: Manifest,
+        buckets: list[int] | None,
+        entries: list[dict[str, Any]] | None = None,
     ) -> DataFrame:
         """Scan data files aligned to the CURRENT schema.
 
@@ -295,11 +299,19 @@ class LakeTable:
         null-padded to the current storage schema, then unioned by name.
         This is how int→long widening survives without rewriting old files
         (parquet's own mergeSchema refuses type conflicts).
+
+        ``entries``: scan exactly this file-entry list (stats-pruned reads)
+        instead of whole buckets.
         """
         cur_storage = self.storage_schema(schema_from_json(m.schema_json))
         want = [f.name for f in cur_storage.fields]
         groups: dict[str, list[str]] = {}
-        sel = m.files if buckets is None else {str(b): m.files.get(str(b), []) for b in buckets}
+        if entries is not None:
+            sel: dict[str, list[dict[str, Any]]] = {"_": entries}
+        elif buckets is None:
+            sel = m.files
+        else:
+            sel = {str(b): m.files.get(str(b), []) for b in buckets}
         for flist in sel.values():
             for fe in flist:
                 groups.setdefault(fe["schema_id"], []).append(
@@ -361,11 +373,14 @@ class LakeTable:
         spark: SparkSession,
         include_system: bool = False,
         version: int | None = None,
+        buckets: list[int] | None = None,
     ) -> DataFrame:
         """Live (non-tombstoned) rows, user schema by default. Pass
-        ``version`` for a time-travel read of a retained snapshot."""
+        ``version`` for a time-travel read of a retained snapshot and
+        ``buckets`` to scan only those hash buckets (caller-side partition
+        pruning, e.g. incremental-view maintenance of touched keys)."""
         m = self.manifest(version)
-        df = self._aligned_scan(spark, m, None)
+        df = self._aligned_scan(spark, m, buckets)
         if m.needs_reduce:
             df = self._reduce_lww(df)
         df = df.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
@@ -475,6 +490,111 @@ class LakeTable:
         import pyarrow.parquet as pq
 
         return pq.read_metadata(os.path.join(self.path, rel_path)).num_rows
+
+    def _file_stats(self, rel_path: str) -> dict[str, Any]:
+        """Column-level min/max stats for one data file, from the parquet
+        footer (driver-side, no Spark job — the write path calls this once
+        per new file per commit, the Iceberg analog of the per-data-file
+        column metrics a writer records in the manifest entry).
+
+        Tracked: row count, conv_id min/max (the bucket/merge key — enables
+        file skipping inside a bucket for point lookups) and ts min/max in
+        µs (time-range scans, tombstone-expiry planning). Missing stats
+        (old files, truncated pages) are simply absent — readers treat
+        absent as "cannot prune"."""
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(os.path.join(self.path, rel_path))
+        out: dict[str, Any] = {"rows": md.num_rows}
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+
+        def _minmax(col: str):
+            if col not in idx or md.num_row_groups == 0:
+                return None, None
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    return None, None
+                mins.append(st.min)
+                maxs.append(st.max)
+            return min(mins), max(maxs)
+
+        cmin, cmax = _minmax("conv_id")
+        if cmin is not None:
+            out["conv_min"] = cmin if isinstance(cmin, str) else cmin.decode()
+            out["conv_max"] = cmax if isinstance(cmax, str) else cmax.decode()
+        tmin, tmax = _minmax("ts")
+        if tmin is not None:
+            import datetime as _dt
+
+            def _us(v):
+                if isinstance(v, _dt.datetime):
+                    if v.tzinfo is None:
+                        v = v.replace(tzinfo=_dt.timezone.utc)
+                    return int(v.timestamp() * 1_000_000)
+                return int(v)
+
+            out["ts_min_us"], out["ts_max_us"] = _us(tmin), _us(tmax)
+        return out
+
+    # ------------------------------------------------------- pruned reads
+    def bucket_of(self, spark: SparkSession, conv_id: str) -> int:
+        """Bucket id of one conversation, via the same xxhash64 expression
+        the write path uses (one row-local job; on a real cluster this is
+        the partition-spec transform evaluated driver-side)."""
+        row = (
+            spark.createDataFrame([(conv_id,)], "conv_id string")
+            .select(self.bucket_expr())
+            .first()
+        )
+        return int(row[0])
+
+    def plan_point_lookup(
+        self, spark: SparkSession, conv_id: str, version: int | None = None
+    ) -> dict[str, Any]:
+        """File-skipping plan for a single-conversation read: prune to the
+        key's hash bucket, then drop every file in that bucket whose
+        conv_id [min, max] range excludes the key (files without stats are
+        kept — never wrong, just unpruned). Returns the plan so callers and
+        tests can assert the scan set: {bucket, files, files_in_bucket,
+        files_total}."""
+        m = self.manifest(version)
+        b = self.bucket_of(spark, conv_id)
+        in_bucket = m.files.get(str(b), [])
+        sel = [
+            fe
+            for fe in in_bucket
+            if not (
+                (st := fe.get("stats")) is not None
+                and "conv_min" in st
+                and not (st["conv_min"] <= conv_id <= st["conv_max"])
+            )
+        ]
+        return {
+            "bucket": b,
+            "files": sel,
+            "files_in_bucket": len(in_bucket),
+            "files_total": sum(len(fl) for fl in m.files.values()),
+        }
+
+    def point_read(
+        self, spark: SparkSession, conv_id: str, version: int | None = None
+    ) -> DataFrame:
+        """Live rows of ONE conversation, scanning only the stats-selected
+        files of its hash bucket (manifest-level partition pruning + file
+        skipping — the lookup cost is O(files of one bucket), independent
+        of table size). LWW delta-resolution applies as in read()."""
+        m = self.manifest(version)
+        plan = self.plan_point_lookup(spark, conv_id, version)
+        df = self._aligned_scan(spark, m, None, entries=plan["files"]).filter(
+            F.col("conv_id") == F.lit(conv_id)
+        )
+        if m.needs_reduce:
+            df = self._reduce_lww(df)
+        df = df.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+        user_cols = [f.name for f in schema_from_json(m.schema_json).fields]
+        return df.select(*user_cols)
 
     # ------------------------------------------------------------ commit API
     def load_bloom(self):
@@ -711,7 +831,9 @@ class LakeTable:
             ~(F.col("deleted") & (F.col("ts") < F.lit(older_than_ts).cast("timestamp")))
         )
         n = int(doomed.count())
-        files = self.write_bucket_files(keep, version_tag=f"compact{m.version + 1}")
+        files = self.write_bucket_files(
+            keep, version_tag=f"compact{m.version + 1}", cluster_sort=True
+        )
         self.commit_version(
             files, buckets, None, None, expected_version=m.version
         )
@@ -734,7 +856,9 @@ class LakeTable:
         if not buckets:
             return 0
         rows = self.read_storage(spark, buckets, reduced=m.needs_reduce)
-        files = self.write_bucket_files(rows, version_tag=f"binpack{m.version + 1}")
+        files = self.write_bucket_files(
+            rows, version_tag=f"binpack{m.version + 1}", cluster_sort=True
+        )
         # reduced-rewrite of every data-holding bucket ⇒ table is delta-free
         all_data_buckets = {int(b) for b, fl in m.files.items() if fl}
         clear = m.needs_reduce and all_data_buckets.issubset(set(buckets))
@@ -760,7 +884,9 @@ class LakeTable:
             )
             return 0
         rows = self.read_storage(spark, buckets, reduced=True)
-        files = self.write_bucket_files(rows, version_tag=f"resolve{m.version + 1}")
+        files = self.write_bucket_files(
+            rows, version_tag=f"resolve{m.version + 1}", cluster_sort=True
+        )
         self.commit_version(
             files, buckets, None, None, needs_reduce=False,
             expected_version=m.version,
@@ -890,6 +1016,7 @@ class LakeTable:
         schema_id: str | None = None,
         pre_clustered: bool = False,
         n_buckets: int | None = None,
+        cluster_sort: bool = False,
     ) -> dict[int, list[dict[str, Any]]]:
         """Write storage rows partitioned by bucket under a unique version
         dir; return the per-bucket file entries for the manifest. Files are
@@ -898,7 +1025,14 @@ class LakeTable:
         ``pre_clustered``: the caller guarantees rows are already clustered
         by bucket (e.g. the dedup exchange was keyed on the bucket), so the
         write-side exchange is skipped — partitionBy then writes ~one file
-        per bucket straight from the incoming partitions."""
+        per bucket straight from the incoming partitions.
+
+        ``cluster_sort``: additionally sort rows inside each task by
+        (conv_id, turn_idx) before writing, so parquet row groups carry
+        tight, non-overlapping conv_id min/max ranges — maintenance
+        rewrites (compaction / resolve / rebucket) use this to make the
+        manifest file stats and row-group pruning maximally selective
+        (Iceberg analog: a sort order on the rewrite spec)."""
         m = self.manifest()
         sid = schema_id if schema_id is not None else m.current_schema_id
         vdir_rel = os.path.join("data", f"{version_tag}-{uuid.uuid4().hex[:8]}")
@@ -909,6 +1043,8 @@ class LakeTable:
         if not pre_clustered:
             # ~one file per bucket: cluster rows of a bucket into the same task
             df = df.repartition(F.col("__bucket"))
+        if cluster_sort:
+            df = df.sortWithinPartitions("__bucket", "conv_id", "turn_idx")
         # 32 MiB row groups: a task whose shuffle partition spans several
         # buckets holds one open ParquetRecordWriter per bucket dir, and the
         # default 128 MiB block buffer × open-writers × concurrent-tasks is
@@ -928,11 +1064,14 @@ class LakeTable:
             entries = []
             for fn in os.listdir(os.path.join(vdir, d)):
                 if fn.endswith(".parquet"):
+                    rel = os.path.join(vdir_rel, d, fn)
+                    st = self._file_stats(rel)
                     entries.append(
                         {
-                            "path": os.path.join(vdir_rel, d, fn),
+                            "path": rel,
                             "schema_id": sid,
-                            "rows": None,
+                            "rows": st.pop("rows"),
+                            "stats": st,
                         }
                     )
             out[b] = entries

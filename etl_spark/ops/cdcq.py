@@ -444,3 +444,90 @@ def cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_feed(spark, table, feed_dir)
     table.rebucket(spark, 48)
     return table.read(spark).select(*FINAL_COLS)
+
+
+def _replayed_table(
+    spark: SparkSession, sf_dir: str, prefix: str, n_buckets: int = 16,
+    mode: str = "cow",
+):
+    """Shared scaffold for replay-backed queries: derive the feed, split it
+    into 4 binlog segments, replay through the full engine, return the
+    LakeTable."""
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.apply import replay_feed
+    from etl_spark.cdc.gen import write_feed
+    from etl_spark.lake.table import LakeTable
+
+    feed = change_feed_from_events(spark, sf_dir).withColumn(
+        "batch", F.pmod(F.col("op_seq"), F.lit(4)).cast("int")
+    )
+    work = _work_dir(prefix)
+    feed_dir = os.path.join(work, "feed")
+    write_feed(feed, feed_dir, n_batches=4)
+    feed_t = {f.name: f.dataType for f in feed.schema.fields}
+    user_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", feed_t["ts"], True),
+        ]
+    )
+    table = LakeTable.create(
+        os.path.join(work, "lake"), user_schema, n_buckets=n_buckets
+    )
+    replay_feed(spark, table, feed_dir, mode=mode)
+    return table
+
+
+# --- stats-pruned point lookup ------------------------------------------------
+# The serving-side read pattern: fetch ONE conversation out of the lake.
+# The manifest prunes to the key's hash bucket, then file-level conv_id
+# min/max stats skip files inside the bucket (Iceberg: partition pruning +
+# data-file metrics skipping). At 10^10 events / 4096 buckets the lookup
+# scans ~1/4096 of the files, independent of table size — never a full scan.
+
+POINT_LOOKUP_CONVS = ["conv-000042", "conv-000137", "conv-000199"]
+
+POINT_LOOKUP_SQL = f"""
+    SELECT * FROM ({LWW_STATE_SQL})
+    WHERE conv_id IN ('conv-000042', 'conv-000137', 'conv-000199')
+"""
+
+
+def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full replay, then stats-pruned point reads of three conversations.
+    Equality with the filtered global LWW oracle proves the pruned scan set
+    (bucket + file-skipping) still covers every file that can hold the key."""
+    table = _replayed_table(spark, sf_dir, "etl_spark_ptlookup_", mode="mor")
+    out = table.point_read(spark, POINT_LOOKUP_CONVS[0])
+    for c in POINT_LOOKUP_CONVS[1:]:
+        out = out.unionByName(table.point_read(spark, c))
+    return out.select(*FINAL_COLS)
+
+
+# --- incremental materialized-view maintenance --------------------------------
+# Replay the feed through the engine, bootstrap the per-conversation rollup
+# MV from the FIRST committed snapshot only, then bring it to the head
+# snapshot purely through changelog-scoped incremental refreshes. Equality
+# with the full-recompute oracle (CONV_STATS_SQL over the whole feed)
+# proves the delta-maintenance algebra: partial re-aggregation of affected
+# conversations only, O(changed keys) per refresh at any table size.
+
+def cdc_mv_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.lake.mv import ConvSummaryMV
+
+    table = _replayed_table(spark, sf_dir, "etl_spark_mv_", mode="mor")
+    versions = table.versions()
+    mv = ConvSummaryMV(os.path.join(os.path.dirname(table.path), "mv"))
+    mv.full_refresh(spark, table, version=versions[0])
+    # step through every retained snapshot so each refresh is a true
+    # changelog-scoped delta (not one big diff to head)
+    for v in versions[1:]:
+        mv.refresh(spark, table, to_version=v)
+    return mv.read(spark).select(
+        "conv_id", "n_turns", "n_tool_turns", "last_ts", "total_chars"
+    )

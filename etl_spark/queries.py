@@ -27,6 +27,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_changelog": (cdcq.cdc_changelog, cdcq.CHANGELOG_SQL),
     "cdc_evolution_replay": (cdcq.cdc_evolution_replay, cdcq.EVOLUTION_SQL),
     "cdc_rebucket_replay": (cdcq.cdc_rebucket_replay, cdcq.LWW_STATE_SQL),
+    "cdc_point_lookup": (cdcq.cdc_point_lookup, cdcq.POINT_LOOKUP_SQL),
+    "cdc_mv_conv_stats": (cdcq.cdc_mv_conv_stats, cdcq.CONV_STATS_SQL),
     # --- reference dataflow operators (SURVEY §2.3/§2.4/§2.6) ---
     "last_event_summary": (refops.last_event_summary, refops.LAST_EVENT_SUMMARY_SQL),
     "snapshot_thinning": (refops.snapshot_thinning, refops.SNAPSHOT_THINNING_SQL),

@@ -96,6 +96,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) carries NO parquet column statistics;
+        # TIMESTAMP_MICROS makes ts min/max available to manifest file
+        # metrics and row-group skipping (and is the Iceberg-spec type)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # CDC inputs live in object storage (no data locality exists) and
         # lake buckets are hash-placed, so a 3 s locality wait per task is
         # pure scheduling stall — measured: multi-second "scan" phases on

@@ -1,0 +1,82 @@
+"""Incremental materialized-view maintenance (lake/mv.py): delta-scoped
+partial recompute must equal a full recompute at every step, including
+update-in-place, delete drop-out, and no-op refreshes."""
+
+import datetime as dt
+
+from etl_spark.cdc.apply import apply_batch
+from etl_spark.lake.mv import ConvSummaryMV, conv_summary
+from etl_spark.lake.table import LakeTable
+from etl_spark.schema import CHANGE_SCHEMA, TRANSCRIPT_SCHEMA
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+def _assert_mv_equals_full(spark, mv, table):
+    got = sorted(map(tuple, mv.read(spark).collect()))
+    want = sorted(map(tuple, conv_summary(table.read(spark)).collect()))
+    assert got == want
+
+
+def test_incremental_refresh_tracks_full_recompute(spark, tmpdir_path):
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    mv = ConvSummaryMV(tmpdir_path + "/mv")
+
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:01"), 1, "c1", 0, "user", "hello", None, "f"),
+        ("I", _ts("2024-01-01T00:00:02"), 2, "c1", 1, "assistant", "hi!", "tool-a", "f"),
+        ("I", _ts("2024-01-01T00:00:03"), 3, "c2", 0, "user", "yo", None, "f"),
+    ]), "b1", mode="mor")
+    assert mv.refresh(spark, t) == -1  # bootstrap
+    _assert_mv_equals_full(spark, mv, t)
+
+    # update c1 turn 0 (longer text) + new conv c3 — c2 must be untouched
+    apply_batch(spark, t, _mk(spark, [
+        ("U", _ts("2024-01-01T00:01:00"), 4, "c1", 0, "user", "hello again", None, "f"),
+        ("I", _ts("2024-01-01T00:01:01"), 5, "c3", 0, "user", "new conv", None, "f"),
+    ]), "b2", mode="mor")
+    assert mv.refresh(spark, t) == 2  # c1 and c3 affected
+    _assert_mv_equals_full(spark, mv, t)
+    row = {r["conv_id"]: r for r in mv.read(spark).collect()}
+    assert row["c1"]["total_chars"] == len("hello again") + len("hi!")
+    assert row["c1"]["n_tool_turns"] == 1
+
+    # delete all of c3 — it must drop OUT of the MV
+    apply_batch(spark, t, _mk(spark, [
+        ("D", _ts("2024-01-01T00:02:00"), 6, "c3", 0, None, None, None, "f"),
+    ]), "b3", mode="mor")
+    assert mv.refresh(spark, t) == 1
+    _assert_mv_equals_full(spark, mv, t)
+    assert "c3" not in {r["conv_id"] for r in mv.read(spark).collect()}
+
+    # no new commits: refresh is a no-op
+    assert mv.refresh(spark, t) == 0
+    assert mv.table_version == t.current_version()
+
+
+def test_refresh_stepwise_equals_refresh_to_head(spark, tmpdir_path):
+    """Many small refreshes == one big refresh (version-path independence)."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    for i in range(4):
+        apply_batch(spark, t, _mk(spark, [
+            ("I", _ts(f"2024-01-01T00:0{i}:01"), 10 * i + 1, f"c{i % 2}", i,
+             "user", f"m{i}", None, "f"),
+        ]), f"b{i}", mode="mor")
+    versions = t.versions()
+    mv_step = ConvSummaryMV(tmpdir_path + "/mv_step")
+    mv_step.full_refresh(spark, t, version=versions[0])
+    for v in versions[1:]:
+        mv_step.refresh(spark, t, to_version=v)
+    mv_big = ConvSummaryMV(tmpdir_path + "/mv_big")
+    mv_big.full_refresh(spark, t, version=versions[0])
+    mv_big.refresh(spark, t)
+    a = sorted(map(tuple, mv_step.read(spark).collect()))
+    b = sorted(map(tuple, mv_big.read(spark).collect()))
+    assert a == b
+    _assert_mv_equals_full(spark, mv_step, t)

@@ -1,0 +1,101 @@
+"""Manifest file statistics + stats-pruned point lookups.
+
+The write path records per-data-file column metrics (rows, conv_id min/max,
+ts min/max µs) in the manifest entry — the Iceberg data-file-metrics analog.
+point_read() must (a) prune to the key's hash bucket, (b) skip files inside
+the bucket whose conv_id range excludes the key, and (c) still return
+exactly the rows a full-scan read returns (pruning is never allowed to
+change results — only the scan set)."""
+
+import datetime as dt
+
+from etl_spark.cdc.apply import apply_batch
+from etl_spark.lake.table import LakeTable
+from etl_spark.schema import CHANGE_SCHEMA, TRANSCRIPT_SCHEMA
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+
+
+def _insert(cid, turn, seq, text):
+    return ("I", _ts("2024-01-01T00:00:01"), seq, cid, turn, "user", text, None, "f")
+
+
+def test_file_stats_recorded(spark, tmpdir_path):
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=1)
+    apply_batch(spark, t, _mk(spark, [
+        _insert("aaa", 0, 1, "x"), _insert("zzz", 0, 2, "y")]), "b1")
+    fl = t.manifest().files["0"]
+    assert len(fl) == 1
+    fe = fl[0]
+    assert fe["rows"] == 2
+    st = fe["stats"]
+    assert st["conv_min"] == "aaa" and st["conv_max"] == "zzz"
+    assert st["ts_min_us"] <= st["ts_max_us"]
+
+
+def test_point_lookup_skips_disjoint_files(spark, tmpdir_path):
+    """Three MOR append commits into ONE bucket, each covering a disjoint
+    conv_id range — the lookup plan must keep exactly the file(s) whose
+    range can hold the key."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=1)
+    for i, prefix in enumerate(["a", "b", "c"]):
+        rows = [_insert(f"{prefix}{j:03d}", 0, i * 10 + j, f"t-{prefix}{j}")
+                for j in range(3)]
+        apply_batch(spark, t, _mk(spark, rows), f"b{i}", mode="mor")
+    plan = t.plan_point_lookup(spark, "b001")
+    assert plan["files_in_bucket"] == 3
+    assert len(plan["files"]) == 1
+    assert plan["files"][0]["stats"]["conv_min"] <= "b001" <= plan["files"][0]["stats"]["conv_max"]
+    got = t.point_read(spark, "b001").collect()
+    assert len(got) == 1 and got[0]["text"] == "t-b1"
+
+
+def test_point_read_equals_filtered_full_read(spark, tmpdir_path):
+    """Pruned read ≡ full read + filter, including under MOR deltas
+    (update arriving in a later file) and tombstones."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    apply_batch(spark, t, _mk(spark, [
+        _insert("c1", 0, 1, "v1"), _insert("c2", 0, 2, "other")]), "b1", mode="mor")
+    apply_batch(spark, t, _mk(spark, [
+        ("U", _ts("2024-01-01T00:00:05"), 3, "c1", 0, "user", "v2", None, "f"),
+        ("D", _ts("2024-01-01T00:00:05"), 4, "c2", 0, None, None, None, "f"),
+    ]), "b2", mode="mor")
+    for cid in ["c1", "c2", "c-missing"]:
+        pruned = sorted(map(tuple, t.point_read(spark, cid).collect()))
+        full = sorted(map(tuple, t.read(spark).filter(f"conv_id = '{cid}'").collect()))
+        assert pruned == full
+    assert t.point_read(spark, "c1").collect()[0]["text"] == "v2"
+    assert t.point_read(spark, "c2").count() == 0
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmpdir_path):
+    """With many buckets, the plan's candidate set is one bucket's files."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=8)
+    rows = [_insert(f"conv-{i:04d}", 0, i, f"txt-{i}") for i in range(64)]
+    apply_batch(spark, t, _mk(spark, rows), "b1")
+    plan = t.plan_point_lookup(spark, "conv-0031")
+    assert plan["files_total"] > plan["files_in_bucket"]
+    assert len(plan["files"]) <= plan["files_in_bucket"]
+    assert t.point_read(spark, "conv-0031").collect()[0]["text"] == "txt-31"
+
+
+def test_cluster_sorted_compaction_keeps_stats_and_state(spark, tmpdir_path):
+    """compact_small_files rewrites with cluster_sort — stats stay present
+    and reads are unchanged."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=2)
+    for i in range(6):
+        rows = [_insert(f"conv-{j:04d}", i, 100 * i + j, f"v{i}-{j}") for j in range(8)]
+        apply_batch(spark, t, _mk(spark, rows), f"b{i}", mode="mor")
+    before = sorted(map(tuple, t.read(spark).collect()))
+    assert t.compact_small_files(spark, max_files_per_bucket=2) > 0
+    after = sorted(map(tuple, t.read(spark).collect()))
+    assert before == after
+    for fl in t.manifest().files.values():
+        for fe in fl:
+            assert "conv_min" in fe["stats"] and "ts_min_us" in fe["stats"]

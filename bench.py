@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "doc_repetition_ratio",
     "emb_ivf_recall",
     "mm_resize_plan",
+    "doc_incremental_neardup",
+    "conv_transcript_nested",
 ]
 # Excluded from the timed suite (correctness-only at sf0.01):
 #   cdc_replay_state — superseded by the dedicated throughput replay.

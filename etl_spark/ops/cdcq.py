@@ -531,3 +531,36 @@ def cdc_mv_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.read(spark).select(
         "conv_id", "n_turns", "n_tool_turns", "last_ts", "total_chars"
     )
+
+
+# --- nested restructure: flat turns → nested transcript record ----------------
+# The inverse of hop_tree_flatten and the reference's core row shape: every
+# parser there assembles a deeply nested `raw` record from flat pieces
+# before emitting (ScamperHop trees, /root/reference/schema/pt_schema.go:14-58;
+# nested Web100ValueMap groups, /root/reference/schema/web100.go:26-39).
+# Here: the merged LWW state is re-nested into one row per conversation
+# holding an ordered array<struct> of its turns, serialized to JSON so the
+# DuckDB oracle can compare the nested value byte-for-byte. The groupBy
+# key is the bucket key's prefix — at scale this aggregation reuses the
+# merge exchange's clustering (no extra shuffle after partial agg).
+
+CONV_TRANSCRIPT_SQL = f"""
+    SELECT conv_id,
+           count(*) AS n_turns,
+           to_json(list(struct_pack(
+               turn_idx := turn_idx, role := role, text_md5 := md5(text)
+           ) ORDER BY turn_idx, role, md5(text))) AS transcript_json
+    FROM ({LWW_STATE_SQL})
+    GROUP BY conv_id
+"""
+
+
+def conv_transcript_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = cdc_lww_state(spark, sf_dir)
+    turn = F.struct(
+        F.col("turn_idx"), F.col("role"), F.md5("text").alias("text_md5")
+    )
+    return state.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.to_json(F.sort_array(F.collect_list(turn))).alias("transcript_json"),
+    )

@@ -29,6 +29,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_rebucket_replay": (cdcq.cdc_rebucket_replay, cdcq.LWW_STATE_SQL),
     "cdc_point_lookup": (cdcq.cdc_point_lookup, cdcq.POINT_LOOKUP_SQL),
     "cdc_mv_conv_stats": (cdcq.cdc_mv_conv_stats, cdcq.CONV_STATS_SQL),
+    "conv_transcript_nested": (cdcq.conv_transcript_nested, cdcq.CONV_TRANSCRIPT_SQL),
     # --- reference dataflow operators (SURVEY §2.3/§2.4/§2.6) ---
     "last_event_summary": (refops.last_event_summary, refops.LAST_EVENT_SUMMARY_SQL),
     "snapshot_thinning": (refops.snapshot_thinning, refops.SNAPSHOT_THINNING_SQL),
@@ -81,6 +82,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_repetition_ratio": (
         textops.doc_repetition_ratio,
         textops.DOC_REPETITION_SQL,
+    ),
+    "doc_incremental_neardup": (
+        textops.doc_incremental_neardup,
+        textops.DOC_INCREMENTAL_NEARDUP_SQL,
     ),
     # --- similarity search over embeddings ---
     "emb_cosine_topk": (simsearch.emb_cosine_topk, simsearch.EMB_COSINE_TOPK_SQL),

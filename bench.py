@@ -92,9 +92,9 @@ BENCH_QUERIES = [
 #     layout; correctness row for bucket-count evolution.
 #   cdc_changelog — replay + snapshot diff; its wall is dominated by the
 #     same replay the throughput metric already times.
-#   cdc_point_lookup / cdc_mv_conv_stats — replay-backed too; their
-#     non-replay component (stats-pruned point read / changelog-scoped MV
-#     refresh) is timed separately by run_serving_bench below.
+#   cdc_point_lookup / cdc_mv_conv_stats / cdc_time_window — replay-backed
+#     too; the non-replay components (stats-pruned point read /
+#     changelog-scoped MV refresh) are timed as "serving" below.
 
 
 def _steal_sample() -> tuple[int, int]:

@@ -113,6 +113,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--conv", default=None)
     p.add_argument("--limit", type=int, default=20)
 
+    p = sub.add_parser(
+        "lookup", help="stats-pruned point read of ONE conversation"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--conv", required=True)
+
+    p = sub.add_parser(
+        "between", help="time-window read [--from, --to) via ts file-skipping"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--from", dest="ts_from", required=True, help="ISO ts")
+    p.add_argument("--to", dest="ts_to", required=True, help="ISO ts")
+    p.add_argument("--limit", type=int, default=20)
+
+    p = sub.add_parser(
+        "mv-refresh",
+        help="create/refresh the per-conversation summary MV from the changelog",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--mv", required=True, help="MV directory")
+
     args = ap.parse_args(argv)
 
     from etl_spark.lake.table import LakeTable
@@ -196,10 +217,40 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "lineage":
         table.lineage_df(spark).orderBy("batch_id", "bucket").show(100, truncate=False)
     elif args.cmd == "show":
-        df = table.read(spark)
         if args.conv:
-            df = df.filter(df.conv_id == args.conv)
+            # pruned serving path: one bucket's stats-selected files
+            df = table.point_read(spark, args.conv)
+        else:
+            df = table.read(spark)
         df.orderBy("conv_id", "turn_idx").show(args.limit, truncate=60)
+    elif args.cmd == "lookup":
+        plan = table.plan_point_lookup(spark, args.conv)
+        rows = table.point_read(spark, args.conv).orderBy("turn_idx").collect()
+        print(json.dumps({
+            "conv_id": args.conv,
+            "bucket": plan["bucket"],
+            "files_scanned": len(plan["files"]),
+            "files_total": plan["files_total"],
+            "turns": [
+                {"turn_idx": r["turn_idx"], "role": r["role"], "text": r["text"]}
+                for r in rows
+            ],
+        }))
+    elif args.cmd == "between":
+        table.read_between(spark, args.ts_from, args.ts_to).orderBy(
+            "ts", "conv_id", "turn_idx"
+        ).show(args.limit, truncate=60)
+    elif args.cmd == "mv-refresh":
+        from etl_spark.lake.mv import ConvSummaryMV
+
+        mv = ConvSummaryMV(args.mv)
+        n = mv.refresh(spark, table)
+        print(json.dumps({
+            "mv": args.mv,
+            "affected_convs": n,
+            "table_version": mv.table_version,
+            "mv_rows": mv.read(spark).count(),
+        }))
     return 0
 
 

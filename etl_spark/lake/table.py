@@ -596,6 +596,57 @@ class LakeTable:
         user_cols = [f.name for f in schema_from_json(m.schema_json).fields]
         return df.select(*user_cols)
 
+    def read_between(
+        self,
+        spark: SparkSession,
+        ts_from: str,
+        ts_to: str,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Live rows whose event ts falls in [ts_from, ts_to) (ISO strings,
+        UTC), skipping every data file whose manifest ts range cannot
+        intersect the window. Under MOR the LWW reduction needs every file
+        of a bucket that MIGHT hold a window row's newer/older versions, so
+        file skipping applies the window test per FILE only when the bucket
+        is delta-free; otherwise the whole bucket is scanned and the filter
+        applies post-reduce (never wrong, just less pruned)."""
+        import datetime as _dt
+
+        def _us(s: str) -> int:
+            return int(
+                _dt.datetime.fromisoformat(s)
+                .replace(tzinfo=_dt.timezone.utc)
+                .timestamp() * 1_000_000
+            )
+
+        lo, hi = _us(ts_from), _us(ts_to)
+        m = self.manifest(version)
+
+        def _overlaps(fe: dict[str, Any]) -> bool:
+            st = fe.get("stats") or {}
+            if "ts_min_us" not in st:
+                return True
+            return st["ts_min_us"] < hi and st["ts_max_us"] >= lo
+
+        if m.needs_reduce:
+            # keep LWW correctness: prune at BUCKET granularity (a bucket
+            # none of whose files overlaps the window holds no result rows
+            # — reducing it can only produce rows with ts outside [lo, hi))
+            buckets = [
+                int(b) for b, fl in m.files.items() if any(map(_overlaps, fl))
+            ]
+            df = self._aligned_scan(spark, m, buckets)
+            df = self._reduce_lww(df)
+        else:
+            entries = [fe for fl in m.files.values() for fe in fl if _overlaps(fe)]
+            df = self._aligned_scan(spark, m, None, entries=entries)
+        df = df.filter(~F.coalesce(F.col("deleted"), F.lit(False))).filter(
+            (F.col("ts") >= F.lit(ts_from).cast("timestamp"))
+            & (F.col("ts") < F.lit(ts_to).cast("timestamp"))
+        )
+        user_cols = [f.name for f in schema_from_json(m.schema_json).fields]
+        return df.select(*user_cols)
+
     # ------------------------------------------------------------ commit API
     def load_bloom(self):
         """The persisted key seen-set. None for pre-bloom tables or sidecars
@@ -818,9 +869,33 @@ class LakeTable:
         """Compaction: physically drop tombstones with ts < older_than_ts
         (safe once no change older than that can still arrive — the batch
         analog of a streaming watermark). Rewrites only buckets that contain
-        expirable tombstones."""
+        expirable tombstones.
+
+        Planning is manifest-first: a bucket whose every file has
+        ts_min_us >= the cutoff cannot hold an expirable tombstone, so the
+        candidate-discovery scan skips it entirely (at a steady-state
+        10^10-event table almost all buckets' files are younger than the
+        expiry horizon only in their deltas — the stats cut the discovery
+        scan to the old tail instead of the full table)."""
+        import datetime as _dt
+
         m = self.manifest()
-        storage = self.read_storage(spark)
+        cutoff_us = int(
+            _dt.datetime.fromisoformat(older_than_ts)
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp() * 1_000_000
+        )
+
+        def _may_hold_old(fe: dict[str, Any]) -> bool:
+            st = fe.get("stats") or {}
+            return "ts_min_us" not in st or st["ts_min_us"] < cutoff_us
+
+        cand_buckets = [
+            int(b) for b, fl in m.files.items() if any(map(_may_hold_old, fl))
+        ]
+        if not cand_buckets:
+            return 0
+        storage = self.read_storage(spark, cand_buckets)
         doomed = storage.filter(
             F.col("deleted") & (F.col("ts") < F.lit(older_than_ts).cast("timestamp"))
         )

@@ -564,3 +564,27 @@ def conv_transcript_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_turns"),
         F.to_json(F.sort_array(F.collect_list(turn))).alias("transcript_json"),
     )
+
+
+# --- ts-stats time-window read -------------------------------------------------
+# "What changed in week 2?" over the merged state: the manifest's per-file
+# ts min/max skip every data file (delta-free buckets) or bucket (MOR)
+# that cannot intersect the window. Window literals are fixed so the
+# DuckDB oracle is the same predicate over the global LWW reduction.
+
+TIME_WINDOW = ("2024-01-08T00:00:00", "2024-01-15T00:00:00")
+
+TIME_WINDOW_SQL = f"""
+    SELECT * FROM ({LWW_STATE_SQL})
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+"""
+
+
+def cdc_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = _replayed_table(spark, sf_dir, "etl_spark_twin_", mode="mor")
+    # resolve deltas first so the read exercises the per-FILE skipping
+    # path over cluster-sorted rewrites (the MOR bucket-granular path is
+    # covered by unit tests)
+    table.resolve_deltas(spark)
+    return table.read_between(spark, *TIME_WINDOW).select(*FINAL_COLS)

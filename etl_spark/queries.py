@@ -30,6 +30,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_point_lookup": (cdcq.cdc_point_lookup, cdcq.POINT_LOOKUP_SQL),
     "cdc_mv_conv_stats": (cdcq.cdc_mv_conv_stats, cdcq.CONV_STATS_SQL),
     "conv_transcript_nested": (cdcq.conv_transcript_nested, cdcq.CONV_TRANSCRIPT_SQL),
+    "cdc_time_window": (cdcq.cdc_time_window, cdcq.TIME_WINDOW_SQL),
     # --- reference dataflow operators (SURVEY §2.3/§2.4/§2.6) ---
     "last_event_summary": (refops.last_event_summary, refops.LAST_EVENT_SUMMARY_SQL),
     "snapshot_thinning": (refops.snapshot_thinning, refops.SNAPSHOT_THINNING_SQL),

@@ -99,3 +99,54 @@ def test_cluster_sorted_compaction_keeps_stats_and_state(spark, tmpdir_path):
     for fl in t.manifest().files.values():
         for fe in fl:
             assert "conv_min" in fe["stats"] and "ts_min_us" in fe["stats"]
+
+
+def test_read_between_skips_and_matches_full_filter(spark, tmpdir_path):
+    """Time-window read over a delta-free table: file skipping by ts stats,
+    result identical to full read + ts filter."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=1)
+    for i, day in enumerate(["01", "10", "20"]):
+        rows = [("I", _ts(f"2024-01-{day}T12:00:00"), 10 * i + j,
+                 f"c{i}{j}", 0, "user", f"d{day}-{j}", None, "f") for j in range(3)]
+        apply_batch(spark, t, _mk(spark, rows), f"b{i}", mode="mor")
+    t.resolve_deltas(spark)
+    lo, hi = "2024-01-05T00:00:00", "2024-01-15T00:00:00"
+    got = sorted(map(tuple, t.read_between(spark, lo, hi).collect()))
+    want = sorted(map(tuple, t.read(spark).filter(
+        f"ts >= timestamp'{lo}' AND ts < timestamp'{hi}'").collect()))
+    assert got == want and len(got) == 3
+    assert all(r[3].startswith("d10") for r in got)  # text col
+
+
+def test_read_between_mor_lww_correct_across_window_edge(spark, tmpdir_path):
+    """A newer out-of-window update must suppress an in-window older
+    version even when the newer version's file does not overlap the
+    window (the reason MOR prunes at bucket granularity)."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=1)
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-10T00:00:00"), 1, "c1", 0, "user", "in-window", None, "f"),
+        ("I", _ts("2024-01-10T00:00:00"), 2, "c2", 0, "user", "stays", None, "f"),
+    ]), "b1", mode="mor")
+    apply_batch(spark, t, _mk(spark, [
+        ("U", _ts("2024-02-01T00:00:00"), 3, "c1", 0, "user", "moved out", None, "f"),
+    ]), "b2", mode="mor")
+    got = t.read_between(spark, "2024-01-05T00:00:00", "2024-01-15T00:00:00").collect()
+    assert len(got) == 1 and got[0]["conv_id"] == "c2"
+
+
+def test_expire_tombstones_stats_planning(spark, tmpdir_path):
+    """Stats-first planning: no candidate bucket -> 0 without any scan;
+    old tombstones still expire correctly when present."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=2)
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-06-01T00:00:00"), 1, "c1", 0, "user", "young", None, "f"),
+    ]), "b1", mode="mor")
+    # every file is younger than the cutoff: manifest planning answers 0
+    assert t.expire_tombstones(spark, "2024-01-01T00:00:00") == 0
+    # add an old delete; it must be found and expired
+    apply_batch(spark, t, _mk(spark, [
+        ("D", _ts("2023-12-01T00:00:00"), 0, "c0", 0, None, None, None, "f"),
+    ]), "b2", mode="mor")
+    assert t.expire_tombstones(spark, "2024-01-01T00:00:00") == 1
+    live = t.read(spark).collect()
+    assert len(live) == 1 and live[0]["conv_id"] == "c1"

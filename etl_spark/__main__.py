@@ -69,6 +69,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--late-watermark-sec", type=float, default=None)
     p.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    p.add_argument("--mv", default=None,
+                   help="keep this summary-MV directory in sync per trigger")
 
     p = sub.add_parser("apply", help="apply ONE segment directory (debug)")
     p.add_argument("--table", required=True)
@@ -178,6 +180,7 @@ def main(argv: list[str] | None = None) -> int:
             available_now=True,
             late_watermark_sec=args.late_watermark_sec,
             mode=args.mode,
+            mv_path=args.mv,
         )
         print(json.dumps({"table": args.table, "final_rows": table.read(spark).count()}))
     elif args.cmd == "apply":

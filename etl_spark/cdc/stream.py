@@ -60,9 +60,18 @@ def run_stream(
     fail_threshold: float = 0.10,
     late_watermark_sec: float | None = None,
     mode: str = "cow",
+    mv_path: str | None = None,
 ):
     """Start (and by default drain) the streaming apply loop. Returns the
-    StreamingQuery when available_now=False (caller stops it)."""
+    StreamingQuery when available_now=False (caller stops it).
+
+    ``mv_path``: keep the per-conversation summary MV (lake/mv.py) in sync
+    inside the SAME foreachBatch — after each applied micro-batch the MV
+    does a changelog-scoped incremental refresh, so derived-table freshness
+    tracks the stream with O(batch keys) extra work per trigger. The MV's
+    own table_version pointer makes the refresh idempotent across replays:
+    a re-delivered batch no-ops the merge (version unchanged) and therefore
+    no-ops the refresh."""
     schema = detect_feed_schema(spark, feed_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -124,6 +133,10 @@ def run_stream(
             late_watermark_sec=late_watermark_sec,
             mode=mode,
         )
+        if mv_path is not None:
+            from etl_spark.lake.mv import ConvSummaryMV
+
+            ConvSummaryMV(mv_path).refresh(spark, table)
 
     writer = (
         src.writeStream.foreachBatch(_apply)

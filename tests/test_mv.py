@@ -80,3 +80,28 @@ def test_refresh_stepwise_equals_refresh_to_head(spark, tmpdir_path):
     b = sorted(map(tuple, mv_big.read(spark).collect()))
     assert a == b
     _assert_mv_equals_full(spark, mv_step, t)
+
+
+def test_streaming_keeps_mv_in_sync(spark, tmpdir_path):
+    """mv_path on the streaming driver: after the drain, the MV must equal
+    a full recompute of the final table state, having been refreshed only
+    through per-trigger changelog deltas."""
+    from etl_spark.cdc.gen import change_feed_df, write_feed
+    from etl_spark.cdc.stream import run_stream
+
+    feed_dir = tmpdir_path + "/feed"
+    write_feed(
+        change_feed_df(spark, n_events=4000, n_convs=60, max_turns=8,
+                       seed=13, n_batches=3),
+        feed_dir, n_batches=3, files_per_segment=2,
+    )
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=8)
+    mv_path = tmpdir_path + "/mv"
+    run_stream(
+        spark, t, feed_dir, tmpdir_path + "/ckpt",
+        max_files_per_trigger=2, available_now=True, mode="mor",
+        mv_path=mv_path,
+    )
+    mv = ConvSummaryMV(mv_path)
+    assert mv.table_version == t.current_version()
+    _assert_mv_equals_full(spark, mv, t)

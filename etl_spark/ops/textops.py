@@ -878,3 +878,57 @@ DOC_INCREMENTAL_NEARDUP_SQL = f"""
     WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
           / len(list_distinct(list_concat(x.sh, y.sh))) >= {JACCARD_THRESHOLD}
 """
+
+
+# --- persisted near-dup gate (batch-at-a-time admission) -----------------------
+# Drives etl_spark/cdc/neardup.NearDupIndex exactly as an ingest pipeline
+# would: documents arrive in 3 batches (doc_id % 3 = arrival order); each
+# batch is checked against the index built from the PREVIOUS batches, then
+# admitted. The oracle recomputes the same thing set-at-once: banded
+# candidates where the left doc arrived strictly later (or same batch,
+# smaller id), scored by the signature-agreement Jaccard estimate.
+
+def doc_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from etl_spark.cdc.neardup import NearDupIndex
+
+    work = tempfile.mkdtemp(prefix="etl_spark_ndgate_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = NearDupIndex(os.path.join(work, "ndi"))
+    outs = []
+    for b in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == b)
+        outs.append(idx.check_and_add(spark, batch, threshold=JACCARD_THRESHOLD))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+DOC_NEARDUP_GATE_SQL = f"""
+    WITH sig AS ({_SIG_TABLE_SQL}),
+    bands AS (
+        SELECT doc_id, i AS bi, sig[2*i + 1] * {MERSENNE_P} + sig[2*i + 2] AS bk
+        FROM sig, unnest(range(0, {N_BANDS})) AS t(i)
+        WHERE sig[1] IS NOT NULL
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of
+        FROM bands a JOIN bands b
+          ON a.bi = b.bi AND a.bk = b.bk
+         AND (a.doc_id % 3 > b.doc_id % 3
+              OR (a.doc_id % 3 = b.doc_id % 3 AND a.doc_id < b.doc_id))
+    )
+    SELECT cand.doc_id AS doc_id, cand.dup_of AS dup_of,
+           len(list_filter(range(1, {N_MINHASH} + 1),
+                           i -> x.sig[i] = y.sig[i])) / {N_MINHASH}.0 AS est_jaccard
+    FROM cand
+    JOIN sig x ON x.doc_id = cand.doc_id
+    JOIN sig y ON y.doc_id = cand.dup_of
+    WHERE len(list_filter(range(1, {N_MINHASH} + 1),
+                          i -> x.sig[i] = y.sig[i])) / {N_MINHASH}.0 >= {JACCARD_THRESHOLD}
+"""

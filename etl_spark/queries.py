@@ -88,6 +88,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.doc_incremental_neardup,
         textops.DOC_INCREMENTAL_NEARDUP_SQL,
     ),
+    "doc_neardup_gate": (textops.doc_neardup_gate, textops.DOC_NEARDUP_GATE_SQL),
     # --- similarity search over embeddings ---
     "emb_cosine_topk": (simsearch.emb_cosine_topk, simsearch.EMB_COSINE_TOPK_SQL),
     "emb_knn_label": (simsearch.emb_knn_label, simsearch.EMB_KNN_LABEL_SQL),

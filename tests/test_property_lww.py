@@ -98,3 +98,37 @@ def test_final_state_is_order_and_grouping_invariant(
 
     assert got_a == want
     assert got_b == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(event_st, min_size=1, max_size=25),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_incremental_mv_equals_full_recompute(spark, tmpdir_path, events, seed):
+    """MV property: after ANY sequence of batches (random grouping, MOR),
+    refreshing the MV incrementally after EVERY commit leaves it equal to
+    a from-scratch aggregation of the final state — updates, ts-tie
+    op_seq winners, and full-conversation deletes included."""
+    from etl_spark.lake.mv import ConvSummaryMV, conv_summary
+
+    rows = _rows(events)
+    uniq = uuid.uuid4().hex
+    t = LakeTable.create(f"{tmpdir_path}/t{uniq}", TRANSCRIPT_SCHEMA, n_buckets=4)
+    mv = ConvSummaryMV(f"{tmpdir_path}/mv{uniq}")
+    grouping = [(seed + i * 2654435761) % 3 for i in range(len(rows))]
+    for g in range(3):
+        batch = [r for r, grp in zip(rows, grouping) if grp == g]
+        if batch:
+            apply_batch(
+                spark, t, spark.createDataFrame(batch, CHANGE_SCHEMA),
+                f"b{g}", mode="mor",
+            )
+            mv.refresh(spark, t)
+    got = sorted(map(tuple, mv.read(spark).collect()))
+    want = sorted(map(tuple, conv_summary(t.read(spark)).collect()))
+    assert got == want

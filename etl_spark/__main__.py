@@ -61,6 +61,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--feed", required=True)
     p.add_argument("--late-watermark-sec", type=float, default=None)
     p.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    p.add_argument("--auto-compact-files", type=int, default=None,
+                   help="bin-pack buckets exceeding this many files after each batch")
 
     p = sub.add_parser("stream", help="streaming tail with checkpoint")
     p.add_argument("--table", required=True)
@@ -71,6 +73,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mode", choices=["cow", "mor"], default="cow")
     p.add_argument("--mv", default=None,
                    help="keep this summary-MV directory in sync per trigger")
+    p.add_argument("--auto-compact-files", type=int, default=None,
+                   help="bin-pack buckets exceeding this many files after each trigger")
 
     p = sub.add_parser("apply", help="apply ONE segment directory (debug)")
     p.add_argument("--table", required=True)
@@ -169,6 +173,7 @@ def main(argv: list[str] | None = None) -> int:
         stats = replay_feed(
             spark, table, args.feed,
             late_watermark_sec=args.late_watermark_sec, mode=args.mode,
+            auto_compact_files=args.auto_compact_files,
         )
         print(_stats_json(stats))
     elif args.cmd == "stream":
@@ -181,6 +186,7 @@ def main(argv: list[str] | None = None) -> int:
             late_watermark_sec=args.late_watermark_sec,
             mode=args.mode,
             mv_path=args.mv,
+            auto_compact_files=args.auto_compact_files,
         )
         print(json.dumps({"table": args.table, "final_rows": table.read(spark).count()}))
     elif args.cmd == "apply":

@@ -167,6 +167,7 @@ def replay_feed(
     late_watermark_sec: float | None = None,
     mode: str = "cow",
     json_schema=None,
+    auto_compact_files: int | None = None,
 ) -> list[MergeStats]:
     """Batch-mode replay of a feed directory (one subdir per binlog segment,
     lexicographic order = arrival order). Used by tests, bench, and as the
@@ -179,7 +180,15 @@ def replay_feed(
     /root/reference/storage/storage.go:77-121). JSONL segments are read with
     the explicit change-event schema (``json_schema``, default
     ``CHANGE_SCHEMA``) — never schema inference, which would cost a second
-    pass over 100 TB and type timestamps as strings."""
+    pass over 100 TB and type timestamps as strings.
+
+    ``auto_compact_files``: inline maintenance policy — after each applied
+    batch, bin-pack (LWW-collapsing) any bucket that has accumulated more
+    than this many data files. Merge-on-read appends one delta file per
+    touched bucket per batch, so an unbounded stream needs this bound or
+    read amplification grows linearly with batches; compaction rewrites
+    ONLY offending buckets and commits through the same atomic snapshot
+    path (idempotence ledger and time-travel unaffected)."""
     out: list[MergeStats] = []
     done = table.committed_segments()
     _JSON_EXTS = (".json.gz", ".jsonl.gz", ".json", ".jsonl")
@@ -220,4 +229,6 @@ def replay_feed(
                 late_watermark_sec=late_watermark_sec, mode=mode,
             )
         )
+        if auto_compact_files is not None:
+            table.compact_small_files(spark, auto_compact_files)
     return out

@@ -61,6 +61,7 @@ def run_stream(
     late_watermark_sec: float | None = None,
     mode: str = "cow",
     mv_path: str | None = None,
+    auto_compact_files: int | None = None,
 ):
     """Start (and by default drain) the streaming apply loop. Returns the
     StreamingQuery when available_now=False (caller stops it).
@@ -71,7 +72,11 @@ def run_stream(
     tracks the stream with O(batch keys) extra work per trigger. The MV's
     own table_version pointer makes the refresh idempotent across replays:
     a re-delivered batch no-ops the merge (version unchanged) and therefore
-    no-ops the refresh."""
+    no-ops the refresh.
+
+    ``auto_compact_files``: per-trigger maintenance bound — see
+    ``replay_feed``; under an endless MOR stream this caps read
+    amplification at a constant number of files per bucket."""
     schema = detect_feed_schema(spark, feed_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -133,6 +138,8 @@ def run_stream(
             late_watermark_sec=late_watermark_sec,
             mode=mode,
         )
+        if auto_compact_files is not None:
+            table.compact_small_files(spark, auto_compact_files)
         if mv_path is not None:
             from etl_spark.lake.mv import ConvSummaryMV
 

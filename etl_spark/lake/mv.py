@@ -55,11 +55,20 @@ def conv_summary(state: DataFrame) -> DataFrame:
     )
 
 
-class ConvSummaryMV:
-    """A per-conversation summary table kept in sync with a LakeTable."""
+class KeyedMV:
+    """A materialized view keyed by ``conv_id`` kept in sync with a
+    LakeTable via changelog-scoped partial recompute.
 
-    def __init__(self, path: str):
+    ``view_fn(state_df) -> DataFrame`` defines the view: any aggregation
+    producing EXACTLY ONE row per conv_id (the delta-maintenance algebra
+    re-aggregates affected conversations in isolation, which is only sound
+    when the view's group key equals the table's partition key — a view
+    keyed by anything else, e.g. per-tool totals, would need contributions
+    from unaffected conversations and must full-refresh instead)."""
+
+    def __init__(self, path: str, view_fn=None):
         self.path = path
+        self.view_fn = view_fn if view_fn is not None else conv_summary
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------- state
@@ -98,7 +107,7 @@ class ConvSummaryMV:
                      version: int | None = None) -> None:
         """Recompute the view from a full snapshot scan (bootstrap path)."""
         v = table.current_version() if version is None else version
-        self._commit(conv_summary(table.read(spark, version=v)), v)
+        self._commit(self.view_fn(table.read(spark, version=v)), v)
 
     def refresh(
         self, spark: SparkSession, table: LakeTable, to_version: int | None = None
@@ -134,9 +143,18 @@ class ConvSummaryMV:
             scoped = table.read(spark, version=v_to, buckets=buckets).join(
                 aff_df, "conv_id"
             )
-            new_rollup = conv_summary(scoped)
+            new_rollup = self.view_fn(scoped)
             kept = self.read(spark).join(aff_df, "conv_id", "left_anti")
             self._commit(kept.unionByName(new_rollup), v_to)
         finally:
             affected.unpersist()
         return n_affected
+
+
+class ConvSummaryMV(KeyedMV):
+    """The stock per-conversation rollup view (n_turns, n_tool_turns,
+    last_ts, total_chars) — see ``conv_summary`` for the definition and
+    ops.cdcq.CONV_STATS_SQL for its full-recompute oracle."""
+
+    def __init__(self, path: str):
+        super().__init__(path, conv_summary)

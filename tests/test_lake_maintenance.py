@@ -87,3 +87,34 @@ def test_expire_snapshots_noop_when_few_versions(spark, tmpdir_path):
     _apply_n(spark, t, 1)
     assert t.expire_snapshots(keep_last=5) == 0
     assert t.read(spark).count() == 1
+
+
+def test_auto_compact_bounds_files_per_bucket(spark, tmpdir_path):
+    """replay_feed(auto_compact_files=N): an endless MOR stream cannot
+    accumulate unbounded delta files — after the drain every bucket holds
+    at most N files, and the final state equals an uncompacted replay."""
+    from etl_spark.cdc.apply import replay_feed
+    from etl_spark.cdc.gen import change_feed_df, write_feed
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.schema import TRANSCRIPT_SCHEMA
+
+    feed_dir = tmpdir_path + "/feed"
+    write_feed(
+        change_feed_df(spark, n_events=6000, n_convs=50, max_turns=8,
+                       seed=21, n_batches=8),
+        feed_dir, n_batches=8,
+    )
+    t1 = LakeTable.create(tmpdir_path + "/t1", TRANSCRIPT_SCHEMA, n_buckets=4)
+    replay_feed(spark, t1, feed_dir, mode="mor", auto_compact_files=2)
+    t2 = LakeTable.create(tmpdir_path + "/t2", TRANSCRIPT_SCHEMA, n_buckets=4)
+    replay_feed(spark, t2, feed_dir, mode="mor")
+
+    m1, m2 = t1.manifest(), t2.manifest()
+    assert max(len(fl) for fl in m1.files.values()) <= 2
+    assert max(len(fl) for fl in m2.files.values()) > 2  # control: unbounded
+    a = sorted(map(tuple, t1.read(spark).collect()))
+    b = sorted(map(tuple, t2.read(spark).collect()))
+    assert a == b
+    # idempotence ledger survives compaction commits: full re-replay no-ops
+    stats = replay_feed(spark, t1, feed_dir, mode="mor", auto_compact_files=2)
+    assert all(s.skipped_idempotent for s in stats)

@@ -105,3 +105,33 @@ def test_streaming_keeps_mv_in_sync(spark, tmpdir_path):
     mv = ConvSummaryMV(mv_path)
     assert mv.table_version == t.current_version()
     _assert_mv_equals_full(spark, mv, t)
+
+
+def test_keyed_mv_custom_view(spark, tmpdir_path):
+    """KeyedMV accepts any one-row-per-conv view_fn; incremental == full."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.lake.mv import KeyedMV
+
+    def role_mix(state):
+        return state.groupBy("conv_id").agg(
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias("n_assistant"),
+            F.max(F.length("text")).alias("max_len"),
+        )
+
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    mv = KeyedMV(tmpdir_path + "/mv", role_mix)
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:01"), 1, "c1", 0, "user", "hey", None, "f"),
+        ("I", _ts("2024-01-01T00:00:02"), 2, "c1", 1, "assistant", "hello!", None, "f"),
+    ]), "b1", mode="mor")
+    mv.refresh(spark, t)
+    apply_batch(spark, t, _mk(spark, [
+        ("U", _ts("2024-01-01T00:01:00"), 3, "c1", 1, "assistant", "hello again!", None, "f"),
+        ("I", _ts("2024-01-01T00:01:01"), 4, "c2", 0, "user", "hi", None, "f"),
+    ]), "b2", mode="mor")
+    assert mv.refresh(spark, t) == 2
+    got = sorted(map(tuple, mv.read(spark).collect()))
+    want = sorted(map(tuple, role_mix(t.read(spark)).collect()))
+    assert got == want

@@ -95,9 +95,10 @@ BENCH_QUERIES = [
 #   cdc_point_lookup / cdc_mv_conv_stats / cdc_time_window — replay-backed
 #     too; the non-replay components (stats-pruned point read /
 #     changelog-scoped MV refresh) are timed as "serving" below.
-#   doc_neardup_gate — 3 sequential index-admission rounds (each an eager
-#     segment write + its own job chain); the same band-join work is timed
-#     via doc_incremental_neardup, which is the one-pass formulation.
+#   doc_neardup_gate / emb_neardup_gate — 3 sequential index-admission
+#     rounds (each an eager segment write + its own job chain); the same
+#     band-join work is timed via doc_incremental_neardup and
+#     emb_neardup_pairs, the one-pass formulations.
 
 
 def _steal_sample() -> tuple[int, int]:

@@ -234,3 +234,141 @@ class NearDupIndex:
         dups = self._dups_for_sigs(spark, sigs, threshold)
         self._commit_segment(seg, n)
         return dups
+
+
+class EmbNearDupIndex:
+    """Embedding-side admission gate: the same persisted-segment protocol
+    as NearDupIndex, but content = vectors. Stores each admitted vector
+    quantized (int64, round(x*1000) — the repo-wide determinism contract,
+    see ops/simsearch.py) with its squared norm; candidates come from the
+    high-recall random-hyperplane banding (4 bands × 2 bits, deterministic
+    ±1 plane literals shared with the DuckDB oracle), scored by EXACT
+    cosine from the stored vectors (unlike text, the index holds the full
+    signal, so no estimator is needed). Per-batch cost: one quantize pass
+    over the batch + band equi-joins; the corpus is never re-projected or
+    cross-joined."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    _meta = NearDupIndex._meta
+    _commit_segment = NearDupIndex._commit_segment
+
+    @property
+    def n_docs(self) -> int:
+        return self._meta()["n_docs"]
+
+    def _read_index(self, spark: SparkSession) -> DataFrame | None:
+        m = self._meta()
+        if not m["segments"]:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(self.path, s) for s in m["segments"]]
+        )
+
+    @staticmethod
+    def _sigs_of(batch: DataFrame) -> DataFrame:
+        """(vec_id, embedding float[]) → (vec_id, q, nsq)."""
+        from etl_spark.ops.simsearch import _quantized
+
+        return _quantized(batch).select(
+            "vec_id", F.col("__q").alias("q"), F.col("__nsq").alias("nsq")
+        )
+
+    @staticmethod
+    def _bands_of(sigs: DataFrame) -> DataFrame:
+        from etl_spark.ops.simsearch import (
+            NEARDUP_BANDS,
+            NEARDUP_BITS,
+            _band_cols_spark,
+        )
+
+        return sigs.withColumnRenamed("q", "__q").select(
+            "vec_id",
+            F.explode(_band_cols_spark(NEARDUP_BANDS, NEARDUP_BITS)).alias("bb"),
+        ).select("vec_id", "bb.band", "bb.bucket")
+
+    def _write_segment(self, spark: SparkSession, batch: DataFrame) -> tuple[str, int]:
+        import pyarrow.parquet as pq
+
+        seg = f"seg-{uuid.uuid4().hex[:12]}"
+        self._sigs_of(batch).write.mode("overwrite").parquet(
+            os.path.join(self.path, seg)
+        )
+        n = sum(
+            pq.read_metadata(os.path.join(self.path, seg, f)).num_rows
+            for f in os.listdir(os.path.join(self.path, seg))
+            if f.endswith(".parquet")
+        )
+        return seg, n
+
+    def _dups_for_sigs(
+        self, spark: SparkSession, sigs: DataFrame, threshold: float
+    ) -> DataFrame:
+        from etl_spark.ops.simsearch import _cos, _dot
+
+        def _score(cand: DataFrame, right: DataFrame) -> DataFrame:
+            a = sigs.select(
+                F.col("vec_id").alias("vec_id"), F.col("q").alias("qa"),
+                F.col("nsq").alias("na"),
+            )
+            b = right.select(
+                F.col("vec_id").alias("dup_of"), F.col("q").alias("qb"),
+                F.col("nsq").alias("nb"),
+            )
+            cos = _cos(_dot("qa", "qb"), "na", "nb")
+            return (
+                cand.join(a, "vec_id").join(b, "dup_of")
+                .select("vec_id", "dup_of", F.round(cos, 4).alias("cos4"))
+            )
+
+        nb = self._bands_of(sigs)
+        idx = self._read_index(spark)
+        parts = []
+        if idx is not None:
+            ib = self._bands_of(idx)
+            cand = (
+                nb.alias("x")
+                .join(
+                    ib.alias("y"),
+                    (F.col("x.band") == F.col("y.band"))
+                    & (F.col("x.bucket") == F.col("y.bucket")),
+                )
+                .select(
+                    F.col("x.vec_id").alias("vec_id"),
+                    F.col("y.vec_id").alias("dup_of"),
+                )
+                .distinct()
+            )
+            parts.append(_score(cand, idx))
+        cand_in = (
+            nb.alias("x")
+            .join(
+                nb.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select(
+                F.col("x.vec_id").alias("vec_id"),
+                F.col("y.vec_id").alias("dup_of"),
+            )
+            .distinct()
+        )
+        parts.append(_score(cand_in, sigs))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.filter(F.col("cos4") >= threshold)
+
+    def check_and_add(
+        self, spark: SparkSession, batch: DataFrame, threshold: float
+    ) -> DataFrame:
+        """Gate + admit, same snapshot-isolation-by-immutability contract
+        as NearDupIndex.check_and_add."""
+        seg, n = self._write_segment(spark, batch)
+        sigs = spark.read.parquet(os.path.join(self.path, seg))
+        dups = self._dups_for_sigs(spark, sigs, threshold)
+        self._commit_segment(seg, n)
+        return dups

@@ -535,3 +535,54 @@ EMB_IVF_RECALL_SQL = f"""
       ON e.q_id = i.q_id AND e.cand_id = i.cand_id
     GROUP BY e.q_id
 """
+
+
+# --- embedding admission gate (persisted index, batch-at-a-time) --------------
+# Vectors arrive in 3 batches (vec_id % 3 = arrival order); each batch is
+# checked against the EmbNearDupIndex built from the previous batches
+# (band equi-join on the shared deterministic hyperplane literals, exact
+# cosine from the stored quantized vectors), then admitted. Oracle: the
+# same banding + cosine over all vectors where the left one arrived
+# strictly later (or same batch, smaller id).
+
+def emb_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from etl_spark.cdc.neardup import EmbNearDupIndex
+
+    work = tempfile.mkdtemp(prefix="etl_spark_embgate_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    idx = EmbNearDupIndex(os.path.join(work, "endi"))
+    outs = []
+    for b in range(3):
+        batch = emb.filter(F.col("vec_id") % 3 == b)
+        outs.append(idx.check_and_add(spark, batch, threshold=NEARDUP_COS))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+EMB_NEARDUP_GATE_SQL = f"""
+    WITH n AS ({NORM_SQL}),
+    hashed AS ({{bands}}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS dup_of
+        FROM hashed a JOIN hashed b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND (a.vec_id % 3 > b.vec_id % 3
+              OR (a.vec_id % 3 = b.vec_id % 3 AND a.vec_id < b.vec_id))
+    )
+    SELECT cand.vec_id AS vec_id, cand.dup_of AS dup_of, round(
+        CAST(list_aggregate(list_transform(range(1, {LSH_DIM + 1}), i -> a.q[i] * b.q[i]), 'sum') AS DOUBLE)
+            / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)), 4) AS cos4
+    FROM cand
+    JOIN n a ON a.vec_id = cand.vec_id
+    JOIN n b ON b.vec_id = cand.dup_of
+    WHERE round(
+        CAST(list_aggregate(list_transform(range(1, {LSH_DIM + 1}), i -> a.q[i] * b.q[i]), 'sum') AS DOUBLE)
+            / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)), 4) >= {NEARDUP_COS}
+""".format(bands=_band_sql(NEARDUP_BANDS, NEARDUP_BITS))

@@ -94,6 +94,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_knn_label": (simsearch.emb_knn_label, simsearch.EMB_KNN_LABEL_SQL),
     "emb_neardup_pairs": (simsearch.emb_neardup_pairs, simsearch.EMB_NEARDUP_SQL),
     "emb_ivf_topk": (simsearch.emb_ivf_topk, simsearch.EMB_IVF_TOPK_SQL),
+    "emb_neardup_gate": (simsearch.emb_neardup_gate, simsearch.EMB_NEARDUP_GATE_SQL),
     "emb_ivf_recall": (simsearch.emb_ivf_recall, simsearch.EMB_IVF_RECALL_SQL),
     "mm_resize_plan": (multimodal.mm_resize_plan, multimodal.MM_RESIZE_PLAN_SQL),
     "emb_lsh_topk": (simsearch.emb_lsh_topk, simsearch.EMB_LSH_TOPK_SQL),

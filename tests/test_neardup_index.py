@@ -66,3 +66,36 @@ def test_shingleless_docs_pass_the_gate(spark, tmpdir_path):
     out = idx.check_and_add(spark, _df(spark, [(1, "hi"), (2, "hi")]))
     assert out.count() == 0
     assert idx.n_docs == 0
+
+
+def test_emb_gate_cross_batch_and_in_batch(spark, tmpdir_path):
+    """EmbNearDupIndex: a vector nearly parallel to an indexed one is
+    flagged on arrival; orthogonal ones pass."""
+    from etl_spark.cdc.neardup import EmbNearDupIndex
+
+    def vec(*pattern):
+        # 64-dim from an 8-dim pattern tiled
+        return [float(pattern[i % len(pattern)]) for i in range(64)]
+
+    b1 = spark.createDataFrame(
+        [(1, vec(1, 0, 0, 0, 1, 0, 0, 0)), (2, vec(0, 1, 0, 0, 0, 1, 0, 0))],
+        "vec_id long, embedding array<float>",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (9, vec(1, 0.05, 0, 0, 1, 0.05, 0, 0)),   # ~parallel to 1
+            (10, vec(0, 0, 1, 0, 0, 0, 1, 0)),        # orthogonal to all
+            (11, vec(0, 0, 1, 0.01, 0, 0, 1, 0.01)),  # ~parallel to 10
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    idx = EmbNearDupIndex(tmpdir_path + "/endi")
+    assert idx.check_and_add(spark, b1, threshold=0.9).count() == 0
+    assert idx.n_docs == 2
+    dups = idx.check_and_add(spark, b2, threshold=0.9).collect()
+    pairs = {(r["vec_id"], r["dup_of"]) for r in dups}
+    assert (9, 1) in pairs and (10, 11) in pairs
+    assert all(r["cos4"] >= 0.9 for r in dups)
+    flagged = {x for p in pairs for x in p}
+    assert 2 not in flagged
+    assert idx.n_docs == 5

@@ -131,8 +131,11 @@ class KeyedMV:
         # are never shuffled.
         affected = changes.select("conv_id").distinct().persist()
         try:
+            # bucket ids must follow the TARGET snapshot's layout (the
+            # table may have been rebucketed after v_to)
+            n_buckets_to = table.manifest(v_to).n_buckets
             per_bucket = affected.select(
-                table.bucket_expr().alias("b")
+                table.bucket_expr(n_buckets=n_buckets_to).alias("b")
             ).groupBy("b").count().collect()
             n_affected = int(sum(r["count"] for r in per_bucket))
             if n_affected == 0:

@@ -539,13 +539,17 @@ class LakeTable:
         return out
 
     # ------------------------------------------------------- pruned reads
-    def bucket_of(self, spark: SparkSession, conv_id: str) -> int:
+    def bucket_of(
+        self, spark: SparkSession, conv_id: str, n_buckets: int | None = None
+    ) -> int:
         """Bucket id of one conversation, via the same xxhash64 expression
         the write path uses (one row-local job; on a real cluster this is
-        the partition-spec transform evaluated driver-side)."""
+        the partition-spec transform evaluated driver-side). Pass the
+        TARGET manifest's n_buckets when resolving against a pinned
+        version — the layout may have been rebucketed since."""
         row = (
             spark.createDataFrame([(conv_id,)], "conv_id string")
-            .select(self.bucket_expr())
+            .select(self.bucket_expr(n_buckets=n_buckets))
             .first()
         )
         return int(row[0])
@@ -560,7 +564,7 @@ class LakeTable:
         tests can assert the scan set: {bucket, files, files_in_bucket,
         files_total}."""
         m = self.manifest(version)
-        b = self.bucket_of(spark, conv_id)
+        b = self.bucket_of(spark, conv_id, n_buckets=m.n_buckets)
         in_bucket = m.files.get(str(b), [])
         sel = [
             fe

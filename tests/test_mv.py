@@ -135,3 +135,23 @@ def test_keyed_mv_custom_view(spark, tmpdir_path):
     got = sorted(map(tuple, mv.read(spark).collect()))
     want = sorted(map(tuple, role_mix(t.read(spark)).collect()))
     assert got == want
+
+
+def test_mv_refresh_across_rebucket(spark, tmpdir_path):
+    """Incremental refresh whose interval spans a bucket-count evolution
+    must still equal the full recompute (the changelog falls back to a
+    full diff; the scoped re-aggregate must use the target layout)."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:01"), 1, "c1", 0, "user", "one", None, "f"),
+        ("I", _ts("2024-01-01T00:00:02"), 2, "c2", 0, "user", "two", None, "f"),
+    ]), "b1", mode="mor")
+    mv = ConvSummaryMV(tmpdir_path + "/mv")
+    mv.refresh(spark, t)
+    t.rebucket(spark, 11)
+    apply_batch(spark, t, _mk(spark, [
+        ("U", _ts("2024-01-01T00:01:00"), 3, "c1", 0, "user", "one-updated", None, "f"),
+        ("I", _ts("2024-01-01T00:01:01"), 4, "c3", 0, "user", "three", None, "f"),
+    ]), "b2", mode="mor")
+    mv.refresh(spark, t)
+    _assert_mv_equals_full(spark, mv, t)

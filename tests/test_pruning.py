@@ -150,3 +150,19 @@ def test_expire_tombstones_stats_planning(spark, tmpdir_path):
     assert t.expire_tombstones(spark, "2024-01-01T00:00:00") == 1
     live = t.read(spark).collect()
     assert len(live) == 1 and live[0]["conv_id"] == "c1"
+
+
+def test_point_read_pinned_version_after_rebucket(spark, tmpdir_path):
+    """A time-travel point read must resolve the key's bucket under the
+    PINNED snapshot's layout, not the current one (regression: rebucket
+    after the snapshot changed the modulus)."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    rows = [_insert(f"conv-{i:03d}", 0, i, f"t{i}") for i in range(20)]
+    apply_batch(spark, t, _mk(spark, rows), "b1")
+    v_pre = t.current_version()
+    t.rebucket(spark, 13)
+    for cid in ["conv-003", "conv-011"]:
+        old = t.point_read(spark, cid, version=v_pre).collect()
+        new = t.point_read(spark, cid).collect()
+        assert len(old) == 1 and len(new) == 1
+        assert old[0]["text"] == new[0]["text"]

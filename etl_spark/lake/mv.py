@@ -139,7 +139,15 @@ class KeyedMV:
             ).groupBy("b").count().collect()
             n_affected = int(sum(r["count"] for r in per_bucket))
             if n_affected == 0:
-                self._commit(self.read(spark), v_to)
+                # nothing changed: advance the synced version without
+                # rewriting the view data (pointer-only commit)
+                meta = self._meta()
+                _atomic_write(
+                    os.path.join(self.path, _PTR),
+                    json.dumps(
+                        {"table_version": v_to, "data": meta["data"]}
+                    ),
+                )
                 return 0
             buckets = sorted(int(r["b"]) for r in per_bucket)
             aff_df = F.broadcast(affected)

@@ -70,9 +70,10 @@ def run_stream(
     inside the SAME foreachBatch — after each applied micro-batch the MV
     does a changelog-scoped incremental refresh, so derived-table freshness
     tracks the stream with O(batch keys) extra work per trigger. The MV's
-    own table_version pointer makes the refresh idempotent across replays:
-    a re-delivered batch no-ops the merge (version unchanged) and therefore
-    no-ops the refresh.
+    own table_version pointer makes the refresh idempotent across replays,
+    and it runs on every trigger (not only ones that applied new files), so
+    a crash between the table commit and the MV refresh is healed by the
+    re-delivered trigger even though the merge itself no-ops.
 
     ``auto_compact_files``: per-trigger maintenance bound — see
     ``replay_feed``; under an endless MOR stream this caps read
@@ -84,6 +85,18 @@ def run_stream(
     src = reader.parquet(f"{feed_dir}/*").withColumn("__file", F.input_file_name())
 
     def _apply(df: DataFrame, epoch_id: int) -> None:
+        _apply_new_files(df)
+        # MV catch-up runs on EVERY trigger, outside the new-files early
+        # returns: after a crash between the table commit and the MV
+        # refresh, the re-delivered batch no-ops the merge (per-file
+        # ledger) but the MV must still be brought up to the table's
+        # current snapshot. refresh() itself no-ops when already current.
+        if mv_path is not None:
+            from etl_spark.lake.mv import ConvSummaryMV
+
+            ConvSummaryMV(mv_path).refresh(spark, table)
+
+    def _apply_new_files(df: DataFrame) -> None:
         import os
 
         files = [r[0] for r in df.select("__file").distinct().collect()]
@@ -140,10 +153,6 @@ def run_stream(
         )
         if auto_compact_files is not None:
             table.compact_small_files(spark, auto_compact_files)
-        if mv_path is not None:
-            from etl_spark.lake.mv import ConvSummaryMV
-
-            ConvSummaryMV(mv_path).refresh(spark, table)
 
     writer = (
         src.writeStream.foreachBatch(_apply)

@@ -71,6 +71,21 @@ class CommitConflictError(RuntimeError):
     and retry its commit against the new current version."""
 
 
+def _iso_to_utc(s: str) -> tuple[int, str]:
+    """ISO-8601 timestamp (offset-aware, or naive = UTC per the engine's
+    pinned-UTC session) → (µs since epoch, canonical naive-UTC string for
+    Spark casts). One conversion used by BOTH the manifest-stats pruning
+    bound and the row filter — interpreting the same input differently on
+    the two sides would silently prune files whose rows pass the filter."""
+    import datetime as _dt
+
+    d = _dt.datetime.fromisoformat(s)
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    d = d.astimezone(_dt.timezone.utc)
+    return int(d.timestamp() * 1_000_000), d.replace(tzinfo=None).isoformat(sep=" ")
+
+
 def _atomic_write(path: str, data: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -555,15 +570,22 @@ class LakeTable:
         return int(row[0])
 
     def plan_point_lookup(
-        self, spark: SparkSession, conv_id: str, version: int | None = None
+        self,
+        spark: SparkSession,
+        conv_id: str,
+        version: int | None = None,
+        m: Manifest | None = None,
     ) -> dict[str, Any]:
         """File-skipping plan for a single-conversation read: prune to the
         key's hash bucket, then drop every file in that bucket whose
         conv_id [min, max] range excludes the key (files without stats are
         kept — never wrong, just unpruned). Returns the plan so callers and
         tests can assert the scan set: {bucket, files, files_in_bucket,
-        files_total}."""
-        m = self.manifest(version)
+        files_total}. Pass ``m`` to plan against an already-loaded manifest
+        (point_read does — the plan and the read must see ONE snapshot,
+        not two pointer reads racing a concurrent commit)."""
+        if m is None:
+            m = self.manifest(version)
         b = self.bucket_of(spark, conv_id, n_buckets=m.n_buckets)
         in_bucket = m.files.get(str(b), [])
         sel = [
@@ -590,7 +612,7 @@ class LakeTable:
         skipping — the lookup cost is O(files of one bucket), independent
         of table size). LWW delta-resolution applies as in read()."""
         m = self.manifest(version)
-        plan = self.plan_point_lookup(spark, conv_id, version)
+        plan = self.plan_point_lookup(spark, conv_id, m=m)
         df = self._aligned_scan(spark, m, None, entries=plan["files"]).filter(
             F.col("conv_id") == F.lit(conv_id)
         )
@@ -614,16 +636,7 @@ class LakeTable:
         file skipping applies the window test per FILE only when the bucket
         is delta-free; otherwise the whole bucket is scanned and the filter
         applies post-reduce (never wrong, just less pruned)."""
-        import datetime as _dt
-
-        def _us(s: str) -> int:
-            return int(
-                _dt.datetime.fromisoformat(s)
-                .replace(tzinfo=_dt.timezone.utc)
-                .timestamp() * 1_000_000
-            )
-
-        lo, hi = _us(ts_from), _us(ts_to)
+        (lo, ts_from), (hi, ts_to) = _iso_to_utc(ts_from), _iso_to_utc(ts_to)
         m = self.manifest(version)
 
         def _overlaps(fe: dict[str, Any]) -> bool:
@@ -881,14 +894,8 @@ class LakeTable:
         10^10-event table almost all buckets' files are younger than the
         expiry horizon only in their deltas — the stats cut the discovery
         scan to the old tail instead of the full table)."""
-        import datetime as _dt
-
         m = self.manifest()
-        cutoff_us = int(
-            _dt.datetime.fromisoformat(older_than_ts)
-            .replace(tzinfo=_dt.timezone.utc)
-            .timestamp() * 1_000_000
-        )
+        cutoff_us, older_than_ts = _iso_to_utc(older_than_ts)
 
         def _may_hold_old(fe: dict[str, Any]) -> bool:
             st = fe.get("stats") or {}

@@ -247,8 +247,10 @@ def doc_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
+        # threshold on the EXACT ratio (the oracle's WHERE is unrounded;
+        # rounding first would admit/reject boundary pairs differently)
+        .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
@@ -372,8 +374,8 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)  # exact, like the oracle WHERE
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 
@@ -801,8 +803,9 @@ DOC_REPETITION_SQL = f"""
 NEW_DOC_PRED = "doc_id % 7 = 0"  # deterministic "this batch" split
 
 
-def _bands_of(sigs: DataFrame) -> DataFrame:
-    """signature columns s0..s63 → (doc_id, bi, bk) band rows."""
+def _sig_bands(sigs: DataFrame) -> DataFrame:
+    """signature columns s0..s63 → (doc_id, bi, bk) band rows
+    (shared by the pair queries and cdc/neardup.NearDupIndex)."""
     return sigs.select(
         "doc_id",
         F.explode(
@@ -829,11 +832,11 @@ def doc_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates = new-vs-base (index probe) + new-vs-new (in-batch self
     # dedup, deduped by doc_a < doc_b). Bands with NULL keys (shingle-less
     # docs) never match: equi-join drops NULLs.
-    nb, bb = _bands_of(new).alias("a"), _bands_of(base).alias("b")
+    nb, bb = _sig_bands(new).alias("a"), _sig_bands(base).alias("b")
     vs_base = nb.join(
         bb, (F.col("a.bi") == F.col("b.bi")) & (F.col("a.bk") == F.col("b.bk"))
     ).select(F.col("a.doc_id").alias("doc_new"), F.col("b.doc_id").alias("doc_dup"))
-    n2 = _bands_of(new).alias("b")
+    n2 = _sig_bands(new).alias("b")
     vs_new = nb.join(
         n2,
         (F.col("a.bi") == F.col("b.bi"))
@@ -850,8 +853,8 @@ def doc_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(x, "doc_new")
         .join(y, "doc_dup")
+        .filter(jac >= JACCARD_THRESHOLD)  # exact, like the oracle WHERE
         .select("doc_new", "doc_dup", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
 

@@ -155,3 +155,31 @@ def test_mv_refresh_across_rebucket(spark, tmpdir_path):
     ]), "b2", mode="mor")
     mv.refresh(spark, t)
     _assert_mv_equals_full(spark, mv, t)
+
+
+def test_streaming_mv_catches_up_after_crash_between_commit_and_refresh(
+    spark, tmpdir_path
+):
+    """Crash window: table committed, MV refresh never ran (simulated by
+    draining WITHOUT mv_path). The re-delivered stream (fresh checkpoint,
+    same feed) no-ops every merge but must still bring the MV current."""
+    from etl_spark.cdc.gen import change_feed_df, write_feed
+    from etl_spark.cdc.stream import run_stream
+
+    feed_dir = tmpdir_path + "/feed"
+    write_feed(
+        change_feed_df(spark, n_events=2000, n_convs=40, max_turns=6,
+                       seed=5, n_batches=2),
+        feed_dir, n_batches=2, files_per_segment=2,
+    )
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    run_stream(spark, t, feed_dir, tmpdir_path + "/ckpt1",
+               available_now=True, mode="mor")  # "crashed before refresh"
+    v_done = t.current_version()
+    mv_path = tmpdir_path + "/mv"
+    run_stream(spark, t, feed_dir, tmpdir_path + "/ckpt2",
+               available_now=True, mode="mor", mv_path=mv_path)
+    assert t.current_version() == v_done  # merges all no-oped
+    mv = ConvSummaryMV(mv_path)
+    assert mv.table_version == v_done
+    _assert_mv_equals_full(spark, mv, t)

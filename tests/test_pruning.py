@@ -166,3 +166,22 @@ def test_point_read_pinned_version_after_rebucket(spark, tmpdir_path):
         new = t.point_read(spark, cid).collect()
         assert len(old) == 1 and len(new) == 1
         assert old[0]["text"] == new[0]["text"]
+
+
+def test_read_between_offset_aware_inputs(spark, tmpdir_path):
+    """Offset-aware ISO inputs: the stats-pruning bound and the row filter
+    must interpret the window identically (regression: the prune side
+    stripped the offset, silently skipping files)."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=1)
+    apply_batch(spark, t, _mk(spark, [
+        _insert("c1", 0, 1, "x")]), "b1")  # ts = 2024-01-01T00:00:01 UTC
+    # [-05:00 window] covering the row only when the offset is honored:
+    # 2023-12-31T19:00:00-05:00 == 2024-01-01T00:00:00 UTC
+    got = t.read_between(
+        spark, "2023-12-31T19:00:00-05:00", "2023-12-31T20:00:00-05:00"
+    ).collect()
+    assert len(got) == 1
+    # and a window that excludes it under correct interpretation
+    assert t.read_between(
+        spark, "2024-01-01T00:00:00-05:00", "2024-01-01T01:00:00-05:00"
+    ).count() == 0

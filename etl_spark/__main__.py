@@ -111,6 +111,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("metrics", help="per-batch metrics table")
     p.add_argument("--table", required=True)
 
+    p = sub.add_parser("stats", help="per-bucket layout stats from the manifest")
+    p.add_argument("--table", required=True)
+
     p = sub.add_parser("lineage", help="per-(batch,bucket) lineage table")
     p.add_argument("--table", required=True)
 
@@ -223,6 +226,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"files_deleted": n, "versions": table.versions()}))
     elif args.cmd == "metrics":
         table.metrics_df(spark).orderBy("version").show(100, truncate=False)
+    elif args.cmd == "stats":
+        table.stats_df(spark).orderBy("bucket").show(200, truncate=False)
     elif args.cmd == "lineage":
         table.lineage_df(spark).orderBy("batch_id", "bucket").show(100, truncate=False)
     elif args.cmd == "show":

@@ -882,6 +882,36 @@ class LakeTable:
         return spark.createDataFrame(rows, schema=schema)
 
     # ---------------------------------------------------------- maintenance
+    def stats_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Per-bucket layout/statistics summary straight from the manifest
+        (no data scan): file count, row count, conv_id/ts coverage. The
+        ops view for compaction planning and skew inspection — a bucket
+        with many files wants bin-packing; a bucket with far more rows
+        than its peers is a hash-skew signal."""
+        rows = []
+        m = self.manifest(version)
+        for b, fl in sorted(m.files.items(), key=lambda kv: int(kv[0])):
+            sts = [fe.get("stats") or {} for fe in fl]
+            known = [fe["rows"] for fe in fl if fe.get("rows") is not None]
+            cmins = [s["conv_min"] for s in sts if "conv_min" in s]
+            tmins = [s["ts_min_us"] for s in sts if "ts_min_us" in s]
+            tmaxs = [s["ts_max_us"] for s in sts if "ts_max_us" in s]
+            rows.append({
+                "bucket": int(b),
+                "n_files": len(fl),
+                "n_rows": int(sum(known)) if known else None,
+                "conv_min": min(cmins) if cmins else None,
+                "conv_max": max(s["conv_max"] for s in sts if "conv_max" in s)
+                if cmins else None,
+                "ts_min_us": min(tmins) if tmins else None,
+                "ts_max_us": max(tmaxs) if tmaxs else None,
+            })
+        schema = (
+            "bucket int, n_files int, n_rows long, conv_min string, "
+            "conv_max string, ts_min_us long, ts_max_us long"
+        )
+        return spark.createDataFrame(rows, schema=schema)
+
     def expire_tombstones(self, spark: SparkSession, older_than_ts: str) -> int:
         """Compaction: physically drop tombstones with ts < older_than_ts
         (safe once no change older than that can still arrive — the batch

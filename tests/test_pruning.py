@@ -185,3 +185,16 @@ def test_read_between_offset_aware_inputs(spark, tmpdir_path):
     assert t.read_between(
         spark, "2024-01-01T00:00:00-05:00", "2024-01-01T01:00:00-05:00"
     ).count() == 0
+
+
+def test_stats_df_summarizes_layout(spark, tmpdir_path):
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=2)
+    rows = [_insert(f"c{i:02d}", 0, i, f"t{i}") for i in range(10)]
+    apply_batch(spark, t, _mk(spark, rows), "b1", mode="mor")
+    st = {r["bucket"]: r for r in t.stats_df(spark).collect()}
+    data_buckets = [b for b, fl in t.manifest().files.items() if fl]
+    assert sum(r["n_rows"] or 0 for r in st.values()) == 10
+    for b in data_buckets:
+        r = st[int(b)]
+        assert r["n_files"] == 1 and r["conv_min"] <= r["conv_max"]
+        assert r["ts_min_us"] <= r["ts_max_us"]

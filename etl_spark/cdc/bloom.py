@@ -38,11 +38,11 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 DEFAULT_M_BITS = 1 << 23  # 1 MiB sidecar
 DEFAULT_K = 4
-BLOOM_ALGO = "xxh64km2"  # v2: independent h2 (was h2 = xxhash64(h1))
+BLOOM_ALGO = "xxh64km3"  # v3: type-canonical keys; v2: independent h2
 _SEP = "\x1f"
 _DRIVER_FANIN = 8  # max bitsets shipped to the driver per scan
 
@@ -63,8 +63,21 @@ def _hash_pair(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return buf[:, 0], buf[:, 1]
 
 
-def _h1h2(key_cols: list[str]) -> tuple[F.Column, F.Column]:
-    cols = [F.col(c) for c in key_cols]
+def _canonical(df: DataFrame, c: str) -> F.Column:
+    """Type-canonical key column for hashing: Spark's xxhash64 hashes
+    int32 and int64 of the same VALUE to different words, so a schema
+    widening (turn_idx int->long, allowed by the lattice) must not change
+    a key's hash — integral keys always hash as long, everything else as
+    string. Sidecars written under the pre-canonical algo carry an older
+    BLOOM_ALGO tag and are ignored (fast path off, never wrong)."""
+    t = df.schema[c].dataType
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return F.col(c).cast("long")
+    return F.col(c).cast("string")
+
+
+def _h1h2(df: DataFrame, key_cols: list[str]) -> tuple[F.Column, F.Column]:
+    cols = [_canonical(df, c) for c in key_cols]
     return F.xxhash64(*cols), F.xxhash64(F.lit(1), *cols)
 
 
@@ -72,7 +85,7 @@ def hash_frame(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Project the key columns to the (h1, h2) double-hash pair, computed
     in the JVM (codegen, no Python). h2 hashes the keys with a prepended
     salt — independent of h1, as Kirsch–Mitzenmacher assumes."""
-    h1, h2 = _h1h2(key_cols)
+    h1, h2 = _h1h2(df, key_cols)
     return df.select(h1.alias("h1"), h2.alias("h2"))
 
 
@@ -180,66 +193,17 @@ def build_bloom(
     return out
 
 
-def scan_batch(
-    df: DataFrame, bloom: BloomFilter, key_cols: list[str]
-) -> tuple[bool, BloomFilter]:
-    """ONE distributed pass over the batch keys that answers both bloom
-    questions at once: (did ANY key possibly hit the seen-set?, a bloom of
-    THIS batch's keys for folding into the seen-set after commit). Fusing
-    them halves the per-micro-batch Python-stage count — at small batches
-    the apply loop is job-latency-bound, so stage count is wall time."""
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((bloom.to_bytes(), bloom.m_bits, bloom.k))
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        data, m, kk = bc.value
-        seen = BloomFilter.from_bytes(data, m, kk)
-        part = BloomFilter(m, kk)
-        hit = False
-        any_rows = False
-        for pdf in batches:
-            if len(pdf):
-                any_rows = True
-                h1, h2 = pdf["h1"].to_numpy(), pdf["h2"].to_numpy()
-                if not hit and bool(seen.might_contain_hashes(h1, h2).any()):
-                    hit = True
-                part.add_hashes(h1, h2)
-        if any_rows:
-            yield pd.DataFrame({"bits": [part.to_bytes()], "hit": [hit]})
-
-    def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc, hit = None, False
-        for pdf in batches:
-            for b, h in zip(pdf["bits"], pdf["hit"]):
-                arr = np.frombuffer(b, dtype=np.uint8)
-                acc = arr.copy() if acc is None else (acc | arr)
-                hit = hit or bool(h)
-        if acc is not None:
-            yield pd.DataFrame({"bits": [acc.tobytes()], "hit": [hit]})
-
-    rows = _tree_collect(
-        hash_frame(df, key_cols).mapInPandas(gen, schema="bits binary, hit boolean"),
-        "bits binary, hit boolean", combine,
-    )
-    out = BloomFilter(bloom.m_bits, bloom.k)
-    any_seen = False
-    for r in rows:
-        out.bits |= np.frombuffer(r["bits"], dtype=np.uint8)
-        any_seen = any_seen or bool(r["hit"])
-    return any_seen, out
-
-
 def scan_batch_buckets(
     df: DataFrame, bloom: BloomFilter, key_cols: list[str], bucket_col: str
 ) -> tuple[bool, BloomFilter, list[int]]:
-    """scan_batch + touched-bucket discovery fused into the SAME pass:
+    """Seen-set probe + batch-key bloom + touched-bucket discovery in ONE pass:
     (any key possibly seen?, this batch's key-bloom, sorted distinct bucket
     ids). Replaces a separate distinct+collect job — at micro-batch cadence
     every eliminated job is wall time."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((bloom.to_bytes(), bloom.m_bits, bloom.k))
 
-    h1, h2 = _h1h2(key_cols)
+    h1, h2 = _h1h2(df, key_cols)
     proj = df.select(h1.alias("h1"), h2.alias("h2"), F.col(bucket_col).alias("b"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

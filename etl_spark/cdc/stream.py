@@ -99,7 +99,13 @@ def run_stream(
     def _apply_new_files(df: DataFrame) -> None:
         import os
 
-        files = [r[0] for r in df.select("__file").distinct().collect()]
+        # file discovery is plan metadata — no job, no scan of the batch.
+        # (The previous select(__file).distinct().collect() materialized
+        # every row of every trigger just to enumerate its inputs.)
+        files = list(df.inputFiles())
+        if not files:
+            # defensive fallback for sources that don't expose inputFiles
+            files = [r[0] for r in df.select("__file").distinct().collect()]
         if not files:
             return
         # Idempotence is per INPUT FILE: maxFilesPerTrigger can split one
@@ -126,16 +132,24 @@ def run_stream(
             return
         rel_new = [_segment_relative(f) for f in new_files]
         applied_after = done_inputs | set(rel_new)
+        # the ledger stores URI-style names (input_file_name/inputFiles may
+        # percent-encode); the directory listing is raw — decode the ledger
+        # side for the completion comparison or a file with an encodable
+        # character in its name would keep its segment "incomplete" forever
+        from urllib.parse import unquote
+
+        applied_decoded = {unquote(x) for x in applied_after}
         complete_segs = []
         for sname in sorted({seg(f) for f in new_files}):
-            d = os.path.join(feed_dir, sname)
+            d = os.path.join(feed_dir, unquote(sname))
             try:
                 allf = {
-                    f"{sname}/{fn}" for fn in os.listdir(d) if fn.endswith(".parquet")
+                    f"{unquote(sname)}/{fn}"
+                    for fn in os.listdir(d) if fn.endswith(".parquet")
                 }
             except OSError:
                 allf = set()
-            if allf and allf <= applied_after:
+            if allf and allf <= applied_decoded:
                 complete_segs.append(sname)
         bid = batch_fingerprint(new_files)
         batch_df = df.filter(F.col("__file").isin(new_files)).drop("__file")

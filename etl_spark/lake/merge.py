@@ -128,6 +128,48 @@ def _disp_aggs() -> list[F.Column]:
     ]
 
 
+def _finalize_stats_record(
+    table: "LakeTable", files: dict, stats: "MergeStats", mode: str,
+    source_files: list[str] | None, t0: float,
+) -> dict[str, Any]:
+    """Shared commit bookkeeping for both merge modes: fill per-bucket row
+    lineage from the manifest entries (write_bucket_files records footer
+    counts; the file_row_count call is a safety net for entries lacking
+    them), derive dup_dropped from the counting invariant, and build the
+    commit record."""
+    bucket_rows: dict[str, int] = {}
+    for b, entries in files.items():
+        n = 0
+        for e in entries:
+            if e.get("rows") is None:
+                e["rows"] = table.file_row_count(e["path"])
+            n += e["rows"]
+        if n:
+            bucket_rows[str(b)] = n
+    stats.bucket_rows = bucket_rows
+    stats.dup_dropped = max(
+        0, stats.events_in - stats.failed - stats.late_dropped - stats.applied()
+    )
+    stats.wall_sec = time.time() - t0
+    return {
+        "events_in": stats.events_in,
+        "dup_dropped": stats.dup_dropped,
+        "inserted": stats.inserted,
+        "updated": stats.updated,
+        "deleted": stats.deleted,
+        "stale_skipped": stats.stale_skipped,
+        "carried": stats.carried,
+        "failed": stats.failed,
+        "late_dropped": stats.late_dropped,
+        "wall_sec": stats.wall_sec,
+        "fast_path_append": stats.fast_path_append,
+        "mode": mode,
+        "bucket_rows": stats.bucket_rows,
+        "source_files": source_files or [],
+        "engine_version": ENGINE_VERSION,
+    }
+
+
 def merge_into(
     spark: SparkSession,
     table: LakeTable,
@@ -189,7 +231,13 @@ def merge_into(
         """Delta-row projection for the append paths (storage columns +
         disposition; a delete becomes a tombstone row)."""
         is_del_f = F.col("op") == F.lit("D")
-        fast_cols = [F.col(KEY_COLS[0]), F.col(KEY_COLS[1])]
+        # keys cast to the EVOLVED schema types: after an int->long
+        # widening, a narrower-typed batch must not register int32 parquet
+        # files under the widened era (the era-pinned read schema would
+        # contradict the files' physical type)
+        fast_cols = [
+            F.col(k).cast(evolved[k].dataType).alias(k) for k in KEY_COLS
+        ]
         for c_ in payload_cols:
             src = F.col(c_) if c_ in deduped.columns else F.lit(None)
             fast_cols.append(
@@ -224,6 +272,7 @@ def merge_into(
     from etl_spark.cdc.bloom import BloomFilter, build_bloom, scan_batch_buckets
 
     bloom = table.load_bloom()
+    bloom_rebuilt = bloom is None
     if bloom is None:
         # Seen-set missing or written under a stale hash algo (engine
         # upgrade): rebuild ONCE from the table's stored keys instead of
@@ -253,12 +302,18 @@ def merge_into(
             f"{fail_threshold:.0%} budget — aborting before commit"
         )
     if events_in == 0 or events_in == failed + late_dropped:
-        # nothing to merge; still commit (advances watermark + segments)
+        # nothing to merge; still commit (advances watermark + segments).
+        # A just-rebuilt seen-set is persisted even on this path —
+        # discarding it would re-pay the full-table rebuild scan on every
+        # subsequent empty/all-late batch. Only the TABLE's keys (not this
+        # unapplied batch's) go in; when no rebuild happened the existing
+        # sidecar is carried unchanged (no rewrite per empty batch).
         table.commit_version(
             {}, [], batch_id,
             {"events_in": events_in, "failed": failed, "late_dropped": late_dropped},
             segments=segments, new_watermark_us=watermark_us,
             input_files=input_files, expected_version=base_version,
+            new_bloom=bloom if bloom_rebuilt else None,
         )
         return stats
 
@@ -351,38 +406,7 @@ def merge_into(
     stats.stale_skipped = int(d["stale_skipped"])
     stats.carried = int(d["carried"])
 
-    bucket_rows: dict[str, int] = {}
-    for b, entries in files.items():
-        n = 0
-        for e in entries:
-            if e.get("rows") is None:
-                e["rows"] = table.file_row_count(e["path"])
-            n += e["rows"]
-        if n:
-            bucket_rows[str(b)] = n
-    stats.bucket_rows = bucket_rows
-    stats.dup_dropped = max(
-        0, stats.events_in - stats.failed - stats.late_dropped - stats.applied()
-    )
-
-    stats.wall_sec = time.time() - t0
-    record: dict[str, Any] = {
-        "events_in": stats.events_in,
-        "dup_dropped": stats.dup_dropped,
-        "inserted": stats.inserted,
-        "updated": stats.updated,
-        "deleted": stats.deleted,
-        "stale_skipped": stats.stale_skipped,
-        "carried": stats.carried,
-        "failed": stats.failed,
-        "late_dropped": stats.late_dropped,
-        "wall_sec": stats.wall_sec,
-        "fast_path_append": stats.fast_path_append,
-        "mode": mode,
-        "bucket_rows": stats.bucket_rows,
-        "source_files": source_files or [],
-        "engine_version": ENGINE_VERSION,
-    }
+    record = _finalize_stats_record(table, files, stats, mode, source_files, t0)
     table.commit_version(
         files,
         stats.touched_buckets,
@@ -473,38 +497,7 @@ def _merge_mor_fused(
     stats.fast_path_append = empty_before
     stats.touched_buckets = sorted(files.keys())
 
-    bucket_rows: dict[str, int] = {}
-    for b, entries in files.items():
-        n = 0
-        for e in entries:
-            if e.get("rows") is None:
-                e["rows"] = table.file_row_count(e["path"])
-            n += e["rows"]
-        if n:
-            bucket_rows[str(b)] = n
-    stats.bucket_rows = bucket_rows
-    stats.dup_dropped = max(
-        0, stats.events_in - stats.failed - stats.late_dropped - stats.applied()
-    )
-
-    stats.wall_sec = time.time() - t0
-    record: dict[str, Any] = {
-        "events_in": stats.events_in,
-        "dup_dropped": stats.dup_dropped,
-        "inserted": stats.inserted,
-        "updated": 0,
-        "deleted": stats.deleted,
-        "stale_skipped": 0,
-        "carried": 0,
-        "failed": stats.failed,
-        "late_dropped": stats.late_dropped,
-        "wall_sec": stats.wall_sec,
-        "fast_path_append": stats.fast_path_append,
-        "mode": "mor",
-        "bucket_rows": stats.bucket_rows,
-        "source_files": source_files or [],
-        "engine_version": ENGINE_VERSION,
-    }
+    record = _finalize_stats_record(table, files, stats, "mor", source_files, t0)
     table.commit_version(
         files,
         stats.touched_buckets,

@@ -751,7 +751,13 @@ class LakeTable:
         if new_bloom is not None:
             from etl_spark.cdc.bloom import BLOOM_ALGO
 
-            bloom_rel = os.path.join(MANIFEST_DIR, f"bloom-v{m.version + 1:08d}.bin")
+            # unique name per WRITER (like data files): a deterministic
+            # bloom-v{N+1} name lets a LOSING optimistic-concurrency writer
+            # overwrite the winner's already-committed sidecar content
+            bloom_rel = os.path.join(
+                MANIFEST_DIR,
+                f"bloom-v{m.version + 1:08d}-{uuid.uuid4().hex[:8]}.bin",
+            )
             with open(os.path.join(self.path, bloom_rel), "wb") as f:
                 f.write(new_bloom.to_bytes())
             bloom_meta = {
@@ -988,7 +994,13 @@ class LakeTable:
         """Rewrite EVERY data-holding bucket with the LWW reduction applied,
         clearing the merge-on-read marker — the Iceberg "major compaction"
         that converts a delta-heavy table back to one-row-per-key layout.
-        Returns the number of buckets rewritten."""
+        Returns the number of buckets rewritten.
+
+        Since this op scans every key anyway, it also rebuilds the Bloom
+        seen-set when the table has lost it (MOR commits drop the sidecar)
+        — restoring the pure-insert fast path for later batches without a
+        dedicated rebuild scan (the one-time rebuild in merge_into covers
+        copy-on-write pipelines; this covers pure-MOR ones)."""
         m = self.manifest()
         if not m.needs_reduce:
             return 0
@@ -1000,12 +1012,17 @@ class LakeTable:
             )
             return 0
         rows = self.read_storage(spark, buckets, reduced=True)
+        new_bloom = None
+        if self.load_bloom() is None:
+            from etl_spark.cdc.bloom import build_bloom
+
+            new_bloom = build_bloom(rows, list(KEY_COLS))
         files = self.write_bucket_files(
             rows, version_tag=f"resolve{m.version + 1}", cluster_sort=True
         )
         self.commit_version(
             files, buckets, None, None, needs_reduce=False,
-            expected_version=m.version,
+            expected_version=m.version, new_bloom=new_bloom,
         )
         return len(buckets)
 
@@ -1115,6 +1132,14 @@ class LakeTable:
             if d not in live_dirs and os.path.isdir(full):
                 n_deleted += sum(len(fs) for _, _, fs in os.walk(full))
                 shutil.rmtree(full, ignore_errors=True)
+        # bloom sidecars of crashed/OCC-losing writers: referenced by no
+        # retained manifest (the dead set only covers refs of EXPIRED
+        # retained versions, not never-committed writes)
+        live_blooms = {os.path.basename(rel) for rel in live if "bloom-" in rel}
+        for fn in list(os.listdir(mdir)):
+            if fn.startswith("bloom-") and fn not in live_blooms:
+                os.remove(os.path.join(mdir, fn))
+                n_deleted += 1
         return n_deleted
 
     # ------------------------------------------------------------ data write

@@ -118,3 +118,35 @@ def test_auto_compact_bounds_files_per_bucket(spark, tmpdir_path):
     # idempotence ledger survives compaction commits: full re-replay no-ops
     stats = replay_feed(spark, t1, feed_dir, mode="mor", auto_compact_files=2)
     assert all(s.skipped_idempotent for s in stats)
+
+
+def test_bloom_sidecars_unique_per_writer_and_garbage_collected(spark, tmpdir_path):
+    """Sidecar names are writer-unique (an OCC loser can no longer
+    overwrite the winner's committed bytes) and sidecars referenced by no
+    retained manifest — crashed or conflicted writers — are swept by
+    expire_snapshots."""
+    import datetime as dt
+    import os
+
+    from etl_spark.cdc.apply import apply_batch
+    from etl_spark.lake.table import MANIFEST_DIR, LakeTable
+    from etl_spark.schema import CHANGE_SCHEMA, TRANSCRIPT_SCHEMA
+
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=2)
+    for i in range(3):
+        apply_batch(spark, t, spark.createDataFrame(
+            [("I", dt.datetime(2024, 1, 1, 0, 0, i + 1), i + 1, f"c{i}", 0,
+              "user", f"v{i}", None, "f")], CHANGE_SCHEMA), f"b{i}")
+    paths = set()
+    for v in t.versions():
+        b = t.manifest(v).bloom
+        if b:
+            paths.add(b["path"])
+    assert len(paths) >= 3  # one sidecar per committing writer, no reuse
+    # a crashed writer's orphan sidecar is invisible but must be collected
+    mdir = os.path.join(t.path, MANIFEST_DIR)
+    stray = os.path.join(mdir, "bloom-v00000099-deadbeef.bin")
+    open(stray, "wb").write(b"\x00" * 16)
+    t.expire_snapshots(keep_last=2)
+    assert not os.path.exists(stray)
+    assert t.load_bloom() is not None  # the live sidecar survived

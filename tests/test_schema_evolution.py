@@ -95,3 +95,39 @@ def test_e2e_replay_with_mid_stream_evolution_matches_oracle(spark, tmpdir_path)
     got = table_as_pandas(t.read(spark))
     want = expected_final_state(feed_dir, extra_cols=["tool_version", "tool_latency_ms"])
     _assert_state_equal(got, want)
+
+
+def test_key_type_widening_keeps_merge_and_bloom_sound(spark, tmpdir_path):
+    """turn_idx widened int→long mid-stream: (a) later narrower-typed
+    batches must write files whose physical key type matches the widened
+    era (regression: keys passed through uncast), and (b) the Bloom
+    seen-set must keep recognizing keys across the type change (hashes are
+    type-canonical) — a false negative here would fast-path-append a
+    duplicate of an existing key."""
+    from etl_spark.schema import CHANGE_SCHEMA
+
+    wide = T.StructType([
+        T.StructField(f.name, T.LongType() if f.name == "turn_idx" else f.dataType,
+                      f.nullable)
+        for f in CHANGE_SCHEMA.fields
+    ])
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    apply_batch(spark, t, spark.createDataFrame(
+        [("I", _ts("2024-01-01T00:00:01"), 1, "c1", 0, "user", "v1", None, "f")],
+        CHANGE_SCHEMA), "b1")
+    # widened-key batch updates the SAME key — must be seen as an update
+    s2 = apply_batch(spark, t, spark.createDataFrame(
+        [("U", _ts("2024-01-01T00:00:02"), 2, "c1", 0, "user", "v2", None, "f")],
+        wide), "b2")
+    assert s2.updated == 1 and not s2.fast_path_append
+    assert t.user_schema()["turn_idx"].dataType == T.LongType()
+    # narrower-typed batch AFTER the widening: new key fast-paths, existing
+    # key must still hit the seen-set (no duplicate row)
+    s3 = apply_batch(spark, t, spark.createDataFrame(
+        [("U", _ts("2024-01-01T00:00:03"), 3, "c1", 0, "user", "v3", None, "f"),
+         ("I", _ts("2024-01-01T00:00:03"), 4, "c2", 7, "user", "new", None, "f")],
+        CHANGE_SCHEMA), "b3")
+    assert not s3.fast_path_append  # c1/0 exists: bloom must say "seen"
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read(spark).collect()}
+    assert rows == {("c1", 0): "v3", ("c2", 7): "new"}
+    assert t.read(spark).count() == 2  # no duplicate keys

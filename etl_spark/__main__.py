@@ -137,6 +137,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=20)
 
     p = sub.add_parser(
+        "wap-replay",
+        help="write-audit-publish replay: stage on a branch, audit, publish",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--feed", required=True)
+    p.add_argument("--branch", default=None, help="branch name (resume a crashed WAP)")
+    p.add_argument("--mode", choices=["cow", "mor"], default="cow")
+
+    p = sub.add_parser("branch", help="branch ops: list | drop --name | publish --name")
+    p.add_argument("--table", required=True)
+    p.add_argument("action", choices=["list", "drop", "publish"])
+    p.add_argument("--name", default=None)
+
+    p = sub.add_parser("tag", help="tag ops: list | create --name [--version] | drop --name")
+    p.add_argument("--table", required=True)
+    p.add_argument("action", choices=["list", "create", "drop"])
+    p.add_argument("--name", default=None)
+    p.add_argument("--version", type=int, default=None)
+
+    p = sub.add_parser(
         "mv-refresh",
         help="create/refresh the per-conversation summary MV from the changelog",
     )
@@ -254,6 +274,39 @@ def main(argv: list[str] | None = None) -> int:
         table.read_between(spark, args.ts_from, args.ts_to).orderBy(
             "ts", "conv_id", "turn_idx"
         ).show(args.limit, truncate=60)
+    elif args.cmd == "wap-replay":
+        from etl_spark.cdc.apply import AuditFailedError, wap_replay
+
+        try:
+            stats = wap_replay(
+                spark, table, args.feed, branch_name=args.branch, mode=args.mode
+            )
+        except AuditFailedError as e:
+            print(json.dumps({"published": False, "error": str(e)}))
+            return 1
+        print(json.dumps({
+            "published": True,
+            "version": table.current_version(),
+            "batches": json.loads(_stats_json(stats)),
+        }))
+    elif args.cmd == "branch":
+        if args.action == "list":
+            print(json.dumps(table.list_branches()))
+        elif args.action == "drop":
+            table.drop_branch(args.name)
+            print(json.dumps({"dropped": args.name}))
+        else:
+            m = table.publish_branch(args.name)
+            print(json.dumps({"published": args.name, "version": m.version}))
+    elif args.cmd == "tag":
+        if args.action == "list":
+            print(json.dumps(table.list_tags()))
+        elif args.action == "create":
+            v = table.create_tag(args.name, args.version)
+            print(json.dumps({"tag": args.name, "version": v}))
+        else:
+            table.drop_tag(args.name)
+            print(json.dumps({"dropped": args.name}))
     elif args.cmd == "mv-refresh":
         from etl_spark.lake.mv import ConvSummaryMV
 

@@ -1,8 +1,16 @@
 from etl_spark.cdc.dedup import lww_dedup, lww_dedup_salted, lww_dedup_window
-from etl_spark.cdc.apply import apply_batch, batch_fingerprint, replay_feed
+from etl_spark.cdc.apply import (
+    AuditFailedError,
+    apply_batch,
+    batch_fingerprint,
+    replay_feed,
+    wap_replay,
+)
 from etl_spark.cdc.gen import change_feed_df, write_feed
 
 __all__ = [
+    "AuditFailedError",
+    "wap_replay",
     "lww_dedup",
     "lww_dedup_salted",
     "lww_dedup_window",

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import uuid
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
@@ -31,12 +32,19 @@ from etl_spark.lake.merge import BatchFailedError, MergeStats, merge_into
 from etl_spark.lake.table import LakeTable
 
 __all__ = [
+    "AuditFailedError",
     "BatchFailedError",
     "apply_batch",
     "batch_fingerprint",
     "replay_feed",
     "validate_events",
+    "wap_replay",
 ]
+
+
+class AuditFailedError(RuntimeError):
+    """The write-audit-publish audit rejected the staged snapshots; the
+    branch was dropped and the published table is unchanged."""
 
 # BigQuery's 100MB row limit drives the reference's 90MB guard
 # (/root/reference/parser/scamper1.go:22-25); we keep an explicit guard too.
@@ -232,3 +240,55 @@ def replay_feed(
         if auto_compact_files is not None:
             table.compact_small_files(spark, auto_compact_files)
     return out
+
+
+def wap_replay(
+    spark: SparkSession,
+    table: LakeTable,
+    feed_dir: str,
+    audit=None,
+    branch_name: str | None = None,
+    **replay_kwargs,
+) -> list[MergeStats]:
+    """Write-audit-publish replay (the Iceberg WAP pattern over the
+    engine's branch refs): stage the whole feed's commits on a branch,
+    run the audit against the STAGED view, and only then atomically
+    publish — readers of the published table never see a feed that fails
+    its audit, and a mid-replay crash leaves the published table
+    untouched (the staged branch either resumes — the idempotence ledger
+    lives in the branch manifests — or is dropped and collected).
+
+    ``audit(branch_view: LakeTable) -> bool`` may read the staged state
+    (``branch_view.read(spark)``), metrics (``metrics_df``), or run any
+    gate (error budget, near-dup admission, row-count reconciliation —
+    the checks the reference delegates to gardener's post-hoc validation,
+    /root/reference/etl/etl.go:116-117). Return False or raise to reject.
+    Default audit: the per-batch counting invariant
+    events_in == failed + late_dropped + dup_dropped + applied."""
+    name = branch_name or f"wap-{uuid.uuid4().hex[:8]}"
+    try:
+        br = table.branch(name)  # resume a crashed/interrupted WAP attempt
+    except ValueError:
+        br = table.create_branch(name)
+    try:
+        stats = replay_feed(spark, br, feed_dir, **replay_kwargs)
+        if audit is None:
+            ok = all(
+                s.skipped_idempotent
+                or s.events_in
+                == s.failed + s.late_dropped + s.dup_dropped + s.applied()
+                for s in stats
+            )
+        else:
+            ok = bool(audit(br))
+    except Exception:
+        table.drop_branch(name)
+        raise
+    if not ok:
+        table.drop_branch(name)
+        raise AuditFailedError(
+            f"audit rejected staged branch {name}; published table "
+            f"unchanged at v{table.current_version()}"
+        )
+    table.publish_branch(name)
+    return stats

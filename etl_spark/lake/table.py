@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -54,6 +55,7 @@ from etl_spark.schema import KEY_COLS, SYSTEM_COLS, evolve_schema, schema_from_j
 
 MANIFEST_DIR = "_manifests"
 CURRENT_PTR = "CURRENT"
+_REF_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
 
 # storage-level system columns appended to the (evolvable) user schema
 _SYSTEM_FIELDS = [
@@ -179,10 +181,18 @@ class Manifest:
 
 
 class LakeTable:
-    """A versioned, bucket-partitioned parquet table rooted at ``path``."""
+    """A versioned, bucket-partitioned parquet table rooted at ``path``.
 
-    def __init__(self, path: str):
+    ``ref`` selects which snapshot pointer this handle reads and commits
+    through: the default is the published table (``CURRENT``); a branch
+    view (from :meth:`branch`) points at ``BRANCH-<name>`` instead —
+    every read/merge/commit method works unchanged against the branch
+    head while main readers keep seeing only published snapshots.
+    """
+
+    def __init__(self, path: str, ref: str = CURRENT_PTR):
         self.path = path
+        self._ref = ref
 
     # ---------------------------------------------------------------- setup
     @classmethod
@@ -237,7 +247,7 @@ class LakeTable:
         """Current manifest, or a historical one for time-travel reads
         (copy-on-write means every retained version's files still exist)."""
         if version is None:
-            ptr = os.path.join(self.path, MANIFEST_DIR, CURRENT_PTR)
+            ptr = os.path.join(self.path, MANIFEST_DIR, self._ref)
             with open(ptr) as f:
                 name = f.read().strip()
         else:
@@ -268,6 +278,155 @@ class LakeTable:
                     out.append(v)
         return sorted(out)
 
+    # ------------------------------------------------------ branches / tags
+    # Branch = a named snapshot pointer (file ``BRANCH-<name>`` beside
+    # CURRENT). Staged commits on a branch create ordinary v{N+1}… manifests
+    # in the SAME linear version sequence — the exclusive manifest create is
+    # the shared OCC gate — but only the branch pointer advances, so main
+    # readers (CURRENT) never see them. Publishing fast-forwards CURRENT to
+    # the branch head in one atomic pointer write. This is the Iceberg
+    # write-audit-publish (WAP) pattern: stage → audit the branch view →
+    # publish or drop. Because staged commits RESERVE version numbers,
+    # a main-side commit during an audit window conflicts (and vice versa)
+    # instead of silently diverging — publish is therefore race-free.
+    # Tag = an immutable named version (``TAG-<name>``) that
+    # expire_snapshots always retains — the Iceberg tag / named-snapshot
+    # analog for reproducible time-travel reads.
+
+    def _require_published_view(self, op: str) -> None:
+        if self._ref != CURRENT_PTR:
+            raise ValueError(
+                f"{op} must run on the published table handle, not a "
+                f"branch view ({self._ref})"
+            )
+
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        if not _REF_NAME.match(name):
+            raise ValueError(
+                f"ref name must match [A-Za-z0-9][A-Za-z0-9._-]*: {name!r}"
+            )
+
+    def _ref_file(self, ref: str) -> str:
+        return os.path.join(self.path, MANIFEST_DIR, ref)
+
+    @property
+    def ref(self) -> str:
+        """The snapshot pointer this handle resolves ('CURRENT' or a
+        branch pointer 'BRANCH-<name>')."""
+        return self._ref
+
+    def create_branch(self, name: str, at_version: int | None = None) -> "LakeTable":
+        """Create branch ``name`` at the handle's current (or a retained)
+        snapshot and return the branch view. Exclusive create: an existing
+        branch of the same name is an error, never silently reused."""
+        self._check_ref_name(name)
+        head = self.manifest(at_version)
+        try:
+            _atomic_create_exclusive(
+                self._ref_file(f"BRANCH-{name}"), f"v{head.version:08d}.json"
+            )
+        except CommitConflictError:
+            raise FileExistsError(f"branch already exists: {name}") from None
+        return LakeTable(self.path, ref=f"BRANCH-{name}")
+
+    def branch(self, name: str) -> "LakeTable":
+        """Handle onto an existing branch: reads resolve the branch head,
+        commits advance the branch pointer."""
+        self._check_ref_name(name)
+        if not os.path.exists(self._ref_file(f"BRANCH-{name}")):
+            raise ValueError(f"no such branch: {name}")
+        return LakeTable(self.path, ref=f"BRANCH-{name}")
+
+    def list_branches(self) -> dict[str, int]:
+        """branch name -> head version."""
+        out = {}
+        for fn in os.listdir(os.path.join(self.path, MANIFEST_DIR)):
+            if fn.startswith("BRANCH-"):
+                with open(self._ref_file(fn)) as f:
+                    out[fn[len("BRANCH-"):]] = int(f.read().strip()[1:-5])
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch. Its staged (never-published) manifests and
+        data files become unreferenced and are collected by the next
+        expire_snapshots()."""
+        self._check_ref_name(name)
+        try:
+            os.remove(self._ref_file(f"BRANCH-{name}"))
+        except FileNotFoundError:
+            raise ValueError(f"no such branch: {name}") from None
+
+    def publish_branch(self, name: str) -> Manifest:
+        """Atomically fast-forward the published table (CURRENT) to the
+        branch head and drop the branch — the WAP 'publish' step. All
+        staged snapshots become visible in one pointer write; their
+        commit/segment ledgers, bloom sidecar, and watermark publish with
+        them (they live IN the head manifest). Requires the published
+        version to be an ancestor of the branch head (always true unless
+        the branch staged nothing, or CURRENT was moved by an expire/
+        repair while the branch was open)."""
+        self._require_published_view("publish_branch")
+        head = self.branch(name).manifest()
+        cur = LakeTable(self.path).manifest()  # the published view
+        if head.version == cur.version:
+            self.drop_branch(name)  # nothing staged
+            return cur
+        v = head
+        while v.parent is not None and v.version > cur.version + 1:
+            v = self.manifest(v.parent)
+        if v.parent != cur.version:
+            raise CommitConflictError(
+                f"branch {name} (head v{head.version}) does not descend "
+                f"from the published v{cur.version} — cannot fast-forward"
+            )
+        _atomic_write(self._ref_file(CURRENT_PTR), f"v{head.version:08d}.json")
+        try:
+            os.remove(self._ref_file(f"BRANCH-{name}"))
+        except FileNotFoundError:
+            pass  # published; a dangling ref equal to CURRENT is harmless
+        return head
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Tag a retained committed snapshot. Tags are immutable and
+        protected from expire_snapshots."""
+        self._require_published_view("create_tag")
+        self._check_ref_name(name)
+        v = self.manifest().version if version is None else version
+        if v not in self.versions():
+            raise ValueError(
+                f"cannot tag v{v}: not a retained committed snapshot "
+                f"(retained: {self.versions()})"
+            )
+        try:
+            _atomic_create_exclusive(self._ref_file(f"TAG-{name}"), f"v{v:08d}.json")
+        except CommitConflictError:
+            raise FileExistsError(f"tag already exists: {name}") from None
+        return v
+
+    def resolve_tag(self, name: str) -> int:
+        self._check_ref_name(name)
+        try:
+            with open(self._ref_file(f"TAG-{name}")) as f:
+                return int(f.read().strip()[1:-5])
+        except FileNotFoundError:
+            raise ValueError(f"no such tag: {name}") from None
+
+    def list_tags(self) -> dict[str, int]:
+        out = {}
+        for fn in os.listdir(os.path.join(self.path, MANIFEST_DIR)):
+            if fn.startswith("TAG-"):
+                with open(self._ref_file(fn)) as f:
+                    out[fn[len("TAG-"):]] = int(f.read().strip()[1:-5])
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        self._check_ref_name(name)
+        try:
+            os.remove(self._ref_file(f"TAG-{name}"))
+        except FileNotFoundError:
+            raise ValueError(f"no such tag: {name}") from None
+
     def _write_manifest(self, m: Manifest) -> None:
         name = f"v{m.version:08d}.json"
         # exclusive create = the optimistic-concurrency gate: if another
@@ -277,8 +436,10 @@ class LakeTable:
         _atomic_create_exclusive(
             os.path.join(self.path, MANIFEST_DIR, name), m.to_json()
         )
-        # the pointer swap is THE commit point — everything before is invisible
-        _atomic_write(os.path.join(self.path, MANIFEST_DIR, CURRENT_PTR), name)
+        # the pointer swap is THE commit point — everything before is
+        # invisible (on a branch view, the branch head moves; CURRENT —
+        # what main readers resolve — does not)
+        _atomic_write(os.path.join(self.path, MANIFEST_DIR, self._ref), name)
 
     # --------------------------------------------------------------- schema
     def user_schema(self) -> T.StructType:
@@ -1072,22 +1233,42 @@ class LakeTable:
         """Drop all but the newest ``keep_last`` manifest versions and
         physically delete data/bloom files referenced ONLY by expired
         versions. Returns the number of data files deleted. Iceberg analog:
-        expire_snapshots. Time travel remains valid for retained versions."""
+        expire_snapshots. Time travel remains valid for retained versions;
+        tagged snapshots and snapshots staged on live branches are never
+        expired."""
+        self._require_published_view("expire_snapshots")
         cur = self.manifest().version
-        # crash recovery: a manifest newer than the current pointer is an
-        # orphan of a writer killed between manifest create and pointer
-        # swap (it blocks the next commit's exclusive create). Expiry runs
-        # in a no-concurrent-writer window by contract, so removing it
-        # here is safe; its data files are collected as unreferenced below.
+        # snapshots staged on LIVE branches sit above the published version
+        # — walk each branch head's parent chain down to the published
+        # frontier; those manifests (and their files) are protected
+        staged: set[int] = set()
+        for head_v in self.list_branches().values():
+            v = head_v
+            while v > cur and v not in staged:
+                staged.add(v)
+                try:
+                    p = self.manifest(v).parent
+                except ValueError:
+                    break
+                if p is None:
+                    break
+                v = p
+        # crash recovery: a manifest newer than the current pointer and on
+        # NO live branch is an orphan of a writer killed between manifest
+        # create and pointer swap, or of a dropped branch (it blocks the
+        # next commit's exclusive create). Expiry runs in a
+        # no-concurrent-writer window by contract, so removing it here is
+        # safe; its data files are collected as unreferenced below.
         mdir = os.path.join(self.path, MANIFEST_DIR)
         for fn in list(os.listdir(mdir)):
-            if fn.startswith("v") and fn.endswith(".json") and int(fn[1:-5]) > cur:
-                os.remove(os.path.join(mdir, fn))
+            if fn.startswith("v") and fn.endswith(".json"):
+                v = int(fn[1:-5])
+                if v > cur and v not in staged:
+                    os.remove(os.path.join(mdir, fn))
         versions = self.versions()
-        if len(versions) <= keep_last:
-            return 0
-        keep_v = set(versions[-keep_last:])
+        keep_v = set(versions[-keep_last:]) if len(versions) > keep_last else set(versions)
         keep_v.add(cur)  # never expire the committed snapshot
+        keep_v.update(self.list_tags().values())  # tags pin their snapshot
 
         def refs(m: Manifest) -> set[str]:
             out = {fe["path"] for fl in m.files.values() for fe in fl}
@@ -1096,7 +1277,7 @@ class LakeTable:
             return out
 
         live: set[str] = set()
-        for v in keep_v:
+        for v in keep_v | staged:
             live |= refs(self.manifest(v))
         dead: set[str] = set()
         for v in versions:

@@ -181,6 +181,51 @@ def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select(*FINAL_COLS)
 
 
+def cdc_wap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish replay (Iceberg WAP analog over branch refs):
+    the same 4-segment feed as ``cdc_replay_state`` is staged entirely on
+    a branch, audited against the STAGED view (row-accounting invariant
+    plus a staged-vs-feed key-count reconciliation), then published by one
+    atomic fast-forward of the snapshot pointer. Readers of the published
+    table transition base→final in a single step; the final state must
+    equal the global LWW oracle — proving staging + publish preserves
+    exactly the semantics of direct replay."""
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.apply import wap_replay
+    from etl_spark.cdc.gen import write_feed
+    from etl_spark.lake.table import LakeTable
+
+    feed = change_feed_from_events(spark, sf_dir).withColumn(
+        "batch", F.pmod(F.col("op_seq"), F.lit(4)).cast("int")
+    )
+    work = _work_dir("etl_spark_wap_")
+    feed_dir = os.path.join(work, "feed")
+    write_feed(feed, feed_dir, n_batches=4)
+    feed_t = {f.name: f.dataType for f in feed.schema.fields}
+    user_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", feed_t["ts"], True),
+        ]
+    )
+    table = LakeTable.create(os.path.join(work, "lake"), user_schema, n_buckets=16)
+
+    def audit(br: LakeTable) -> bool:
+        # staged live keys must not exceed the feed's distinct key count
+        # (an over-count would mean duplicate keys leaked past the merge)
+        n_staged = br.read(spark).count()
+        n_keys = feed.select("conv_id", "turn_idx").distinct().count()
+        return 0 < n_staged <= n_keys
+
+    wap_replay(spark, table, feed_dir, audit=audit, mode="mor")
+    return table.read(spark).select(*FINAL_COLS)
+
+
 STREAM_STATS_SQL = f"""
     WITH feed AS ({FEED_SQL})
     SELECT conv_id,

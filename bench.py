@@ -240,6 +240,19 @@ def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
         t0 = time.time()
         serv["mv_affected_convs"] = mv.refresh(spark, serv_table)
         serv["mv_refresh_sec"] = round(time.time() - t0, 3)
+        # incremental replica sync (CDC-out): bootstrap at the prior
+        # snapshot untimed, then time catching up by exactly one segment's
+        # changelog diff — the steady-state per-sync serving cost
+        from etl_spark.lake.replicate import sync_replica
+
+        rt = LakeTable.create(
+            os.path.join(work, "replica"), serv_table.user_schema(), n_buckets=64
+        )
+        sync_replica(spark, serv_table, rt, to_version=versions[-2])
+        t0 = time.time()
+        rs = sync_replica(spark, serv_table, rt)
+        serv["replica_sync_sec"] = round(time.time() - t0, 3)
+        serv["replica_sync_rows"] = rs.applied()
         out["serving"] = serv
         assert finals["mor"] == finals["cow"] == out["stream"]["final_rows"], (
             finals, out["stream"],

@@ -75,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="keep this summary-MV directory in sync per trigger")
     p.add_argument("--auto-compact-files", type=int, default=None,
                    help="bin-pack buckets exceeding this many files after each trigger")
+    p.add_argument("--replica", default=None,
+                   help="keep this replica table in changelog sync per trigger")
 
     p = sub.add_parser("apply", help="apply ONE segment directory (debug)")
     p.add_argument("--table", required=True)
@@ -157,6 +159,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--version", type=int, default=None)
 
     p = sub.add_parser(
+        "replicate",
+        help="sync a replica table from this table's changelog (CDC-out); "
+        "bootstraps the replica (created if missing) then applies diffs",
+    )
+    p.add_argument("--table", required=True, help="source table path")
+    p.add_argument("--replica", required=True, help="replica table path")
+    p.add_argument("--mode", choices=["cow", "mor"], default="mor")
+
+    p = sub.add_parser(
         "mv-refresh",
         help="create/refresh the per-conversation summary MV from the changelog",
     )
@@ -210,6 +221,7 @@ def main(argv: list[str] | None = None) -> int:
             mode=args.mode,
             mv_path=args.mv,
             auto_compact_files=args.auto_compact_files,
+            replica_path=args.replica,
         )
         print(json.dumps({"table": args.table, "final_rows": table.read(spark).count()}))
     elif args.cmd == "apply":
@@ -307,6 +319,20 @@ def main(argv: list[str] | None = None) -> int:
         else:
             table.drop_tag(args.name)
             print(json.dumps({"dropped": args.name}))
+    elif args.cmd == "replicate":
+        from etl_spark.lake.replicate import sync_replica, synced_version
+
+        dst = LakeTable(args.replica)
+        if not dst.exists():
+            dst = LakeTable.create(
+                args.replica, table.user_schema(), n_buckets=table.n_buckets
+            )
+        s = sync_replica(spark, table, dst, mode=args.mode)
+        print(json.dumps({
+            "synced_to": synced_version(dst, table),
+            "replica_version": dst.current_version(),
+            "batch": json.loads(_stats_json([s]))[0],
+        }))
     elif args.cmd == "mv-refresh":
         from etl_spark.lake.mv import ConvSummaryMV
 

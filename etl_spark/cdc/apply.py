@@ -34,6 +34,7 @@ from etl_spark.lake.table import LakeTable
 __all__ = [
     "AuditFailedError",
     "BatchFailedError",
+    "SegmentReuseError",
     "apply_batch",
     "batch_fingerprint",
     "replay_feed",
@@ -45,6 +46,36 @@ __all__ = [
 class AuditFailedError(RuntimeError):
     """The write-audit-publish audit rejected the staged snapshots; the
     branch was dropped and the published table is unchanged."""
+
+
+class SegmentReuseError(RuntimeError):
+    """A feed presented a segment name the table already committed but
+    with DIFFERENT content. Segments are immutable by contract; skipping
+    by name would silently drop the new data, so the replay refuses."""
+
+
+class _ResilientCounters:
+    """Observation facade for the merge's fused validation counters.
+
+    If EVERY row of a batch is filtered out before the dedup exchange
+    (all-invalid or all-late input), AQE materializes that exchange empty
+    and its empty-relation propagation can replace the downstream subtree
+    — dropping the CollectMetrics node from the final plan, so the
+    Observation is never filled and ``.get`` raises from the JVM. The
+    counters still matter exactly then (they decide failfast vs
+    commit-empty), so fall back to ONE direct aggregation job over the
+    (file-backed) batch with the same aggregate expressions. The fallback
+    never runs on the happy path."""
+
+    def __init__(self, obs: Observation, batch: DataFrame, agg_cols: list):
+        self._obs, self._batch, self._aggs = obs, batch, agg_cols
+
+    @property
+    def get(self) -> dict:
+        try:
+            return self._obs.get
+        except Exception:
+            return self._batch.agg(*self._aggs).first().asDict()
 
 # BigQuery's 100MB row limit drives the reference's 90MB guard
 # (/root/reference/parser/scamper1.go:22-25); we keep an explicit guard too.
@@ -105,7 +136,7 @@ def apply_batch(
     batch_id: str,
     source_files: list[str] | None = None,
     fail_threshold: float = 0.10,
-    segments: list[str] | None = None,
+    segments: list[str] | dict[str, str] | None = None,
     input_files: list[str] | None = None,
     late_watermark_sec: float | None = None,
     mode: str = "cow",
@@ -141,8 +172,7 @@ def apply_batch(
     # computed DURING pass 1, no standalone aggregation job.
     ok = _ok_predicate()
     counters = Observation()
-    observed = batch.observe(
-        counters,
+    agg_cols = [
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
             F.sum(F.when(ok, F.lit(0)).otherwise(F.lit(1))), F.lit(0)
@@ -151,14 +181,15 @@ def apply_batch(
             F.sum(F.when(ok & late_pred, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
         ).alias("late"),
         F.max(F.when(ok, F.col("ts"))).alias("max_ts"),
-    )
+    ]
+    observed = batch.observe(counters, *agg_cols)
     valid = observed.filter(ok & ~late_pred)
     return merge_into(
         spark,
         table,
         valid,
         batch_id,
-        counters=counters,
+        counters=_ResilientCounters(counters, batch, agg_cols),
         fail_threshold=fail_threshold,
         source_files=source_files,
         segments=segments,
@@ -198,7 +229,7 @@ def replay_feed(
     ONLY offending buckets and commits through the same atomic snapshot
     path (idempotence ledger and time-travel unaffected)."""
     out: list[MergeStats] = []
-    done = table.committed_segments()
+    seg_fp = table.committed_segments()
     _JSON_EXTS = (".json.gz", ".jsonl.gz", ".json", ".jsonl")
     for name in sorted(os.listdir(feed_dir)):
         d = os.path.join(feed_dir, name)
@@ -212,11 +243,25 @@ def replay_feed(
         if not files:
             continue
         bid = batch_fingerprint(files)
-        if name in done or table.is_committed(bid):
+        # skip only on proven content identity: this exact batch committed,
+        # or the segment completed earlier (replay OR streaming) with the
+        # SAME content fingerprint. A committed segment name whose current
+        # content differs is a contract violation (segments are immutable;
+        # reused names across feeds collide) — refuse loudly, because the
+        # old behavior (skip by name) silently dropped the new data.
+        if table.is_committed(bid) or seg_fp.get(name) == bid:
             s = MergeStats(batch_id=bid)
             s.skipped_idempotent = True
             out.append(s)
             continue
+        if name in seg_fp:
+            raise SegmentReuseError(
+                f"segment {name!r} is already committed with different "
+                f"content (ledger fp {seg_fp[name][:12]}…, current "
+                f"{bid[:12]}…). Segment names are immutable by contract — "
+                f"feeds replayed into one table must use distinct segment "
+                f"names (a real binlog never reuses a segment number)."
+            )
         if files[0].endswith(".parquet"):
             df = spark.read.parquet(d)
         else:
@@ -232,7 +277,7 @@ def replay_feed(
         out.append(
             apply_batch(
                 spark, table, df, bid, source_files=[name],
-                fail_threshold=fail_threshold, segments=[name],
+                fail_threshold=fail_threshold, segments={name: bid},
                 input_files=[_segment_relative(f) for f in files],
                 late_watermark_sec=late_watermark_sec, mode=mode,
             )

@@ -62,6 +62,7 @@ def run_stream(
     mode: str = "cow",
     mv_path: str | None = None,
     auto_compact_files: int | None = None,
+    replica_path: str | None = None,
 ):
     """Start (and by default drain) the streaming apply loop. Returns the
     StreamingQuery when available_now=False (caller stops it).
@@ -77,7 +78,15 @@ def run_stream(
 
     ``auto_compact_files``: per-trigger maintenance bound — see
     ``replay_feed``; under an endless MOR stream this caps read
-    amplification at a constant number of files per bucket."""
+    amplification at a constant number of files per bucket.
+
+    ``replica_path``: follow the table with a changelog replica
+    (lake/replicate.py) inside the same foreachBatch — each trigger syncs
+    the replica by exactly that trigger's diff (created with the table's
+    schema on first sync). Same crash-healing shape as the MV: the sync
+    runs on every trigger and its ledger makes it idempotent, so a crash
+    between the table commit and the replica sync is healed by the
+    re-delivered trigger."""
     schema = detect_feed_schema(spark, feed_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -95,6 +104,15 @@ def run_stream(
             from etl_spark.lake.mv import ConvSummaryMV
 
             ConvSummaryMV(mv_path).refresh(spark, table)
+        if replica_path is not None:
+            from etl_spark.lake.replicate import sync_replica
+
+            rt = LakeTable(replica_path)
+            if not rt.exists():
+                rt = LakeTable.create(
+                    replica_path, table.user_schema(), n_buckets=table.n_buckets
+                )
+            sync_replica(spark, table, rt, mode=mode)
 
     def _apply_new_files(df: DataFrame) -> None:
         import os
@@ -139,7 +157,11 @@ def run_stream(
         from urllib.parse import unquote
 
         applied_decoded = {unquote(x) for x in applied_after}
-        complete_segs = []
+        # a COMPLETED segment is ledgered under its content fingerprint
+        # (all its files), so a later batch replay of the same feed proves
+        # same-name-same-content and skips — while a reused segment name
+        # with different content is refused instead of silently dropped
+        complete_segs: dict[str, str] = {}
         for sname in sorted({seg(f) for f in new_files}):
             d = os.path.join(feed_dir, unquote(sname))
             try:
@@ -150,7 +172,7 @@ def run_stream(
             except OSError:
                 allf = set()
             if allf and allf <= applied_decoded:
-                complete_segs.append(sname)
+                complete_segs[sname] = batch_fingerprint(sorted(allf))
         bid = batch_fingerprint(new_files)
         batch_df = df.filter(F.col("__file").isin(new_files)).drop("__file")
         apply_batch(

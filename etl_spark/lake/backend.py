@@ -46,7 +46,7 @@ class LakeBackend(Protocol):
     # ---- identity / commit ledger
     def is_committed(self, batch_id: str) -> bool: ...
     def current_version(self) -> int: ...
-    def committed_segments(self) -> set[str]: ...
+    def committed_segments(self) -> dict[str, str]: ...
     def committed_inputs(self) -> set[str]: ...
     def commit_log(self) -> dict[str, dict[str, Any]]: ...
     def high_watermark_us(self) -> int | None: ...

@@ -566,7 +566,11 @@ class LakeTable:
         return df.select(*user_cols)
 
     def changes_between(
-        self, spark: SparkSession, v_from: int, v_to: int | None = None
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int | None = None,
+        emit_meta: bool = False,
     ) -> DataFrame:
         """Changelog read between two retained snapshots — the read-side CDC
         surface (Iceberg changelog scan / Delta CDF analog; the reference
@@ -582,6 +586,17 @@ class LakeTable:
         unchanged keys emit nothing; delete rows carry the key with NULL
         user values. A key that is dead on both sides (tombstoned, then the
         tombstone expired) emits nothing.
+
+        ``emit_meta=True`` additionally emits the CDC envelope of the
+        winning event in the newer snapshot — ``op`` ('I'/'U'/'D') and
+        ``op_seq`` — and keeps the delete row's ``ts`` (the tombstone's
+        event time) instead of nulling it, so the output is itself a
+        replayable change feed: applying it to a replica at ``v_from``
+        converges the replica to ``v_to`` with identical LWW metadata
+        (see lake/replicate.py). A delete whose tombstone was already
+        expired in ``v_to`` emits NULL ``op_seq``/``ts`` — downstream
+        validation rejects it (the changelog-horizon contract, same as
+        Delta CDF after VACUUM).
         """
         ma, mb = self.manifest(v_from), self.manifest(v_to)
         # manifest-level pruning: data files are immutable, so a bucket
@@ -635,19 +650,32 @@ class LakeTable:
             )
         )
         is_del = change == F.lit("delete")
+        out_cols = [
+            *KEY_COLS,
+            *[
+                # with meta, a delete keeps the tombstone's event time —
+                # the replayed 'D' must carry the (ts, op_seq) that won
+                F.col(f.name).alias(f.name)
+                if (emit_meta and f.name == "ts")
+                else F.when(is_del, F.lit(None).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                for f in val_fields
+            ],
+            "_change_type",
+        ]
+        if emit_meta:
+            out_cols += [
+                F.when(is_del, F.lit("D"))
+                .when(change == F.lit("insert"), F.lit("I"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                F.col("__b_seq").alias("op_seq"),
+            ]
         return (
             j.withColumn("_change_type", change)
             .filter(F.col("_change_type").isNotNull())
-            .select(
-                *KEY_COLS,
-                *[
-                    F.when(is_del, F.lit(None).cast(f.dataType))
-                    .otherwise(F.col(f.name))
-                    .alias(f.name)
-                    for f in val_fields
-                ],
-                "_change_type",
-            )
+            .select(*out_cols)
         )
 
     def has_files(self, buckets: list[int] | None = None) -> bool:
@@ -898,12 +926,24 @@ class LakeTable:
             commits[batch_id] = {"version": m.version + 1, **(commit_record or {})}
             for fpath in input_files or []:
                 inputs_map[fpath] = batch_id
-            for s in segments or []:
-                seg_map[s] = batch_id
+            # ``segments`` as a dict maps each completed segment to its
+            # CONTENT fingerprint (batch_fingerprint over the segment's
+            # full file set) — this is what lets a later replay prove
+            # "same name, same content → skip" vs "same name, different
+            # content → refuse" (segment names are immutable by contract;
+            # silently skipping reused names would drop data). A plain
+            # list records the committing batch id (legacy/fallback).
+            seg_items = (
+                list(segments.items())
+                if isinstance(segments, dict)
+                else [(s, batch_id) for s in (segments or [])]
+            )
+            for s, fp in seg_items:
+                seg_map[s] = fp
             # a completed segment subsumes its per-file entries — prune them
             # so applied_inputs stays bounded by IN-FLIGHT partial segments
-            if segments:
-                done = set(segments)
+            if seg_items:
+                done = {s for s, _ in seg_items}
                 inputs_map = {
                     f: b for f, b in inputs_map.items()
                     if f.split("/", 1)[0] not in done
@@ -963,8 +1003,12 @@ class LakeTable:
     def is_committed(self, batch_id: str) -> bool:
         return batch_id in self.manifest().commits
 
-    def committed_segments(self) -> set[str]:
-        return set(self.manifest().segments)
+    def committed_segments(self) -> dict[str, str]:
+        """Completed segments → content fingerprint (batch_fingerprint over
+        the segment's full file set; legacy entries carry the committing
+        batch id). Membership (`name in ...`) answers "done?", the value
+        answers "done with WHAT content?" — the reuse-refusal check."""
+        return dict(self.manifest().segments)
 
     def committed_inputs(self) -> set[str]:
         """Segment-relative input files already applied: every file of every

@@ -226,6 +226,51 @@ def cdc_wap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select(*FINAL_COLS)
 
 
+def cdc_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog replication (CDC-out): replay half the feed into a SOURCE
+    table, bootstrap a replica (snapshot copy preserving each row's winning
+    (ts, op_seq)), replay the rest into the source, then advance the
+    replica INCREMENTALLY from the source's changelog
+    (``changes_between(emit_meta=True)`` — inserts/updates/deletes with
+    their original LWW metadata). The replica's final state must equal the
+    global LWW oracle — i.e. following the changelog is indistinguishable
+    from having consumed the feed directly. Replica uses a different
+    bucket count (8 vs 16) to prove sync is layout-independent."""
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.apply import replay_feed
+    from etl_spark.cdc.gen import write_feed
+    from etl_spark.lake.replicate import sync_replica
+    from etl_spark.lake.table import LakeTable
+
+    feed = change_feed_from_events(spark, sf_dir).withColumn(
+        "batch", F.pmod(F.col("op_seq"), F.lit(4)).cast("int")
+    )
+    work = _work_dir("etl_spark_repl_")
+    feed_a = os.path.join(work, "feed_a")
+    feed_b = os.path.join(work, "feed_b")
+    write_feed(feed.filter(F.col("batch") < 2), feed_a)
+    write_feed(feed.filter(F.col("batch") >= 2), feed_b)
+    feed_t = {f.name: f.dataType for f in feed.schema.fields}
+    user_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", feed_t["ts"], True),
+        ]
+    )
+    src = LakeTable.create(os.path.join(work, "src"), user_schema, n_buckets=16)
+    dst = LakeTable.create(os.path.join(work, "dst"), user_schema, n_buckets=8)
+    replay_feed(spark, src, feed_a, mode="mor")
+    sync_replica(spark, src, dst)  # bootstrap: snapshot copy
+    replay_feed(spark, src, feed_b, mode="mor")
+    sync_replica(spark, src, dst)  # incremental: changelog diff only
+    return dst.read(spark).select(*FINAL_COLS)
+
+
 STREAM_STATS_SQL = f"""
     WITH feed AS ({FEED_SQL})
     SELECT conv_id,

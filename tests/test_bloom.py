@@ -139,10 +139,19 @@ class TestMergeFastPath:
         s3 = replay_feed(spark, table, fd3)
         assert len(s3) == 1 and not s3[0].fast_path_append
 
-    def test_segment_name_is_idempotence_identity(self, spark, tmp_path):
-        """Two feeds with the SAME segment dir name: the second replay is
-        recognized as already-applied (segments are immutable by contract,
-        like the reference's archives)."""
+    def test_segment_identity_is_name_plus_content(self, spark, tmp_path):
+        """Segment idempotence keys on (name, content fingerprint), not name
+        alone. Replaying the SAME directory skips; a DIFFERENT directory
+        that reuses a committed segment name is refused — a physical
+        rewrite has fresh part filenames, so content identity can't be
+        proven, and silently skipping would drop data on a genuine name
+        collision (segments are immutable by contract, like the
+        reference's archives — a real binlog never reuses a segment
+        number)."""
+        import pytest
+
+        from etl_spark.cdc.apply import SegmentReuseError
+
         feed = change_feed_df(
             spark, n_events=1000, n_convs=50, max_turns=8, seed=4, n_batches=1
         )
@@ -150,7 +159,13 @@ class TestMergeFastPath:
         write_feed(feed, fd1, n_batches=1)
         table = LakeTable.create(str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, n_buckets=8)
         replay_feed(spark, table, fd1)
+        v = table.manifest().version
+        # same directory → provably same content → skip
+        s = replay_feed(spark, table, fd1)
+        assert len(s) == 1 and s[0].skipped_idempotent
+        # same NAME, physically rewritten elsewhere → refuse, don't drop
         fd2 = str(tmp_path / "f2")
         write_feed(feed, fd2, n_batches=1)  # same segment name batch=00000
-        s = replay_feed(spark, table, fd2)
-        assert len(s) == 1 and s[0].skipped_idempotent
+        with pytest.raises(SegmentReuseError):
+            replay_feed(spark, table, fd2)
+        assert table.manifest().version == v

@@ -61,3 +61,42 @@ def test_stream_resume_from_checkpoint_no_double_apply(spark, tmpdir_path):
     run_stream(spark, t, feed_dir, os.path.join(tmpdir_path, "ckpt2"), available_now=True)
     assert t.manifest().version == v_final
     _assert_state_equal(table_as_pandas(t.read(spark)), expected_final_state(feed_dir))
+
+
+def test_batch_replay_after_stream_noops(spark, tmpdir_path):
+    """Segments completed by STREAMING are ledgered under their content
+    fingerprint, so a later batch replay of the same feed proves
+    same-name-same-content and skips every segment."""
+    from etl_spark.cdc.apply import replay_feed
+
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    write_feed(change_feed_df(spark, **GEN), feed_dir)
+    t = LakeTable.create(os.path.join(tmpdir_path, "lake"), TRANSCRIPT_SCHEMA, n_buckets=8)
+    run_stream(spark, t, feed_dir, os.path.join(tmpdir_path, "ckpt"),
+               max_files_per_trigger=4, available_now=True)
+    v = t.manifest().version
+    stats = replay_feed(spark, t, feed_dir)
+    assert stats and all(s.skipped_idempotent for s in stats)
+    assert t.manifest().version == v
+
+
+def test_segment_name_reuse_refused(spark, tmpdir_path):
+    """Two different feeds whose segment names collide: the second replay
+    must REFUSE (SegmentReuseError), never silently skip the new data —
+    segment names are immutable by contract."""
+    import pytest
+
+    from etl_spark.cdc.apply import SegmentReuseError, replay_feed
+
+    feed1 = os.path.join(tmpdir_path, "f1")
+    feed2 = os.path.join(tmpdir_path, "f2")
+    write_feed(change_feed_df(spark, n_events=800, n_convs=30, max_turns=6,
+                              seed=1, n_batches=2), feed1)
+    write_feed(change_feed_df(spark, n_events=800, n_convs=30, max_turns=6,
+                              seed=2, n_batches=2), feed2)  # same names!
+    t = LakeTable.create(os.path.join(tmpdir_path, "lake"), TRANSCRIPT_SCHEMA, n_buckets=8)
+    replay_feed(spark, t, feed1)
+    v = t.manifest().version
+    with pytest.raises(SegmentReuseError):
+        replay_feed(spark, t, feed2)
+    assert t.manifest().version == v  # nothing half-applied before the raise

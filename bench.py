@@ -83,6 +83,12 @@ BENCH_QUERIES = [
     "mm_resize_plan",
     "doc_incremental_neardup",
     "conv_transcript_nested",
+    "order_priority_semijoin",
+    "promo_revenue",
+    "large_volume_orders",
+    "doc_pii_redact",
+    "doc_contamination",
+    "doc_domain_mix",
 ]
 # Excluded from the timed suite (correctness-only at sf0.01):
 #   cdc_replay_state — superseded by the dedicated throughput replay.

@@ -935,3 +935,211 @@ DOC_NEARDUP_GATE_SQL = f"""
     WHERE len(list_filter(range(1, {N_MINHASH} + 1),
                           i -> x.sig[i] = y.sig[i])) / {N_MINHASH}.0 >= {JACCARD_THRESHOLD}
 """
+
+
+# --- PII redaction -------------------------------------------------------------
+# Pre-training scrub: find-and-mask emails and phone-like numbers, report
+# per-doc match counts plus an md5 of the redacted text (content equality
+# with the oracle, not just counts). The corpus is synthetic, so each doc
+# is first salted with one deterministic email + phone derived from doc_id
+# — the operator then has guaranteed work to do AND still redacts anything
+# already in the text. Pure Catalyst regexp expressions (regexp_count /
+# regexp_replace run in codegen); patterns avoid lookarounds/backrefs so
+# Java regex (Spark) and RE2 (DuckDB) agree. Map-only plan: at 100 TB this
+# is a scan-shaped pass with zero shuffle.
+
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+PHONE_RE = "[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org or call 555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    red = _let(
+        salted,
+        lambda s: F.struct(
+            F.regexp_count(s, F.lit(EMAIL_RE)).alias("ne"),
+            F.regexp_count(s, F.lit(PHONE_RE)).alias("np"),
+            F.regexp_replace(
+                F.regexp_replace(s, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ).alias("r"),
+        ),
+    )
+    return docs.select("doc_id", red.alias("__r")).select(
+        "doc_id",
+        F.col("__r.ne").cast("long").alias("n_emails"),
+        F.col("__r.np").cast("long").alias("n_phones"),
+        F.length("__r.r").cast("long").alias("redacted_len"),
+        F.md5("__r.r").alias("redacted_md5"),
+    )
+
+
+_SALTED_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org "
+    "or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'"
+)
+
+DOC_PII_REDACT_SQL = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(s, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(s, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_replace(regexp_replace(s, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                   '{PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
+               AS redacted_len,
+           md5(regexp_replace(regexp_replace(s, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM (SELECT doc_id, {_SALTED_SQL} AS s FROM documents)
+"""
+
+
+# --- benchmark-contamination check ----------------------------------------------
+# Eval-set decontamination: flag training docs that share any CONTAM_N-word
+# n-gram with a held-out benchmark set (here: every 50th doc_id — in
+# production the benchmark table is tiny and static). Plan shape for 100 TB:
+# n-grams are hashed to 60-bit longs BEFORE the shuffle (8-byte keys, not
+# strings), the benchmark side is distinct-tiny (AQE broadcasts it), and the
+# per-doc hit count aggregates with map-side partials. A doc with no
+# n-grams or no hits still appears (left join), so the output is a complete
+# admission verdict per candidate doc.
+
+CONTAM_N = 5
+CONTAM_BENCH_MOD = 50
+
+
+def _ngrams_of(w: Column, n: int) -> Column:
+    """Distinct n-word grams of a let-bound words array (empty when the doc
+    has fewer than n words; sequence() would DESCEND on a negative span)."""
+    gram = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(gram)
+
+
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    is_bench = F.pmod(F.col("doc_id"), F.lit(CONTAM_BENCH_MOD)) == 0
+    grams = (
+        docs.withColumn("__ng", _let(F.split(_norm(), " "),
+                                     lambda w: _ngrams_of(w, CONTAM_N)))
+        .select("doc_id", is_bench.alias("__b"), F.explode("__ng").alias("g"))
+        .select("doc_id", "__b", _word_hash(F.col("g")).alias("gh"))
+    )
+    bench = grams.filter(F.col("__b")).select("gh").distinct()
+    hits = (
+        grams.filter(~F.col("__b"))
+        .join(bench, "gh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gh").alias("n_hits"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+_NGRAM_LIST_SQL = (
+    f"list_distinct(CASE WHEN len(w) >= {CONTAM_N} THEN "
+    f"list_transform(range(1, len(w) - {CONTAM_N - 2}), "
+    "i -> " + " || ' ' || ".join(f"w[i+{k}]" for k in range(CONTAM_N)) + ") "
+    "ELSE [] END)"
+)
+
+DOC_CONTAMINATION_SQL = f"""
+    WITH g AS (
+        SELECT doc_id, doc_id % {CONTAM_BENCH_MOD} = 0 AS b,
+               ('0x' || substr(md5(x), 1, 15))::BIGINT AS gh
+        FROM (
+            SELECT doc_id, unnest({_NGRAM_LIST_SQL}) AS x
+            FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents)
+        )
+    ),
+    bench AS (SELECT DISTINCT gh FROM g WHERE b),
+    hits AS (
+        SELECT doc_id, count(DISTINCT g.gh) AS n_hits
+        FROM g JOIN bench USING (gh) WHERE NOT b GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    WHERE d.doc_id % {CONTAM_BENCH_MOD} <> 0
+"""
+
+
+# --- temperature-scaled domain mix ----------------------------------------------
+# Training-mix construction: sample per-language quotas proportional to
+# n_lang^alpha with alpha = 0.5 (the standard multilingual up-weighting of
+# low-resource domains), selection within a language by deterministic hash
+# rank. All quota arithmetic is integer/floor-exact so Spark and the oracle
+# agree at boundaries: s_l = floor(sqrt(n_l)), quota_l = floor(BUDGET * s_l
+# / sum(s_l)) — both floors of correctly-rounded doubles of integer inputs.
+# Shape: one tiny groupBy(lang) agg, its single-row total broadcast back,
+# one row_number window per language partition. At 100 TB the window is the
+# only wide stage and it shuffles exactly the candidate rows.
+
+MIX_BUDGET = 200
+
+
+def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_l"))
+        .withColumn("s_l", F.floor(F.sqrt(F.col("n_l"))))
+    )
+    total = counts.agg(F.sum("s_l").alias("S"))
+    quota = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        F.floor(F.lit(MIX_BUDGET) * F.col("s_l") / F.col("S")).alias("quota"),
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("mix_rank", F.row_number().over(w))
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("mix_rank") <= F.col("quota"))
+        .select("doc_id", "lang", F.col("mix_rank").cast("long").alias("mix_rank"))
+    )
+
+
+DOC_DOMAIN_MIX_SQL = f"""
+    WITH c AS (
+        SELECT lang, floor(sqrt(count(*))) AS s_l FROM documents GROUP BY lang
+    ),
+    q AS (
+        SELECT lang,
+               floor({MIX_BUDGET} * s_l / (SELECT sum(s_l) FROM c)) AS quota
+        FROM c
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS mix_rank
+        FROM documents
+    )
+    SELECT doc_id, r.lang, CAST(mix_rank AS BIGINT) AS mix_rank
+    FROM r JOIN q ON r.lang = q.lang
+    WHERE mix_rank <= quota
+"""

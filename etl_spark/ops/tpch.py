@@ -131,3 +131,112 @@ REGION_REVENUE_SQL = f"""
     JOIN region   ON n_regionkey = r_regionkey
     GROUP BY r_name
 """
+
+
+# --- Q4-style order-priority count (EXISTS → left-semi join) ------------------
+# TPC-H Q4 checks l_commitdate < l_receiptdate; the testdata carries only
+# l_shipdate, so the analog predicate is "some line shipped > 90 days after
+# the order date". Shape is what matters: a date-windowed fact filter plus a
+# correlated EXISTS that Catalyst plans as LeftSemi with the extra join
+# predicate pushed into the join condition — no pre-aggregation, no distinct.
+
+def order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+ORDER_PRIORITY_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+"""
+
+
+# --- Q14-style promo revenue share --------------------------------------------
+# part GROWS with SF (no broadcast hint — AQE decides); both conditional and
+# total sums are exact DECIMAL with ONE final double division (decimal
+# division precision rules differ between engines; double division of two
+# identical decimals-cast-to-double is bit-stable on both).
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    ).cast("double")
+    total = F.sum(_rev()).cast("double")
+    return j.agg(
+        F.round(F.lit(100.0) * promo / total, 4).alias("promo_pct"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+PROMO_REVENUE_SQL = f"""
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {REV_SQL}
+                                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum({REV_SQL}) AS DOUBLE), 4) AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+# --- Q18-style large-volume orders (GROUP BY ... HAVING gate, then join) ------
+# The HAVING aggregate runs FIRST (shrinks |lineitem| to the few qualifying
+# orderkeys) and only then joins orders/customer — the qualifying set is tiny
+# at any SF, so AQE broadcasts it against the dimension side of each join.
+
+LARGE_ORDER_QTY = 300
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("__q").cast("double").alias("total_qty"),
+        )
+    )
+
+
+LARGE_VOLUME_SQL = f"""
+    SELECT c_custkey, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(q AS DOUBLE) AS total_qty
+    FROM (
+        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {LARGE_ORDER_QTY}
+    )
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""

@@ -64,6 +64,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q1_pricing_summary": (tpch.q1_pricing_summary, tpch.Q1_SQL),
     "top_orders_by_revenue": (tpch.top_orders_by_revenue, tpch.TOP_ORDERS_SQL),
     "region_revenue": (tpch.region_revenue, tpch.REGION_REVENUE_SQL),
+    "order_priority_semijoin": (
+        tpch.order_priority_semijoin,
+        tpch.ORDER_PRIORITY_SQL,
+    ),
+    "promo_revenue": (tpch.promo_revenue, tpch.PROMO_REVENUE_SQL),
+    "large_volume_orders": (tpch.large_volume_orders, tpch.LARGE_VOLUME_SQL),
     # --- text curation: dedup / quality / lang-id / fingerprint ---
     "doc_exact_dedup": (textops.doc_exact_dedup, textops.DOC_EXACT_DEDUP_SQL),
     "doc_quality": (textops.doc_quality, textops.DOC_QUALITY_SQL),
@@ -91,6 +97,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.DOC_INCREMENTAL_NEARDUP_SQL,
     ),
     "doc_neardup_gate": (textops.doc_neardup_gate, textops.DOC_NEARDUP_GATE_SQL),
+    "doc_pii_redact": (textops.doc_pii_redact, textops.DOC_PII_REDACT_SQL),
+    "doc_contamination": (textops.doc_contamination, textops.DOC_CONTAMINATION_SQL),
+    "doc_domain_mix": (textops.doc_domain_mix, textops.DOC_DOMAIN_MIX_SQL),
     # --- similarity search over embeddings ---
     "emb_cosine_topk": (simsearch.emb_cosine_topk, simsearch.EMB_COSINE_TOPK_SQL),
     "emb_knn_label": (simsearch.emb_knn_label, simsearch.EMB_KNN_LABEL_SQL),

@@ -89,7 +89,12 @@ BENCH_QUERIES = [
     "doc_pii_redact",
     "doc_contamination",
     "doc_domain_mix",
+    "cdc_patch_state",
+    "cdc_envelope_decode",
+    "filtered_revenue",
+    "returned_item_revenue",
 ]
+# (cdc_patch_replay is replay-backed — excluded like the other replays.)
 # Excluded from the timed suite (correctness-only at sf0.01):
 #   cdc_replay_state — superseded by the dedicated throughput replay.
 #   cdc_evolution_replay — same replay cost as cdc_replay_state with

@@ -61,6 +61,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--feed", required=True)
     p.add_argument("--late-watermark-sec", type=float, default=None)
     p.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    p.add_argument("--allow-patches", action="store_true",
+                   help="accept op='P' sparse partial-update events")
     p.add_argument("--auto-compact-files", type=int, default=None,
                    help="bin-pack buckets exceeding this many files after each batch")
 
@@ -71,6 +73,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--late-watermark-sec", type=float, default=None)
     p.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    p.add_argument("--allow-patches", action="store_true",
+                   help="accept op='P' sparse partial-update events")
     p.add_argument("--mv", default=None,
                    help="keep this summary-MV directory in sync per trigger")
     p.add_argument("--auto-compact-files", type=int, default=None,
@@ -208,6 +212,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, table, args.feed,
             late_watermark_sec=args.late_watermark_sec, mode=args.mode,
             auto_compact_files=args.auto_compact_files,
+            allow_patches=args.allow_patches,
         )
         print(_stats_json(stats))
     elif args.cmd == "stream":
@@ -222,6 +227,7 @@ def main(argv: list[str] | None = None) -> int:
             mv_path=args.mv,
             auto_compact_files=args.auto_compact_files,
             replica_path=args.replica,
+            allow_patches=args.allow_patches,
         )
         print(json.dumps({"table": args.table, "final_rows": table.read(spark).count()}))
     elif args.cmd == "apply":

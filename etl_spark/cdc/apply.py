@@ -103,9 +103,9 @@ def batch_fingerprint(source_files: list[str]) -> str:
     return h.hexdigest()
 
 
-def _ok_predicate() -> F.Column:
+def _ok_predicate(ops: tuple[str, ...] = VALID_OPS) -> F.Column:
     return (
-        F.col("op").isin(*VALID_OPS)
+        F.col("op").isin(*ops)
         & F.col("conv_id").isNotNull()
         & F.col("turn_idx").isNotNull()
         & F.col("ts").isNotNull()
@@ -140,8 +140,15 @@ def apply_batch(
     input_files: list[str] | None = None,
     late_watermark_sec: float | None = None,
     mode: str = "cow",
+    allow_patches: bool = False,
 ) -> MergeStats:
     """Validate + (optionally) drop too-late events + dedup + MERGE.
+
+    ``allow_patches``: accept op='P' partial-update events (sparse payload,
+    NULL = unchanged; see cdc/patch.py) and route the batch through the
+    per-column-LWW patch merge. OFF by default — with it off, 'P' events
+    count as failed rows (loud, budget-enforced) instead of being silently
+    misapplied as full-row upserts.
 
     ``mode``: "cow" (join + rewrite touched buckets) or "mor" (append LWW
     deltas, resolve at read/compaction — see lake/merge.py).
@@ -170,7 +177,7 @@ def apply_batch(
             late_pred = F.col("ts") < _ts_literal(threshold_us, ts_type)
     # Validation counters ride the merge's fused scan as an Observation —
     # computed DURING pass 1, no standalone aggregation job.
-    ok = _ok_predicate()
+    ok = _ok_predicate(VALID_OPS + ("P",) if allow_patches else VALID_OPS)
     counters = Observation()
     agg_cols = [
         F.count(F.lit(1)).alias("n"),
@@ -195,6 +202,7 @@ def apply_batch(
         segments=segments,
         input_files=input_files,
         mode=mode,
+        allow_patches=allow_patches,
     )
 
 
@@ -207,6 +215,7 @@ def replay_feed(
     mode: str = "cow",
     json_schema=None,
     auto_compact_files: int | None = None,
+    allow_patches: bool = False,
 ) -> list[MergeStats]:
     """Batch-mode replay of a feed directory (one subdir per binlog segment,
     lexicographic order = arrival order). Used by tests, bench, and as the
@@ -280,6 +289,7 @@ def replay_feed(
                 fail_threshold=fail_threshold, segments={name: bid},
                 input_files=[_segment_relative(f) for f in files],
                 late_watermark_sec=late_watermark_sec, mode=mode,
+                allow_patches=allow_patches,
             )
         )
         if auto_compact_files is not None:

@@ -1,0 +1,81 @@
+"""Debezium-style change-event envelope → the engine's CHANGE schema.
+
+CDC feeds rarely arrive pre-flattened: the de-facto wire shape (Debezium,
+Maxwell, DynamoDB streams) is a JSON envelope per event with the operation
+code, a source position, and before/after row images. This module is the
+ingestion adapter: parse the envelope ONCE with an explicit schema (never
+schema inference — a second pass over 100 TB and stringly timestamps) and
+map it onto the engine's flat change-event columns, all in Catalyst
+expressions (from_json + struct field access, zero Python in the row path).
+
+Reference analog: the per-datatype JSON decode at the head of every parser
+(/root/reference/parser/ndt7_result.go:64-131 unmarshals the wire struct,
+then projects the row), and the parse-eligibility predicate gating it
+(/root/reference/parser/parser.go:89-112 dispatch).
+
+Envelope contract (Debezium-style, documented rather than byte-exact):
+
+    {"op": "c"|"u"|"d"|"r", "ts": "<ISO-µs>", "lsn": <long>,
+     "after":  {conv_id, turn_idx, role, text, tool},   (c/u/r)
+     "before": {conv_id, turn_idx, ...}}                 (d)
+
+op mapping: c (create) and r (snapshot read) → I, u → U, d → D. The log
+position ``lsn`` becomes ``op_seq`` (the LWW tie-breaker), ``ts`` the event
+time. Malformed envelopes parse to NULL op/keys and are counted failed by
+the standard validation budget — quarantine, not crash (the PERMISSIVE
+analog of the reference's jsonnet repair fallback,
+/root/reference/parser/pt.go:233-249).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+_ROW_FIELDS = [
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("tool", T.StringType()),
+]
+
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("before", T.StructType(_ROW_FIELDS)),
+        T.StructField("after", T.StructType(_ROW_FIELDS)),
+    ]
+)
+
+_OP_MAP = {"c": "I", "r": "I", "u": "U", "d": "D"}
+
+
+def _mapped_op(raw: Column) -> Column:
+    out = F.lit(None).cast("string")
+    for wire, op in _OP_MAP.items():
+        out = F.when(raw == wire, F.lit(op)).otherwise(out)
+    return out
+
+
+def from_debezium(df: DataFrame, json_col: str = "value") -> DataFrame:
+    """Decode a DataFrame of envelope JSON strings into the engine's flat
+    change-event columns (op, ts, op_seq, conv_id, turn_idx, role, text,
+    tool). Unknown op codes / unparseable JSON yield NULL op / NULL keys —
+    rejected (and counted) by apply_batch's validation, never applied."""
+    e = F.from_json(F.col(json_col), ENVELOPE_SCHEMA)
+    img = F.when(e["op"] == "d", e["before"]).otherwise(e["after"])
+    return df.select(
+        _mapped_op(e["op"]).alias("op"),
+        F.to_timestamp(e["ts"]).alias("ts"),
+        e["lsn"].alias("op_seq"),
+        img["conv_id"].alias("conv_id"),
+        img["turn_idx"].alias("turn_idx"),
+        F.when(e["op"] == "d", F.lit(None).cast("string"))
+        .otherwise(img["role"]).alias("role"),
+        F.when(e["op"] == "d", F.lit(None).cast("string"))
+        .otherwise(img["text"]).alias("text"),
+        F.when(e["op"] == "d", F.lit(None).cast("string"))
+        .otherwise(img["tool"]).alias("tool"),
+    )

@@ -63,6 +63,7 @@ def run_stream(
     mv_path: str | None = None,
     auto_compact_files: int | None = None,
     replica_path: str | None = None,
+    allow_patches: bool = False,
 ):
     """Start (and by default drain) the streaming apply loop. Returns the
     StreamingQuery when available_now=False (caller stops it).
@@ -186,6 +187,7 @@ def run_stream(
             input_files=rel_new,
             late_watermark_sec=late_watermark_sec,
             mode=mode,
+            allow_patches=allow_patches,
         )
         if auto_compact_files is not None:
             table.compact_small_files(spark, auto_compact_files)

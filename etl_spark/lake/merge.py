@@ -181,6 +181,7 @@ def merge_into(
     segments: list[str] | None = None,
     input_files: list[str] | None = None,
     mode: str = "cow",
+    allow_patches: bool = False,
 ) -> MergeStats:
     """Apply one validated (but not yet deduped) CDC batch to ``table``.
 
@@ -201,6 +202,12 @@ def merge_into(
         upserts at high change rates. In MOR the ``inserted``/``deleted``
         dispositions mean "upsert row appended" / "delete tombstone
         appended" (insert-vs-update cannot be known without the join).
+
+    ``allow_patches``: the batch may contain op='P' partial-update events
+    (sparse payload: NULL = unchanged — cdc/patch.py). Routed through the
+    per-column-LWW resolution merge, which reads the touched buckets in
+    BOTH modes (a patch is a read-modify-write by nature); 'mor' still
+    appends only changed keys instead of rewriting buckets.
     """
     t0 = time.time()
     stats = MergeStats(batch_id=batch_id)
@@ -257,6 +264,16 @@ def merge_into(
             F.when(is_del_f, F.lit("deleted")).otherwise(F.lit("inserted")).alias("__disp"),
         ]
         return deduped.select(*fast_cols)
+
+    if allow_patches:
+        return _merge_patch(
+            spark, table, batch, batch_id, stats, counters,
+            fail_threshold=fail_threshold, source_files=source_files,
+            segments=segments, input_files=input_files, evolved=evolved,
+            new_sid=new_sid, payload_cols=payload_cols,
+            storage_schema=storage_schema, storage_cols=storage_cols,
+            t0=t0, base_version=base_version, mode=mode,
+        )
 
     if mode == "mor":
         return _merge_mor_fused(
@@ -510,6 +527,183 @@ def _merge_mor_fused(
         new_watermark_us=watermark_us,
         needs_reduce=None if empty_before else True,
         drop_bloom=True,
+        expected_version=base_version,
+    )
+    stats.phase_sec["commit"] = round(time.time() - t2, 3)
+    return stats
+
+
+def _merge_patch(
+    spark: SparkSession,
+    table: LakeTable,
+    batch: DataFrame,
+    batch_id: str,
+    stats: MergeStats,
+    counters,
+    fail_threshold: float,
+    source_files: list[str] | None,
+    segments: list[str] | None,
+    input_files: list[str] | None,
+    evolved,
+    new_sid: str,
+    payload_cols: list[str],
+    storage_schema,
+    storage_cols: list[str],
+    t0: float,
+    base_version: int,
+    mode: str,
+) -> MergeStats:
+    """Patch-aware merge: per-column LWW over (batch events ∪ committed
+    rows of the touched buckets as VIRTUAL events) in one aggregation
+    (cdc/patch.resolve_events). The resolution output per key IS the final
+    row, so no join follows — copy-on-write rewrites the touched buckets
+    with it; merge-on-read appends only the keys the batch actually
+    changed (carried/stale keys are filtered out, so the append volume is
+    O(changed keys), and the LWW read-reduce picks the resolved row because
+    it carries the winning (ts, op_seq)).
+
+    The Bloom fast path survives: when the seen-set proves every batch key
+    new, the virtual side is skipped entirely and the resolution collapses
+    to the in-batch patch combine (a patch on an absent key upserts its
+    sparse fields) — an append with zero table reads.
+    """
+    from etl_spark.cdc.bloom import BloomFilter, build_bloom, scan_batch_buckets
+    from etl_spark.cdc.patch import resolve_events
+
+    bloom = table.load_bloom()
+    bloom_rebuilt = bloom is None
+    if bloom is None:
+        if table.has_files():
+            bloom = build_bloom(table.read_storage(spark, reduced=False), KEY_COLS)
+        else:
+            bloom = BloomFilter()
+    any_seen, batch_bloom, touched = scan_batch_buckets(
+        batch, bloom, KEY_COLS, bucket_col="__bucket"
+    )
+    new_bloom = bloom.union(batch_bloom)
+    stats.touched_buckets = touched
+
+    stats.phase_sec["scan"] = round(time.time() - t0, 3)
+    c = counters.get
+    events_in, failed, late_dropped = int(c["n"]), int(c["bad"]), int(c["late"])
+    stats.events_in, stats.failed, stats.late_dropped = events_in, failed, late_dropped
+    max_ts = c["max_ts"]
+    watermark_us = _ts_to_us(max_ts) if max_ts is not None else None
+
+    if events_in > 0 and failed / events_in > fail_threshold:
+        raise BatchFailedError(
+            f"batch {batch_id}: {failed}/{events_in} failed rows exceeds "
+            f"{fail_threshold:.0%} budget — aborting before commit"
+        )
+    if events_in == 0 or events_in == failed + late_dropped:
+        table.commit_version(
+            {}, [], batch_id,
+            {"events_in": events_in, "failed": failed, "late_dropped": late_dropped},
+            segments=segments, new_watermark_us=watermark_us,
+            input_files=input_files, expected_version=base_version,
+            new_bloom=bloom if bloom_rebuilt else None,
+        )
+        return stats
+
+    null_s = F.lit(None).cast("string")
+    batch_ev = batch.select(
+        *[F.col(k).cast(evolved[k].dataType).alias(k) for k in KEY_COLS],
+        F.col("op"),
+        F.col("ts"),
+        F.col("op_seq"),
+        *[
+            (F.col(c_) if c_ in batch.columns else F.lit(None))
+            .cast(evolved[c_].dataType)
+            .alias(c_)
+            for c_ in payload_cols
+        ],
+        F.lit(batch_id).alias("batch_id"),
+        (F.col("source_file") if "source_file" in batch.columns else null_s)
+        .alias("source_file"),
+        F.current_timestamp().alias("ingest_ts"),
+        F.lit(False).alias("__virtual"),
+    )
+    fast_append = not table.has_files(touched) or not any_seen
+    if fast_append:
+        stats.fast_path_append = True
+        events = batch_ev
+    else:
+        # the committed state of every touched bucket joins the aggregation
+        # as one virtual full-image (or delete) event per key; reduced=True
+        # so merge-on-read deltas resolve to one virtual event per key
+        tgt = _align_to(
+            table.read_storage(spark, touched, reduced=True),
+            storage_cols, storage_schema,
+        )
+        virt = tgt.select(
+            *KEY_COLS,
+            F.when(F.col("deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            F.col("ts"),
+            F.col("op_seq"),
+            *payload_cols,
+            F.col("batch_id"),
+            F.col("source_file"),
+            F.col("ingest_ts"),
+            F.lit(True).alias("__virtual"),
+        )
+        events = batch_ev.unionByName(virt)
+
+    resolved = resolve_events(
+        events, payload_cols, virtual_col="__virtual",
+        carry_cols=["batch_id", "source_file", "ingest_ts"],
+    )
+    append_mode = fast_append or mode == "mor"
+    if mode == "mor" and not fast_append:
+        # append volume = changed keys only; unchanged/carried rows stay in
+        # their current files and the read-time reduce keeps working
+        resolved = resolved.filter(
+            ~F.col("__disp").isin("carried", "stale_skipped")
+        )
+    is_del_f = F.col("op") == F.lit("D")
+    merged = resolved.select(
+        *[F.col(k).cast(evolved[k].dataType).alias(k) for k in KEY_COLS],
+        *[F.col(c_).cast(evolved[c_].dataType).alias(c_) for c_ in payload_cols],
+        F.col("ts"),
+        F.col("op_seq"),
+        is_del_f.alias("deleted"),
+        F.col("batch_id"),
+        F.col("source_file"),
+        F.col("ingest_ts"),
+        F.col("__disp"),
+    )
+
+    disp_obs = Observation()
+    to_write = merged.observe(disp_obs, *_disp_aggs()).drop("__disp")
+    t1 = time.time()
+    files = table.write_bucket_files(
+        to_write, version_tag=f"merge-v{batch_id[:12]}", schema_id=new_sid,
+    )
+    stats.phase_sec["write"] = round(time.time() - t1, 3)
+    t2 = time.time()
+    d = disp_obs.get
+    stats.inserted = int(d["inserted"])
+    stats.updated = int(d["updated"])
+    stats.deleted = int(d["deleted"])
+    stats.stale_skipped = int(d["stale_skipped"])
+    stats.carried = int(d["carried"])
+    if append_mode:
+        stats.touched_buckets = sorted(files.keys())
+
+    record = _finalize_stats_record(table, files, stats, mode, source_files, t0)
+    table.commit_version(
+        files,
+        stats.touched_buckets,
+        batch_id,
+        record,
+        new_user_schema=evolved,
+        segments=segments,
+        input_files=input_files,
+        new_bloom=new_bloom,
+        append_files=append_mode,
+        new_watermark_us=watermark_us,
+        # a non-fast MOR append can shadow existing keys → deltas exist;
+        # fast appends and COW rewrites leave the reduce state unchanged
+        needs_reduce=True if (mode == "mor" and not fast_append) else None,
         expected_version=base_version,
     )
     stats.phase_sec["commit"] = round(time.time() - t2, 3)

@@ -678,3 +678,231 @@ def cdc_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # covered by unit tests)
     table.resolve_deltas(spark)
     return table.read_between(spark, *TIME_WINDOW).select(*FINAL_COLS)
+
+
+# ---------------------------------------------------------------------------
+# partial-update (op='P') per-column LWW — cdc/patch.py driven whole-log
+# ---------------------------------------------------------------------------
+
+def change_feed_with_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic feed with every 5th would-be-U remapped to a
+    sparse patch: role never patched, text patched on even op_seq (prefix
+    'patch|'), tool patched on odd op_seq ('ptool-<n>'). NULL = unchanged."""
+    feed = change_feed_from_events(spark, sf_dir)
+    is_p = (F.col("op") == "U") & (F.col("op_seq") % 5 == 1)
+    null_s = F.lit(None).cast("string")
+    return feed.select(
+        F.when(is_p, F.lit("P")).otherwise(F.col("op")).alias("op"),
+        "ts",
+        "op_seq",
+        "conv_id",
+        "turn_idx",
+        F.when(is_p, null_s).otherwise(F.col("role")).alias("role"),
+        F.when(
+            is_p,
+            F.when(F.col("op_seq") % 2 == 0, F.concat(F.lit("patch|"), F.col("text"))),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(
+            is_p,
+            F.when(
+                F.col("op_seq") % 2 == 1,
+                F.concat(F.lit("ptool-"), (F.col("op_seq") % 7).cast("string")),
+            ),
+        )
+        .otherwise(F.col("tool"))
+        .alias("tool"),
+    )
+
+
+def cdc_patch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-log per-column LWW over a feed with sparse patches: one hash
+    aggregation (map-side partials), no join, no window sort — the same
+    resolver the patch merge uses batch-wise (cdc/patch.resolve_events)."""
+    from etl_spark.cdc.patch import resolve_events
+
+    feed = change_feed_with_patches(spark, sf_dir)
+    return (
+        resolve_events(feed, ["role", "text", "tool"])
+        .filter(F.col("op") == "U")
+        .select(*FINAL_COLS)
+    )
+
+
+PATCH_FEED_SQL = f"""
+    SELECT CASE WHEN op = 'U' AND op_seq % 5 = 1 THEN 'P' ELSE op END AS op,
+           ts, op_seq, conv_id, turn_idx,
+           CASE WHEN op = 'U' AND op_seq % 5 = 1 THEN NULL ELSE role END AS role,
+           CASE WHEN op = 'U' AND op_seq % 5 = 1
+                THEN CASE WHEN op_seq % 2 = 0 THEN 'patch|' || text END
+                ELSE text END AS text,
+           CASE WHEN op = 'U' AND op_seq % 5 = 1
+                THEN CASE WHEN op_seq % 2 = 1
+                          THEN 'ptool-' || CAST(op_seq % 7 AS VARCHAR) END
+                ELSE tool END AS tool
+    FROM ({FEED_SQL})
+"""
+
+PATCH_STATE_SQL = f"""
+    WITH pfeed AS ({PATCH_FEED_SQL}),
+    d AS (
+        SELECT conv_id, turn_idx, max(row(ts, op_seq)) AS dord
+        FROM pfeed WHERE op = 'D' GROUP BY conv_id, turn_idx
+    )
+    SELECT f.conv_id, f.turn_idx,
+        first(role ORDER BY ts DESC, op_seq DESC)
+            FILTER (WHERE op IN ('I','U')) AS role,
+        first(text ORDER BY ts DESC, op_seq DESC)
+            FILTER (WHERE op IN ('I','U')
+                    OR (op = 'P' AND text IS NOT NULL)) AS text,
+        first(tool ORDER BY ts DESC, op_seq DESC)
+            FILTER (WHERE op IN ('I','U')
+                    OR (op = 'P' AND tool IS NOT NULL)) AS tool,
+        first(ts ORDER BY ts DESC, op_seq DESC) AS ts
+    FROM pfeed f LEFT JOIN d USING (conv_id, turn_idx)
+    WHERE f.op <> 'D' AND (d.dord IS NULL OR row(f.ts, f.op_seq) > d.dord)
+    GROUP BY f.conv_id, f.turn_idx
+"""
+
+
+def cdc_patch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENGINE path for patches: write the patch feed as binlog segments
+    (contiguous op_seq ranges — the binlog contract under which batch-wise
+    patch apply equals the whole-log reduction), replay them through
+    LakeTable with allow_patches=True (merge-on-read), and read the final
+    table. Must equal the same declarative oracle as cdc_patch_state."""
+    from pyspark.sql import Window as _W, types as T
+
+    from etl_spark.cdc.apply import replay_feed
+    from etl_spark.lake.table import LakeTable
+
+    work = _work_dir("etl_spark_patchreplay_")
+    feed_dir = os.path.join(work, "feed")
+    feed = change_feed_with_patches(spark, sf_dir)
+    # synthesize binlog segments: contiguous chunks of the (ts, op_seq)
+    # total order. A REAL binlog arrives already segmented this way — the
+    # global ntile sort below exists only because the demo derives the feed
+    # from an unordered events table; production replay never sorts.
+    n_seg = 4
+    tagged = feed.withColumn(
+        "__seg", F.ntile(n_seg).over(_W.orderBy("ts", "op_seq")) - 1
+    )
+    for s in range(n_seg):
+        tagged.filter(F.col("__seg") == s).drop("__seg").write.parquet(
+            os.path.join(feed_dir, f"segment-{s:04d}")
+        )
+    feed_t = {f.name: f.dataType for f in feed.schema.fields}
+    user_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", feed_t["ts"], True),
+        ]
+    )
+    table = LakeTable.create(
+        os.path.join(work, "lake"), user_schema, n_buckets=32
+    )
+    replay_feed(spark, table, feed_dir, mode="mor", allow_patches=True)
+    return table.read(spark).select(*FINAL_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Debezium-style envelope ingestion (cdc/envelope.py)
+# ---------------------------------------------------------------------------
+
+def _wire_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic feed serialized as Debezium-style JSON envelopes —
+    the wire a real binlog tail delivers. Construction is explicit string
+    concat (identical text in the SQL oracle below); text is sanitized of
+    quote/backslash so the envelope needs no JSON escaping."""
+    feed = change_feed_from_events(spark, sf_dir)
+    dop = (
+        F.when(F.col("op") == "D", F.lit("d"))
+        .when(F.col("op") == "U", F.lit("u"))
+        .when(F.col("op_seq") % 10 == 0, F.lit("r"))  # snapshot-read image
+        .otherwise(F.lit("c"))
+    )
+    tsstr = F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    ctext = F.regexp_replace(F.col("text"), r'["\\]', "")
+    head = F.concat(
+        F.lit('{"op":"'), dop, F.lit('","ts":"'), tsstr,
+        F.lit('","lsn":'), F.col("op_seq").cast("string"),
+    )
+    key_part = F.concat(
+        F.lit('{"conv_id":"'), F.col("conv_id"),
+        F.lit('","turn_idx":'), F.col("turn_idx").cast("string"),
+    )
+    after = F.concat(
+        key_part,
+        F.lit(',"role":"'), F.col("role"),
+        F.lit('","text":"'), ctext, F.lit('"'),
+        F.when(
+            F.col("tool").isNotNull(),
+            F.concat(F.lit(',"tool":"'), F.col("tool"), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    body = F.when(
+        dop == "d", F.concat(F.lit(',"before":'), key_part, F.lit("}"))
+    ).otherwise(F.concat(F.lit(',"after":'), after))
+    return feed.select(F.concat(head, body, F.lit("}")).alias("value"))
+
+
+def cdc_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire → engine columns via cdc/envelope.from_debezium: one from_json
+    with an explicit schema and pure struct projections (map-only plan; at
+    100 TB this is the scan-speed head of the apply pipeline)."""
+    from etl_spark.cdc.envelope import from_debezium
+
+    return from_debezium(_wire_df(spark, sf_dir))
+
+
+_WIRE_SQL = f"""
+    SELECT '{{"op":"' || dop || '","ts":"' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+           || '","lsn":' || CAST(op_seq AS VARCHAR)
+           || CASE WHEN dop = 'd'
+                THEN ',"before":{{"conv_id":"' || conv_id || '","turn_idx":'
+                     || CAST(turn_idx AS VARCHAR) || '}}'
+                ELSE ',"after":{{"conv_id":"' || conv_id || '","turn_idx":'
+                     || CAST(turn_idx AS VARCHAR)
+                     || ',"role":"' || role || '","text":"'
+                     || regexp_replace(text, '["\\\\]', '', 'g') || '"'
+                     || CASE WHEN tool IS NOT NULL
+                             THEN ',"tool":"' || tool || '"' ELSE '' END
+                     || '}}'
+              END || '}}' AS value
+    FROM (
+        SELECT f.*, CASE WHEN op = 'D' THEN 'd'
+                         WHEN op = 'U' THEN 'u'
+                         WHEN op_seq % 10 = 0 THEN 'r'
+                         ELSE 'c' END AS dop
+        FROM ({FEED_SQL}) f
+    )
+"""
+
+ENVELOPE_DECODE_SQL = f"""
+    WITH wire AS ({_WIRE_SQL})
+    SELECT CASE json_extract_string(value, '$.op')
+                WHEN 'c' THEN 'I' WHEN 'r' THEN 'I'
+                WHEN 'u' THEN 'U' WHEN 'd' THEN 'D' END AS op,
+           CAST(json_extract_string(value, '$.ts') AS TIMESTAMP) AS ts,
+           CAST(json_extract_string(value, '$.lsn') AS BIGINT) AS op_seq,
+           CASE WHEN json_extract_string(value, '$.op') = 'd'
+                THEN json_extract_string(value, '$.before.conv_id')
+                ELSE json_extract_string(value, '$.after.conv_id') END AS conv_id,
+           CAST(CASE WHEN json_extract_string(value, '$.op') = 'd'
+                THEN json_extract_string(value, '$.before.turn_idx')
+                ELSE json_extract_string(value, '$.after.turn_idx') END
+                AS INTEGER) AS turn_idx,
+           CASE WHEN json_extract_string(value, '$.op') = 'd' THEN NULL
+                ELSE json_extract_string(value, '$.after.role') END AS role,
+           CASE WHEN json_extract_string(value, '$.op') = 'd' THEN NULL
+                ELSE json_extract_string(value, '$.after.text') END AS text,
+           CASE WHEN json_extract_string(value, '$.op') = 'd' THEN NULL
+                ELSE json_extract_string(value, '$.after.tool') END AS tool
+    FROM wire
+"""

@@ -240,3 +240,85 @@ LARGE_VOLUME_SQL = f"""
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
 """
+
+
+# --- Q6-style filtered revenue (pure pushdown scan-agg) ------------------------
+# The canonical predicate-pushdown probe: every filter reaches the parquet
+# row-group stats (ts range + numeric ranges), the projection is 3 columns,
+# and the whole plan is one map-side-partial aggregate — zero shuffle
+# beyond the final single-row combine. At 100 TB this runs at scan speed.
+
+def filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double")
+    return sel.agg(rev.alias("revenue"), F.count("*").alias("n_lines"))
+
+
+FILTERED_REVENUE_SQL = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+# --- Q10-style returned-item customer ranking ---------------------------------
+# Join order: the returnflag+date filters cut lineitem/orders FIRST, revenue
+# pre-aggregates per customer before the dimension joins; nation is the only
+# hinted broadcast (fixed 25 rows at any SF). Top-k is revenue DESC with a
+# unique c_custkey tie-break (deterministic across engines).
+
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev()).alias("__rev"))
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .orderBy(F.col("__rev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("__rev").cast("double").alias("revenue"),
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+RETURNED_ITEM_SQL = f"""
+    SELECT c_custkey, c_name, CAST(rev AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM (
+        SELECT o_custkey, sum({REV_SQL}) AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY o_custkey
+    )
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    ORDER BY rev DESC, c_custkey LIMIT 20
+"""

@@ -33,6 +33,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_mv_conv_stats": (cdcq.cdc_mv_conv_stats, cdcq.CONV_STATS_SQL),
     "conv_transcript_nested": (cdcq.conv_transcript_nested, cdcq.CONV_TRANSCRIPT_SQL),
     "cdc_time_window": (cdcq.cdc_time_window, cdcq.TIME_WINDOW_SQL),
+    "cdc_patch_state": (cdcq.cdc_patch_state, cdcq.PATCH_STATE_SQL),
+    "cdc_patch_replay": (cdcq.cdc_patch_replay, cdcq.PATCH_STATE_SQL),
+    "cdc_envelope_decode": (cdcq.cdc_envelope_decode, cdcq.ENVELOPE_DECODE_SQL),
     # --- reference dataflow operators (SURVEY §2.3/§2.4/§2.6) ---
     "last_event_summary": (refops.last_event_summary, refops.LAST_EVENT_SUMMARY_SQL),
     "snapshot_thinning": (refops.snapshot_thinning, refops.SNAPSHOT_THINNING_SQL),
@@ -70,6 +73,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "promo_revenue": (tpch.promo_revenue, tpch.PROMO_REVENUE_SQL),
     "large_volume_orders": (tpch.large_volume_orders, tpch.LARGE_VOLUME_SQL),
+    "filtered_revenue": (tpch.filtered_revenue, tpch.FILTERED_REVENUE_SQL),
+    "returned_item_revenue": (
+        tpch.returned_item_revenue,
+        tpch.RETURNED_ITEM_SQL,
+    ),
     # --- text curation: dedup / quality / lang-id / fingerprint ---
     "doc_exact_dedup": (textops.doc_exact_dedup, textops.DOC_EXACT_DEDUP_SQL),
     "doc_quality": (textops.doc_quality, textops.DOC_QUALITY_SQL),

@@ -264,3 +264,25 @@ def test_resolver_disposition_vocabulary(spark):
     assert out[4]["__disp"] == "updated" and out[4]["tool"] == "newtool"
     assert out[4]["text"] == "tv"  # untouched column survives the patch
     assert out[5]["__disp"] == "carried"
+
+
+def test_stream_drain_with_patches(spark, tmp_path):
+    """Structured Streaming drain (available_now) of a patch-bearing feed
+    through run_stream(allow_patches=True) equals the whole-log oracle —
+    the streaming driver shares apply_batch, so patches work identically
+    under checkpointed micro-batching."""
+    from etl_spark.cdc.stream import run_stream
+
+    rows = _mk_events()
+    feed = str(tmp_path / "feed")
+    _write_segments(spark, rows, feed)
+    table = LakeTable.create(
+        str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, n_buckets=8
+    )
+    run_stream(
+        spark, table, feed, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, available_now=True,
+        mode="mor", allow_patches=True,
+    )
+    _assert_state_equal(_table_state(spark, table), _oracle(rows))
+    assert len(table.commit_log()) >= 2  # really micro-batched

@@ -286,3 +286,35 @@ def test_stream_drain_with_patches(spark, tmp_path):
     )
     _assert_state_equal(_table_state(spark, table), _oracle(rows))
     assert len(table.commit_log()) >= 2  # really micro-batched
+
+
+def test_patch_with_additive_schema_evolution(spark, tmp_path):
+    """A patch event may carry a NEW column (additive evolution arriving
+    via the sparse path — 'new tool metadata fields appear mid-stream').
+    The merge must widen the table schema AND apply per-column semantics:
+    the new column is set only where patched, NULL for every earlier row."""
+    table = LakeTable.create(
+        str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    b1 = spark.createDataFrame(
+        [
+            ("U", _t(1), 1, "c", 0, "user", "hello", None),
+            ("U", _t(1), 2, "c", 1, "assistant", "world", None),
+        ],
+        EVENT_SCHEMA,
+    )
+    apply_batch(spark, table, b1, "b1", allow_patches=True)
+    b2 = spark.createDataFrame(
+        [("P", _t(5), 3, "c", 0, None, None, None, 5)],
+        EVENT_SCHEMA + ", rating int",
+    )
+    apply_batch(spark, table, b2, "b2", allow_patches=True)
+    got = (
+        table.read(spark)
+        .orderBy("turn_idx")
+        .select("turn_idx", "text", "rating")
+        .collect()
+    )
+    assert [f.name for f in table.user_schema().fields][-1] == "rating"
+    assert got[0]["rating"] == 5 and got[0]["text"] == "hello"
+    assert got[1]["rating"] is None  # untouched row got NULL, not garbage

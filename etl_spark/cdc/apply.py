@@ -191,6 +191,15 @@ def apply_batch(
     ]
     observed = batch.observe(counters, *agg_cols)
     valid = observed.filter(ok & ~late_pred)
+    if allow_patches:
+        # Route through the read-modify-write patch merge only when the
+        # batch actually carries a patch: the probe is one short-circuit
+        # scan of the (file-backed, op-pushed-down) batch, vs. paying a
+        # touched-bucket table read on every patch-free micro-batch of a
+        # stream that merely ALLOWS patches. Probes the raw batch, not
+        # ``observed`` — a limit-1 action on the observed plan could fill
+        # the counters from a partial scan.
+        allow_patches = not batch.filter(F.col("op") == "P").isEmpty()
     return merge_into(
         spark,
         table,

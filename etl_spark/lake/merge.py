@@ -170,6 +170,79 @@ def _finalize_stats_record(
     }
 
 
+def _fused_scan_gate(
+    spark: SparkSession,
+    table: LakeTable,
+    batch: DataFrame,
+    batch_id: str,
+    stats: MergeStats,
+    counters,
+    fail_threshold: float,
+    segments,
+    input_files,
+    base_version: int,
+    t0: float,
+) -> dict[str, Any] | None:
+    """Pass 1 shared by the copy-on-write and patch merges: load (or
+    rebuild once) the Bloom seen-set, run the fused membership/bucket scan
+    (which also materializes the validation counters riding the batch
+    plan), enforce the failfast budget, and short-circuit empty/all-late
+    batches with a counters-only commit. Returns None when the batch was
+    fully handled, else the scan products."""
+    from etl_spark.cdc.bloom import BloomFilter, build_bloom, scan_batch_buckets
+
+    bloom = table.load_bloom()
+    bloom_rebuilt = bloom is None
+    if bloom is None:
+        # Seen-set missing or written under a stale hash algo (engine
+        # upgrade): rebuild ONCE from the table's stored keys instead of
+        # paying a distinct+collect per batch forever. The rebuilt filter
+        # is persisted with this commit's sidecar via new_bloom.
+        if table.has_files():
+            bloom = build_bloom(table.read_storage(spark, reduced=False), KEY_COLS)
+        else:
+            bloom = BloomFilter()
+    any_seen, batch_bloom, touched = scan_batch_buckets(
+        batch, bloom, KEY_COLS, bucket_col="__bucket"
+    )
+    stats.touched_buckets = touched
+    stats.phase_sec["scan"] = round(time.time() - t0, 3)
+
+    c = counters.get  # filled by the pass-1 action (blocks only on bugs)
+    events_in, failed, late_dropped = int(c["n"]), int(c["bad"]), int(c["late"])
+    stats.events_in, stats.failed, stats.late_dropped = events_in, failed, late_dropped
+    max_ts = c["max_ts"]
+    watermark_us = _ts_to_us(max_ts) if max_ts is not None else None
+
+    # failfast BEFORE any write (reference: whole task errors at >10% failed)
+    if events_in > 0 and failed / events_in > fail_threshold:
+        raise BatchFailedError(
+            f"batch {batch_id}: {failed}/{events_in} failed rows exceeds "
+            f"{fail_threshold:.0%} budget — aborting before commit"
+        )
+    if events_in == 0 or events_in == failed + late_dropped:
+        # nothing to merge; still commit (advances watermark + segments).
+        # A just-rebuilt seen-set is persisted even on this path —
+        # discarding it would re-pay the full-table rebuild scan on every
+        # subsequent empty/all-late batch. Only the TABLE's keys (not this
+        # unapplied batch's) go in; when no rebuild happened the existing
+        # sidecar is carried unchanged (no rewrite per empty batch).
+        table.commit_version(
+            {}, [], batch_id,
+            {"events_in": events_in, "failed": failed, "late_dropped": late_dropped},
+            segments=segments, new_watermark_us=watermark_us,
+            input_files=input_files, expected_version=base_version,
+            new_bloom=bloom if bloom_rebuilt else None,
+        )
+        return None
+    return {
+        "new_bloom": bloom.union(batch_bloom),
+        "any_seen": any_seen,
+        "touched": touched,
+        "watermark_us": watermark_us,
+    }
+
+
 def merge_into(
     spark: SparkSession,
     table: LakeTable,
@@ -286,53 +359,14 @@ def merge_into(
     # ---- pass 1 (cow): fused scan — bloom membership + batch bloom +
     #      touched buckets, with the validation counters observed on the
     #      same job ----
-    from etl_spark.cdc.bloom import BloomFilter, build_bloom, scan_batch_buckets
-
-    bloom = table.load_bloom()
-    bloom_rebuilt = bloom is None
-    if bloom is None:
-        # Seen-set missing or written under a stale hash algo (engine
-        # upgrade): rebuild ONCE from the table's stored keys instead of
-        # paying a distinct+collect per batch forever. The rebuilt filter
-        # is persisted with this commit's sidecar via new_bloom.
-        if table.has_files():
-            bloom = build_bloom(table.read_storage(spark, reduced=False), KEY_COLS)
-        else:
-            bloom = BloomFilter()
-    any_seen, batch_bloom, touched = scan_batch_buckets(
-        batch, bloom, KEY_COLS, bucket_col="__bucket"
+    gate = _fused_scan_gate(
+        spark, table, batch, batch_id, stats, counters, fail_threshold,
+        segments, input_files, base_version, t0,
     )
-    new_bloom = bloom.union(batch_bloom)
-    stats.touched_buckets = touched
-
-    stats.phase_sec["scan"] = round(time.time() - t0, 3)
-    c = counters.get  # filled by the pass-1 action (blocks only on bugs)
-    events_in, failed, late_dropped = int(c["n"]), int(c["bad"]), int(c["late"])
-    stats.events_in, stats.failed, stats.late_dropped = events_in, failed, late_dropped
-    max_ts = c["max_ts"]
-    watermark_us = _ts_to_us(max_ts) if max_ts is not None else None
-
-    # failfast BEFORE any write (reference: whole task errors at >10% failed)
-    if events_in > 0 and failed / events_in > fail_threshold:
-        raise BatchFailedError(
-            f"batch {batch_id}: {failed}/{events_in} failed rows exceeds "
-            f"{fail_threshold:.0%} budget — aborting before commit"
-        )
-    if events_in == 0 or events_in == failed + late_dropped:
-        # nothing to merge; still commit (advances watermark + segments).
-        # A just-rebuilt seen-set is persisted even on this path —
-        # discarding it would re-pay the full-table rebuild scan on every
-        # subsequent empty/all-late batch. Only the TABLE's keys (not this
-        # unapplied batch's) go in; when no rebuild happened the existing
-        # sidecar is carried unchanged (no rewrite per empty batch).
-        table.commit_version(
-            {}, [], batch_id,
-            {"events_in": events_in, "failed": failed, "late_dropped": late_dropped},
-            segments=segments, new_watermark_us=watermark_us,
-            input_files=input_files, expected_version=base_version,
-            new_bloom=bloom if bloom_rebuilt else None,
-        )
+    if gate is None:
         return stats
+    new_bloom, any_seen, touched = gate["new_bloom"], gate["any_seen"], gate["touched"]
+    watermark_us = gate["watermark_us"]
 
     # ---- pass 2: LWW dedup + merge plan + bucket-partitioned write ----
     from etl_spark.cdc.dedup import lww_dedup, lww_dedup_clustered
@@ -567,43 +601,16 @@ def _merge_patch(
     to the in-batch patch combine (a patch on an absent key upserts its
     sparse fields) — an append with zero table reads.
     """
-    from etl_spark.cdc.bloom import BloomFilter, build_bloom, scan_batch_buckets
     from etl_spark.cdc.patch import resolve_events
 
-    bloom = table.load_bloom()
-    bloom_rebuilt = bloom is None
-    if bloom is None:
-        if table.has_files():
-            bloom = build_bloom(table.read_storage(spark, reduced=False), KEY_COLS)
-        else:
-            bloom = BloomFilter()
-    any_seen, batch_bloom, touched = scan_batch_buckets(
-        batch, bloom, KEY_COLS, bucket_col="__bucket"
+    gate = _fused_scan_gate(
+        spark, table, batch, batch_id, stats, counters, fail_threshold,
+        segments, input_files, base_version, t0,
     )
-    new_bloom = bloom.union(batch_bloom)
-    stats.touched_buckets = touched
-
-    stats.phase_sec["scan"] = round(time.time() - t0, 3)
-    c = counters.get
-    events_in, failed, late_dropped = int(c["n"]), int(c["bad"]), int(c["late"])
-    stats.events_in, stats.failed, stats.late_dropped = events_in, failed, late_dropped
-    max_ts = c["max_ts"]
-    watermark_us = _ts_to_us(max_ts) if max_ts is not None else None
-
-    if events_in > 0 and failed / events_in > fail_threshold:
-        raise BatchFailedError(
-            f"batch {batch_id}: {failed}/{events_in} failed rows exceeds "
-            f"{fail_threshold:.0%} budget — aborting before commit"
-        )
-    if events_in == 0 or events_in == failed + late_dropped:
-        table.commit_version(
-            {}, [], batch_id,
-            {"events_in": events_in, "failed": failed, "late_dropped": late_dropped},
-            segments=segments, new_watermark_us=watermark_us,
-            input_files=input_files, expected_version=base_version,
-            new_bloom=bloom if bloom_rebuilt else None,
-        )
+    if gate is None:
         return stats
+    new_bloom, any_seen, touched = gate["new_bloom"], gate["any_seen"], gate["touched"]
+    watermark_us = gate["watermark_us"]
 
     null_s = F.lit(None).cast("string")
     batch_ev = batch.select(
@@ -653,12 +660,6 @@ def _merge_patch(
         carry_cols=["batch_id", "source_file", "ingest_ts"],
     )
     append_mode = fast_append or mode == "mor"
-    if mode == "mor" and not fast_append:
-        # append volume = changed keys only; unchanged/carried rows stay in
-        # their current files and the read-time reduce keeps working
-        resolved = resolved.filter(
-            ~F.col("__disp").isin("carried", "stale_skipped")
-        )
     is_del_f = F.col("op") == F.lit("D")
     merged = resolved.select(
         *[F.col(k).cast(evolved[k].dataType).alias(k) for k in KEY_COLS],
@@ -672,15 +673,33 @@ def _merge_patch(
         F.col("__disp"),
     )
 
+    # dispositions observed on EVERY resolved key (the MOR changed-keys
+    # filter sits downstream of the CollectMetrics node, so stale/carried
+    # counts stay mode-independent — the filter only prunes the WRITE)
     disp_obs = Observation()
-    to_write = merged.observe(disp_obs, *_disp_aggs()).drop("__disp")
+    observed = merged.observe(disp_obs, *_disp_aggs())
+    if mode == "mor" and not fast_append:
+        # append volume = changed keys only; unchanged/carried rows stay in
+        # their current files and the read-time reduce keeps working
+        observed = observed.filter(
+            ~F.col("__disp").isin("carried", "stale_skipped")
+        )
+    to_write = observed.drop("__disp")
     t1 = time.time()
     files = table.write_bucket_files(
         to_write, version_tag=f"merge-v{batch_id[:12]}", schema_id=new_sid,
     )
     stats.phase_sec["write"] = round(time.time() - t1, 3)
     t2 = time.time()
-    d = disp_obs.get
+    try:
+        d = disp_obs.get
+    except Exception:
+        # an all-stale/all-carried MOR batch filters EVERY row before the
+        # write; AQE's empty-relation propagation can then drop the
+        # CollectMetrics node from the executed plan (same pathology as
+        # apply._ResilientCounters) — recompute the dispositions with one
+        # direct aggregation over the resolution output
+        d = merged.agg(*_disp_aggs()).first().asDict()
     stats.inserted = int(d["inserted"])
     stats.updated = int(d["updated"])
     stats.deleted = int(d["deleted"])
@@ -702,8 +721,11 @@ def _merge_patch(
         append_files=append_mode,
         new_watermark_us=watermark_us,
         # a non-fast MOR append can shadow existing keys → deltas exist;
-        # fast appends and COW rewrites leave the reduce state unchanged
-        needs_reduce=True if (mode == "mor" and not fast_append) else None,
+        # fast appends, COW rewrites, and all-stale batches that appended
+        # NOTHING leave the reduce state unchanged
+        needs_reduce=(
+            True if (mode == "mor" and not fast_append and files) else None
+        ),
         expected_version=base_version,
     )
     stats.phase_sec["commit"] = round(time.time() - t2, 3)

@@ -318,3 +318,25 @@ def test_patch_with_additive_schema_evolution(spark, tmp_path):
     assert [f.name for f in table.user_schema().fields][-1] == "rating"
     assert got[0]["rating"] == 5 and got[0]["text"] == "hello"
     assert got[1]["rating"] is None  # untouched row got NULL, not garbage
+
+
+def test_mor_stale_patch_stats_and_reduce_state(spark, tmp_path):
+    """MOR mode must report the same disposition vocabulary as COW (the
+    changed-keys filter prunes only the WRITE, not the metrics), and an
+    all-stale batch that appends nothing must not flip needs_reduce on a
+    compacted table."""
+    table = LakeTable.create(
+        str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    b1 = spark.createDataFrame(
+        [("U", _t(10), 5, "c", 0, "user", "current", "t1")], EVENT_SCHEMA
+    )
+    apply_batch(spark, table, b1, "b1", allow_patches=True)
+    assert not table.manifest().needs_reduce
+    late = spark.createDataFrame(
+        [("P", _t(3), 6, "c", 0, None, "out-of-order", None)], EVENT_SCHEMA
+    )
+    s = apply_batch(spark, table, late, "b2", mode="mor", allow_patches=True)
+    assert s.stale_skipped == 1 and s.updated == 0  # mode-independent stats
+    assert not table.manifest().needs_reduce  # nothing appended, no debt
+    assert _table_state(spark, table).loc[0, "text"] == "current"

@@ -101,6 +101,14 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("resolve", help="major compaction: collapse MOR deltas")
     p.add_argument("--table", required=True)
 
+    p = sub.add_parser(
+        "timeslice",
+        help="re-layout buckets into contiguous-ts files (days(ts)-style "
+             "secondary clustering for window reads)",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--slices", type=int, default=8)
+
     p = sub.add_parser("rebucket", help="bucket-count evolution: rewrite into bucket(N, conv_id)")
     p.add_argument("--table", required=True)
     p.add_argument("--buckets", type=int, required=True)
@@ -251,6 +259,9 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"buckets_rewritten": n}))
     elif args.cmd == "resolve":
         n = table.resolve_deltas(spark)
+        print(json.dumps({"buckets_rewritten": n}))
+    elif args.cmd == "timeslice":
+        n = table.cluster_time_slices(spark, args.slices)
         print(json.dumps({"buckets_rewritten": n}))
     elif args.cmd == "rebucket":
         n = table.rebucket(spark, args.buckets)

@@ -1231,6 +1231,50 @@ class LakeTable:
         )
         return len(buckets)
 
+    def cluster_time_slices(self, spark: SparkSession, slices: int = 8) -> int:
+        """Time-sliced maintenance rewrite: re-layout every data bucket
+        into ~``slices`` files of CONTIGUOUS event-time range — the
+        ``days(ts)``-style secondary clustering of an Iceberg
+        ``bucket(conv_id) + days(ts)`` spec, realized as a sort order
+        (one range exchange on (bucket, ts)) instead of a partition-spec
+        change, so the bucket layout, key→bucket routing, and every
+        pinned snapshot stay untouched.
+
+        After it, ``read_between`` skips whole files inside every bucket
+        (manifest ts min/max per file are tight and non-overlapping) —
+        compaction's one-file-per-bucket layout can only prune at row-group
+        granularity. Trade-off, documented rather than hidden: per-file
+        conv_id ranges widen (a slice holds every conversation active in
+        its window), so ``point_read`` scans ~``slices`` files of one
+        bucket instead of one. Pick the rewrite per workload — key-serving
+        tables keep ``compact_small_files`` (conv-sorted), time-range-heavy
+        tables use this; both commit through the same atomic snapshot path.
+
+        Returns the number of buckets rewritten. LWW deltas are collapsed
+        on the way (the table leaves merge-on-read state, like
+        resolve_deltas)."""
+        m = self.manifest()
+        buckets = [int(b) for b, fl in m.files.items() if fl]
+        if not buckets:
+            return 0
+        if slices < 1:
+            raise ValueError(f"slices must be >= 1, got {slices}")
+        rows = self.read_storage(spark, buckets, reduced=m.needs_reduce)
+        sliced = rows.withColumn("__bucket", self.bucket_expr()).repartitionByRange(
+            max(1, len(buckets) * slices), F.col("__bucket"), F.col("ts")
+        )
+        files = self.write_bucket_files(
+            sliced,
+            version_tag=f"timeslice{m.version + 1}",
+            pre_clustered=True,   # the range exchange IS the clustering
+            cluster_sort=True,    # tight conv row-group stats within a slice
+        )
+        self.commit_version(
+            files, buckets, None, None, needs_reduce=False,
+            expected_version=m.version,
+        )
+        return len(buckets)
+
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
         """Bucket-count evolution (Iceberg partition-spec-evolution analog):
         rewrite the whole table into a ``bucket(new_n_buckets, conv_id)``

@@ -198,3 +198,39 @@ def test_stats_df_summarizes_layout(spark, tmpdir_path):
         r = st[int(b)]
         assert r["n_files"] == 1 and r["conv_min"] <= r["conv_max"]
         assert r["ts_min_us"] <= r["ts_max_us"]
+
+
+def test_time_slice_rewrite_prunes_window_reads(spark, tmpdir_path):
+    """cluster_time_slices re-layouts buckets into contiguous-ts files:
+    a window read then skips most files of every bucket (file-granular,
+    not just row-group), and results equal the unclustered read."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=2)
+    rows = [
+        ("I", _ts(f"2024-01-{d:02d}T12:00:00"), d * 100 + j,
+         f"conv-{j:03d}", d, "user", f"t-{d}-{j}", None, "f")
+        for d in range(1, 17) for j in range(6)
+    ]
+    for b in range(4):  # 4 MOR batches, each covering the whole ts span
+        batch = [r for r in rows if r[2] % 4 == b]
+        apply_batch(spark, t, _mk(spark, batch), f"b{b}", mode="mor")
+    lo, hi = "2024-01-04T00:00:00", "2024-01-06T00:00:00"
+    want = sorted(map(tuple, t.read_between(spark, lo, hi).collect()))
+
+    assert t.cluster_time_slices(spark, slices=8) == 2
+    m = t.manifest()
+    assert not m.needs_reduce
+    import datetime as _dt
+
+    lo_us = int(_dt.datetime.fromisoformat(lo + "+00:00").timestamp() * 1e6)
+    hi_us = int(_dt.datetime.fromisoformat(hi + "+00:00").timestamp() * 1e6)
+    total = eligible = 0
+    for fl in m.files.values():
+        for fe in fl:
+            total += 1
+            st = fe["stats"]
+            if st["ts_min_us"] < hi_us and st["ts_max_us"] >= lo_us:
+                eligible += 1
+    assert total >= 8  # really sliced into multiple files per bucket
+    assert eligible < total / 2  # the window touches a minority of files
+    got = sorted(map(tuple, t.read_between(spark, lo, hi).collect()))
+    assert got == want and len(got) == 12  # days 4,5 x 6 convs

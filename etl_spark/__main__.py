@@ -93,6 +93,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--segments", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--skew", type=float, default=2.0)
+    p.add_argument("--patch-ratio", type=float, default=0.0,
+                   help="fraction of events emitted as op='P' sparse patches")
 
     p = sub.add_parser("compact", help="bin-pack small files")
     p.add_argument("--table", required=True)
@@ -203,6 +205,7 @@ def main(argv: list[str] | None = None) -> int:
         feed = change_feed_df(
             spark, n_events=args.events, n_convs=args.convs, max_turns=32,
             seed=args.seed, skew=args.skew, n_batches=args.segments,
+            patch_ratio=args.patch_ratio,
         )
         write_feed(feed, args.out, n_batches=args.segments)
         print(json.dumps({"out": args.out, "events": args.events}))

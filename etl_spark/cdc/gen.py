@@ -48,12 +48,20 @@ def change_feed_df(
     n_batches: int = 8,
     evolve_from_batch: int | None = None,
     text_len: int = 240,
+    patch_ratio: float = 0.0,
 ) -> DataFrame:
     """Return the change feed as a DataFrame with a ``batch`` column.
 
     ``skew`` > 1 concentrates events on low conv ids (hot conversations):
     conv = floor(n_convs * u^skew). op_seq is the global sequence (= id for
     originals); duplicates re-emit the SAME op_seq in a later batch.
+
+    ``patch_ratio`` carves op='P' sparse partial-updates out of the update
+    share (each patch sets exactly one of text/tool, hash-chosen; NULL =
+    unchanged — cdc/patch.py semantics). Replaying a patch feed needs
+    ``allow_patches=True``; note the whole-row LWW oracle
+    (cdc/oracle.expected_final_state) does NOT model patches — use the
+    per-column reduction of tests/test_patch.py as the oracle instead.
     """
     per_batch = max(1, (n_events + n_batches - 1) // n_batches)
     df = spark.range(n_events)
@@ -65,6 +73,7 @@ def change_feed_df(
     op = (
         F.when(u_op < F.lit(delete_ratio), F.lit("D"))
         .when(u_op < F.lit(delete_ratio + 0.3), F.lit("I"))
+        .when(u_op < F.lit(delete_ratio + 0.3 + patch_ratio), F.lit("P"))
         .otherwise(F.lit("U"))
     )
     # ts: monotone base + out-of-order back-jumps for a fraction of events
@@ -88,15 +97,29 @@ def change_feed_df(
     )
     batch = F.least(F.floor(F.col("id") / F.lit(per_batch)), F.lit(n_batches - 1)).cast("int")
 
+    null_s = F.lit(None).cast("string")
+    patch_text = F.when(
+        F.pmod(_h(seed, 13), F.lit(2)) == 0, F.concat(F.lit("patch:"), text)
+    ).otherwise(null_s)
+    patch_tool = F.when(
+        F.pmod(_h(seed, 13), F.lit(2)) == 1,
+        F.format_string("ptool-%02d", F.pmod(_h(seed, 14), F.lit(16)).cast("int")),
+    ).otherwise(null_s)
     base = df.select(
         op.alias("op"),
         ts.alias("ts"),
         F.col("id").alias("op_seq"),
         conv_id.alias("conv_id"),
         turn_idx.alias("turn_idx"),
-        F.when(op == "D", F.lit(None).cast("string")).otherwise(role).alias("role"),
-        F.when(op == "D", F.lit(None).cast("string")).otherwise(text).alias("text"),
-        F.when(op == "D", F.lit(None).cast("string")).otherwise(tool).alias("tool"),
+        F.when(op.isin("D", "P"), null_s).otherwise(role).alias("role"),
+        F.when(op == "D", null_s)
+        .when(op == "P", patch_text)
+        .otherwise(text)
+        .alias("text"),
+        F.when(op == "D", null_s)
+        .when(op == "P", patch_tool)
+        .otherwise(tool)
+        .alias("tool"),
         batch.alias("batch"),
         _u01(seed, 9).alias("__dup_u"),
     )

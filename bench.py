@@ -229,6 +229,37 @@ def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
             out[mode] = max(runs[mode], key=lambda r: r["events_per_sec"])
             out[f"{mode}_all_runs"] = runs[mode]
 
+        # patch leg: the same event volume with 15% op='P' sparse partial
+        # updates, replayed MOR with allow_patches — measures the
+        # read-modify-write resolution merge (one key exchange over
+        # batch ∪ touched buckets) against the plain append path above
+        pfeed_dir = os.path.join(work, "feed_patch")
+        write_feed(
+            change_feed_df(
+                spark, n_events=n_events, n_convs=max(1000, n_events // 100),
+                max_turns=32, seed=42, skew=2.0, dup_ratio=0.05,
+                ooo_ratio=0.10, n_batches=n_segments, patch_ratio=0.15,
+            ),
+            pfeed_dir, n_batches=n_segments,
+            files_per_segment=max(32, n_cores_gen),
+        )
+        pt = LakeTable.create(
+            os.path.join(work, "lake_patch"), TRANSCRIPT_SCHEMA, n_buckets=64
+        )
+        s0, j0 = _steal_sample()
+        t0 = time.time()
+        pstats = replay_feed(spark, pt, pfeed_dir, mode="mor", allow_patches=True)
+        p_sec = time.time() - t0
+        s1, j1 = _steal_sample()
+        p_events = sum(s.events_in for s in pstats)
+        out["patch"] = {
+            "apply_sec": round(p_sec, 2),
+            "events_per_sec": round(p_events / p_sec, 1),
+            "batch_walls": [round(s.wall_sec, 2) for s in pstats],
+            "steal_frac": round((s1 - s0) / max(1, j1 - j0), 3),
+            "final_rows": pt.read(spark).count(),
+        }
+
         # serving-path latencies over the last replayed MOR table: a point
         # lookup scans one bucket's stats-selected files (not the table),
         # and the conv-summary MV refresh re-aggregates only conversations
@@ -330,6 +361,7 @@ def main() -> None:
     cdc = run_cdc_replay(spark, n_events)
     q_secs["cdc_replay_mor"] = cdc["mor"]["apply_sec"]
     q_secs["cdc_replay_cow"] = cdc["cow"]["apply_sec"]
+    q_secs["cdc_replay_patch"] = cdc["patch"]["apply_sec"]
 
     # value = suite total: sum of best-of-k seconds over every timed query
     # plus the two replay legs (feed generation and warmups are one-time
@@ -350,6 +382,7 @@ def main() -> None:
                 "cdc_events_per_sec": cdc["mor"]["events_per_sec"],
                 "cdc_cow_events_per_sec": cdc["cow"]["events_per_sec"],
                 "cdc_stream_events_per_sec": cdc["stream"]["events_per_sec"],
+                "cdc_patch_events_per_sec": cdc["patch"]["events_per_sec"],
                 "cdc_final_rows": cdc["final_rows"],
                 "cdc_batch_walls": cdc["mor"]["batch_walls"],
                 "cdc_gen_sec": cdc["gen_sec"],

@@ -63,6 +63,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mode", choices=["cow", "mor"], default="cow")
     p.add_argument("--allow-patches", action="store_true",
                    help="accept op='P' sparse partial-update events")
+    p.add_argument("--quarantine", default=None,
+                   help="dead-letter invalid rows under DIR/<batch_id>/")
     p.add_argument("--auto-compact-files", type=int, default=None,
                    help="bin-pack buckets exceeding this many files after each batch")
 
@@ -224,6 +226,7 @@ def main(argv: list[str] | None = None) -> int:
             late_watermark_sec=args.late_watermark_sec, mode=args.mode,
             auto_compact_files=args.auto_compact_files,
             allow_patches=args.allow_patches,
+            quarantine_dir=args.quarantine,
         )
         print(_stats_json(stats))
     elif args.cmd == "stream":

@@ -120,6 +120,47 @@ def validate_events(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
     return batch.filter(ok), batch.filter(~ok)
 
 
+def _failure_reason(ops: tuple[str, ...]) -> F.Column:
+    """First matching rejection reason, mirroring _ok_predicate clause by
+    clause (kept adjacent so the two can't drift)."""
+    return (
+        F.when(~F.col("op").isin(*ops), F.lit("bad_op"))
+        .when(F.col("conv_id").isNull() | F.col("turn_idx").isNull(),
+              F.lit("null_key"))
+        .when(F.col("ts").isNull(), F.lit("null_ts"))
+        .when(F.col("op_seq").isNull(), F.lit("null_op_seq"))
+        .when(
+            F.coalesce(F.octet_length(F.col("text")), F.lit(0))
+            >= MAX_TEXT_BYTES,
+            F.lit("oversize_text"),
+        )
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def _write_quarantine(
+    batch: DataFrame, ops: tuple[str, ...], quarantine_dir: str, batch_id: str
+) -> None:
+    """Dead-letter the batch's invalid rows: parquet under
+    <quarantine_dir>/<batch_id>/ with a per-row ``reason`` column, keys and
+    payload cast to string (a quarantined row may be malformed precisely in
+    its types). Overwrite-by-batch_id keeps redelivery idempotent. Runs
+    only when the batch HAS failures (one extra pushed-down scan then) —
+    clean batches never pay it. The reference's analog: per-test error
+    counters + logs (/root/reference/task/task.go:139-173,
+    /root/reference/etl/etl.go:116-117) — a standalone engine keeps the
+    rows, not just the count, so producers can be debugged and the batch
+    re-emitted."""
+    ok = _ok_predicate(ops)
+    bad = batch.filter(~ok).select(
+        *[F.col(c).cast("string").alias(c) for c in batch.columns],
+        _failure_reason(ops).alias("reason"),
+        F.lit(batch_id).alias("batch_id"),
+        F.current_timestamp().alias("quarantined_ts"),
+    )
+    bad.write.mode("overwrite").parquet(os.path.join(quarantine_dir, batch_id))
+
+
 def _ts_literal(us: int, ts_type: str) -> F.Column:
     """An event-time literal matching the column's timestamp flavor
     (parquet loads as TIMESTAMP_NTZ under Spark 4; generated feeds may be
@@ -141,8 +182,14 @@ def apply_batch(
     late_watermark_sec: float | None = None,
     mode: str = "cow",
     allow_patches: bool = False,
+    quarantine_dir: str | None = None,
 ) -> MergeStats:
     """Validate + (optionally) drop too-late events + dedup + MERGE.
+
+    ``quarantine_dir``: dead-letter invalid rows (with a ``reason`` column)
+    under <dir>/<batch_id>/ — written only when the batch HAS failures,
+    including a failfast abort (the quarantine is the debugging evidence
+    for exactly the batch that refused to commit).
 
     ``allow_patches``: accept op='P' partial-update events (sparse payload,
     NULL = unchanged; see cdc/patch.py) and route the batch through the
@@ -177,7 +224,8 @@ def apply_batch(
             late_pred = F.col("ts") < _ts_literal(threshold_us, ts_type)
     # Validation counters ride the merge's fused scan as an Observation —
     # computed DURING pass 1, no standalone aggregation job.
-    ok = _ok_predicate(VALID_OPS + ("P",) if allow_patches else VALID_OPS)
+    ops = VALID_OPS + ("P",) if allow_patches else VALID_OPS
+    ok = _ok_predicate(ops)
     counters = Observation()
     agg_cols = [
         F.count(F.lit(1)).alias("n"),
@@ -200,19 +248,27 @@ def apply_batch(
         # ``observed`` — a limit-1 action on the observed plan could fill
         # the counters from a partial scan.
         allow_patches = not batch.filter(F.col("op") == "P").isEmpty()
-    return merge_into(
-        spark,
-        table,
-        valid,
-        batch_id,
-        counters=_ResilientCounters(counters, batch, agg_cols),
-        fail_threshold=fail_threshold,
-        source_files=source_files,
-        segments=segments,
-        input_files=input_files,
-        mode=mode,
-        allow_patches=allow_patches,
-    )
+    try:
+        stats = merge_into(
+            spark,
+            table,
+            valid,
+            batch_id,
+            counters=_ResilientCounters(counters, batch, agg_cols),
+            fail_threshold=fail_threshold,
+            source_files=source_files,
+            segments=segments,
+            input_files=input_files,
+            mode=mode,
+            allow_patches=allow_patches,
+        )
+    except BatchFailedError:
+        if quarantine_dir is not None:
+            _write_quarantine(batch, ops, quarantine_dir, batch_id)
+        raise
+    if quarantine_dir is not None and stats.failed > 0:
+        _write_quarantine(batch, ops, quarantine_dir, batch_id)
+    return stats
 
 
 def replay_feed(
@@ -225,6 +281,7 @@ def replay_feed(
     json_schema=None,
     auto_compact_files: int | None = None,
     allow_patches: bool = False,
+    quarantine_dir: str | None = None,
 ) -> list[MergeStats]:
     """Batch-mode replay of a feed directory (one subdir per binlog segment,
     lexicographic order = arrival order). Used by tests, bench, and as the
@@ -298,7 +355,7 @@ def replay_feed(
                 fail_threshold=fail_threshold, segments={name: bid},
                 input_files=[_segment_relative(f) for f in files],
                 late_watermark_sec=late_watermark_sec, mode=mode,
-                allow_patches=allow_patches,
+                allow_patches=allow_patches, quarantine_dir=quarantine_dir,
             )
         )
         if auto_compact_files is not None:

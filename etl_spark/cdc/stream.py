@@ -64,6 +64,7 @@ def run_stream(
     auto_compact_files: int | None = None,
     replica_path: str | None = None,
     allow_patches: bool = False,
+    quarantine_dir: str | None = None,
 ):
     """Start (and by default drain) the streaming apply loop. Returns the
     StreamingQuery when available_now=False (caller stops it).
@@ -188,6 +189,7 @@ def run_stream(
             late_watermark_sec=late_watermark_sec,
             mode=mode,
             allow_patches=allow_patches,
+            quarantine_dir=quarantine_dir,
         )
         if auto_compact_files is not None:
             table.compact_small_files(spark, auto_compact_files)

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "cdc_envelope_decode",
     "filtered_revenue",
     "returned_item_revenue",
+    "emb_sq_topk",
 ]
 # (cdc_patch_replay is replay-backed — excluded like the other replays.)
 # Excluded from the timed suite (correctness-only at sf0.01):

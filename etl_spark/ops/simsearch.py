@@ -586,3 +586,110 @@ EMB_NEARDUP_GATE_SQL = f"""
         CAST(list_aggregate(list_transform(range(1, {LSH_DIM + 1}), i -> a.q[i] * b.q[i]), 'sum') AS DOUBLE)
             / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)), 4) >= {NEARDUP_COS}
 """.format(bands=_band_sql(NEARDUP_BANDS, NEARDUP_BITS))
+
+
+# --- scalar-quantized (SQ) top-k ----------------------------------------------
+# The memory-compression scale path: the corpus is stored as 4-bit
+# per-dimension codes (16 levels over [-1, 1] in integer "milli" space), so
+# a 100 TB float corpus scans as ~6 TB of codes. Asymmetric distance: the
+# full-precision (int-quantized) probe scores against the code midpoints —
+# all-integer dot products, so Spark and DuckDB agree exactly. The top
+# SQ_REFINE×k candidates per probe are then re-ranked with EXACT vectors
+# (fetched by candidate id only — a semi-join-sized second read), and the
+# final ranking is the exact cosine. At production scale SQ composes with
+# IVF (emb_ivf_topk): bucket first, scan codes inside the bucket, re-rank
+# exact — this query exercises the SQ + refine stages of that pipeline.
+
+SQ_LEVELS = 16
+SQ_STEP = 2000 // SQ_LEVELS  # 125 milli per bin over [-1000, 1000)
+SQ_REFINE = 4                # candidates per probe = SQ_REFINE * TOP_K
+
+
+def _sq_code(x) -> F.Column:
+    c = F.floor((x + 1000) / F.lit(float(SQ_STEP)))
+    return F.least(F.greatest(c, F.lit(0)), F.lit(SQ_LEVELS - 1)).cast("long")
+
+
+def emb_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(_emb(spark, sf_dir)).select("vec_id", "__q", "__nsq")
+    # corpus side: 4-bit codes reconstructed to bin midpoints (integer)
+    recon = F.transform(
+        F.col("__q"), lambda x: _sq_code(x) * SQ_STEP - (1000 - SQ_STEP // 2 - 1)
+    )
+    codes = e.select(
+        F.col("vec_id").alias("cand_id"),
+        recon.alias("rv"),
+        F.col("__q").alias("cv"),
+        F.col("__nsq").alias("cn"),
+    ).withColumn(
+        "rn",
+        F.aggregate(
+            F.transform(F.col("rv"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("__q").alias("qv"),
+        F.col("__nsq").alias("qn"),
+    )
+    approx = _cos(_dot("qv", "rv"), "qn", "rn")
+    wa = W.partitionBy("q_id").orderBy(F.col("__ac").desc(), F.col("cand_id"))
+    cand = (
+        F.broadcast(probes)
+        .join(codes, F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "qv", "qn", "cand_id", "cv", "cn", approx.alias("__ac"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= SQ_REFINE * TOP_K)
+    )
+    exact = _cos(_dot("qv", "cv"), "qn", "cn")
+    we = W.partitionBy("q_id").orderBy(F.col("__ec").desc(), F.col("cand_id"))
+    return (
+        cand.select("q_id", "cand_id", exact.alias("__ec"))
+        .withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "cand_id", "rank", F.round("__ec", 4).alias("cos4"))
+    )
+
+
+_SQ_MID = 1000 - SQ_STEP // 2 - 1
+_SQ_RECON_SQL = (
+    f"list_transform(q, x -> CAST(least(greatest(floor((x + 1000) / {SQ_STEP}.0), 0), "
+    f"{SQ_LEVELS - 1}) AS BIGINT) * {SQ_STEP} - {_SQ_MID})"
+)
+_SQ_ADOT_SQL = "list_aggregate(list_transform(range(1, 65), i -> a.q[i] * b.rv[i]), 'sum')"
+
+EMB_SQ_TOPK_SQL = f"""
+    WITH n AS ({NORM_SQL}),
+    codes AS (
+        SELECT vec_id, q, nsq, rv,
+               list_aggregate(list_transform(rv, x -> x * x), 'sum') AS rn
+        FROM (SELECT vec_id, q, nsq, {_SQ_RECON_SQL} AS rv FROM n)
+    ),
+    approx AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+               a.q AS qv, a.nsq AS qn, b.q AS cv, b.nsq AS cn,
+               CAST({_SQ_ADOT_SQL} AS DOUBLE) / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.rn AS DOUBLE)) AS ac
+        FROM n a JOIN codes b ON a.vec_id < {N_PROBES} AND b.vec_id <> a.vec_id
+    ),
+    cand AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ac DESC, cand_id) AS arank
+            FROM approx
+        ) WHERE arank <= {SQ_REFINE * TOP_K}
+    )
+    SELECT q_id, cand_id, rank, round(ec, 4) AS cos4
+    FROM (
+        SELECT q_id, cand_id,
+               CAST(list_aggregate(list_transform(range(1, 65), i -> qv[i] * cv[i]), 'sum') AS DOUBLE)
+                   / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) AS ec,
+               row_number() OVER (
+                   PARTITION BY q_id
+                   ORDER BY CAST(list_aggregate(list_transform(range(1, 65), i -> qv[i] * cv[i]), 'sum') AS DOUBLE)
+                            / sqrt(CAST(qn AS DOUBLE) * CAST(cn AS DOUBLE)) DESC,
+                            cand_id
+               ) AS rank
+        FROM cand
+    ) WHERE rank <= {TOP_K}
+"""

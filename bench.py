@@ -365,8 +365,8 @@ def main() -> None:
     q_secs["cdc_replay_patch"] = cdc["patch"]["apply_sec"]
 
     # value = suite total: sum of best-of-k seconds over every timed query
-    # plus the two replay legs (feed generation and warmups are one-time
-    # costs, reported separately, not billed to the suite)
+    # plus the three replay legs — mor, cow, patch (feed generation and
+    # warmups are one-time costs, reported separately, not billed)
     total = sum(q_secs.values())
     spark.stop()
     shutil.rmtree(local_dir, ignore_errors=True)

@@ -248,27 +248,27 @@ def apply_batch(
         # ``observed`` — a limit-1 action on the observed plan could fill
         # the counters from a partial scan.
         allow_patches = not batch.filter(F.col("op") == "P").isEmpty()
-    try:
-        stats = merge_into(
-            spark,
-            table,
-            valid,
-            batch_id,
-            counters=_ResilientCounters(counters, batch, agg_cols),
-            fail_threshold=fail_threshold,
-            source_files=source_files,
-            segments=segments,
-            input_files=input_files,
-            mode=mode,
-            allow_patches=allow_patches,
-        )
-    except BatchFailedError:
-        if quarantine_dir is not None:
-            _write_quarantine(batch, ops, quarantine_dir, batch_id)
-        raise
-    if quarantine_dir is not None and stats.failed > 0:
+    if quarantine_dir is not None and not batch.filter(~_ok_predicate(ops)).isEmpty():
+        # BEFORE the merge: a crash between commit and a post-commit
+        # quarantine write would lose the dead-letter rows forever (the
+        # committed batch_id no-ops on redelivery and never retries the
+        # write). Pre-commit, redelivery simply overwrites — idempotent.
+        # The isEmpty probe short-circuits, so clean batches pay one
+        # pushed-down limit-1 scan only when quarantine is enabled.
         _write_quarantine(batch, ops, quarantine_dir, batch_id)
-    return stats
+    return merge_into(
+        spark,
+        table,
+        valid,
+        batch_id,
+        counters=_ResilientCounters(counters, batch, agg_cols),
+        fail_threshold=fail_threshold,
+        source_files=source_files,
+        segments=segments,
+        input_files=input_files,
+        mode=mode,
+        allow_patches=allow_patches,
+    )
 
 
 def replay_feed(

@@ -133,17 +133,24 @@ def change_feed_df(
     if evolve_from_batch is not None:
         # post-K events carry the new metadata columns (pre-K batches get the
         # columns DROPPED at write time in write_feed — they never existed)
+        # gated on FULL ops: a patch row with tool set must stay a
+        # one-column event ("each patch sets exactly one of text/tool"),
+        # never silently grow evolved columns too
         feed = feed.withColumn(
             "tool_version",
             F.when(
-                (F.col("batch") >= evolve_from_batch) & F.col("tool").isNotNull(),
+                (F.col("batch") >= evolve_from_batch)
+                & F.col("tool").isNotNull()
+                & (F.col("op") != "P"),
                 F.format_string("v%d.%d", F.pmod(_hash_col("op_seq", seed, 10), F.lit(3)),
                                 F.pmod(_hash_col("op_seq", seed, 11), F.lit(10))),
             ).otherwise(F.lit(None).cast("string")),
         ).withColumn(
             "tool_latency_ms",
             F.when(
-                (F.col("batch") >= evolve_from_batch) & F.col("tool").isNotNull(),
+                (F.col("batch") >= evolve_from_batch)
+                & F.col("tool").isNotNull()
+                & (F.col("op") != "P"),
                 F.pmod(_hash_col("op_seq", seed, 12), F.lit(5000)),
             ).otherwise(F.lit(None).cast("long")),
         )

@@ -182,26 +182,43 @@ def _fused_scan_gate(
     input_files,
     base_version: int,
     t0: float,
+    rebuild_missing: bool = True,
 ) -> dict[str, Any] | None:
     """Pass 1 shared by the copy-on-write and patch merges: load (or
     rebuild once) the Bloom seen-set, run the fused membership/bucket scan
     (which also materializes the validation counters riding the batch
     plan), enforce the failfast budget, and short-circuit empty/all-late
     batches with a counters-only commit. Returns None when the batch was
-    fully handled, else the scan products."""
+    fully handled, else the scan products.
+
+    ``rebuild_missing``: when the seen-set is absent and the table has
+    data, rebuild it from the stored keys (amortizes to once for pipelines
+    whose commits PERSIST the bloom — cow). Pass False for pipelines whose
+    commits drop it (merge-on-read appends): there the rebuild would recur
+    every time, so the gate instead reports ``bloom_known=False`` and the
+    caller must not take a membership-proven fast path nor persist a
+    batch-only bloom (it would have false negatives for older keys)."""
     from etl_spark.cdc.bloom import BloomFilter, build_bloom, scan_batch_buckets
 
     bloom = table.load_bloom()
-    bloom_rebuilt = bloom is None
+    bloom_known = bloom is not None
+    bloom_rebuilt = False
     if bloom is None:
-        # Seen-set missing or written under a stale hash algo (engine
-        # upgrade): rebuild ONCE from the table's stored keys instead of
-        # paying a distinct+collect per batch forever. The rebuilt filter
-        # is persisted with this commit's sidecar via new_bloom.
         if table.has_files():
-            bloom = build_bloom(table.read_storage(spark, reduced=False), KEY_COLS)
+            if rebuild_missing:
+                # Seen-set missing or written under a stale hash algo:
+                # rebuild ONCE from the table's stored keys instead of
+                # paying a distinct+collect per batch forever; persisted
+                # with this commit's sidecar via new_bloom.
+                bloom = build_bloom(
+                    table.read_storage(spark, reduced=False), KEY_COLS
+                )
+                bloom_known = bloom_rebuilt = True
+            else:
+                bloom = BloomFilter()
         else:
             bloom = BloomFilter()
+            bloom_known = True  # empty table: the empty set IS the seen-set
     any_seen, batch_bloom, touched = scan_batch_buckets(
         batch, bloom, KEY_COLS, bucket_col="__bucket"
     )
@@ -236,10 +253,11 @@ def _fused_scan_gate(
         )
         return None
     return {
-        "new_bloom": bloom.union(batch_bloom),
+        "new_bloom": bloom.union(batch_bloom) if bloom_known else None,
         "any_seen": any_seen,
         "touched": touched,
         "watermark_us": watermark_us,
+        "bloom_known": bloom_known,
     }
 
 
@@ -603,14 +621,20 @@ def _merge_patch(
     """
     from etl_spark.cdc.patch import resolve_events
 
+    # MOR commits drop the bloom sidecar, so a missing seen-set must NOT
+    # trigger a full-table rebuild here — it would recur on every
+    # patch-carrying batch that follows a plain MOR append. Unknown
+    # membership just disables the fast path (read touched buckets —
+    # correct regardless); cow pipelines rebuild once and persist.
     gate = _fused_scan_gate(
         spark, table, batch, batch_id, stats, counters, fail_threshold,
         segments, input_files, base_version, t0,
+        rebuild_missing=(mode == "cow"),
     )
     if gate is None:
         return stats
     new_bloom, any_seen, touched = gate["new_bloom"], gate["any_seen"], gate["touched"]
-    watermark_us = gate["watermark_us"]
+    watermark_us, bloom_known = gate["watermark_us"], gate["bloom_known"]
 
     null_s = F.lit(None).cast("string")
     batch_ev = batch.select(
@@ -630,7 +654,7 @@ def _merge_patch(
         F.current_timestamp().alias("ingest_ts"),
         F.lit(False).alias("__virtual"),
     )
-    fast_append = not table.has_files(touched) or not any_seen
+    fast_append = not table.has_files(touched) or (bloom_known and not any_seen)
     if fast_append:
         stats.fast_path_append = True
         events = batch_ev

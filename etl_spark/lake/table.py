@@ -1260,6 +1260,14 @@ class LakeTable:
         if slices < 1:
             raise ValueError(f"slices must be >= 1, got {slices}")
         rows = self.read_storage(spark, buckets, reduced=m.needs_reduce)
+        # scans every key anyway — rebuild a lost seen-set for free, same
+        # rationale as resolve_deltas (pure-MOR tables drop the sidecar)
+        new_bloom = None
+        if self.load_bloom() is None:
+            from etl_spark.cdc.bloom import build_bloom
+            from etl_spark.schema import KEY_COLS
+
+            new_bloom = build_bloom(rows, list(KEY_COLS))
         sliced = rows.withColumn("__bucket", self.bucket_expr()).repartitionByRange(
             max(1, len(buckets) * slices), F.col("__bucket"), F.col("ts")
         )
@@ -1271,7 +1279,7 @@ class LakeTable:
         )
         self.commit_version(
             files, buckets, None, None, needs_reduce=False,
-            expected_version=m.version,
+            expected_version=m.version, new_bloom=new_bloom,
         )
         return len(buckets)
 

@@ -340,3 +340,39 @@ def test_mor_stale_patch_stats_and_reduce_state(spark, tmp_path):
     assert s.stale_skipped == 1 and s.updated == 0  # mode-independent stats
     assert not table.manifest().needs_reduce  # nothing appended, no debt
     assert _table_state(spark, table).loc[0, "text"] == "current"
+
+
+def test_patch_mor_missing_bloom_no_rebuild_no_false_fastpath(spark, tmp_path):
+    """After a plain MOR append drops the bloom sidecar, a patch-carrying
+    MOR batch must NOT full-table-rebuild it (it would recur every time)
+    and must NOT treat unknown membership as proven-unseen: the fast path
+    stays off, the merge reads the touched buckets, and the result is
+    still correct. A cow patch batch rebuilds once and persists."""
+    table = LakeTable.create(
+        str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    b1 = spark.createDataFrame(
+        [("U", _t(1), 1, "c", 0, "user", "base", "t0")], EVENT_SCHEMA
+    )
+    apply_batch(spark, table, b1, "b1", mode="mor")  # empty table: fast append
+    b2 = spark.createDataFrame(
+        [("U", _t(2), 2, "c", 1, "user", "two", None)], EVENT_SCHEMA
+    )
+    apply_batch(spark, table, b2, "b2", mode="mor")  # non-fast: drops bloom
+    assert table.manifest().bloom is None
+    p = spark.createDataFrame(
+        [("P", _t(5), 3, "c", 0, None, "patched", None)], EVENT_SCHEMA
+    )
+    s = apply_batch(spark, table, p, "b3", mode="mor", allow_patches=True)
+    assert not s.fast_path_append  # unknown membership != proven unseen
+    assert table.manifest().bloom is None  # and no recurring rebuild
+    got = _table_state(spark, table)
+    assert got.loc[0, "text"] == "patched" and got.loc[0, "role"] == "user"
+    # cow patch batch: rebuild once, persisted with the commit
+    p2 = spark.createDataFrame(
+        [("P", _t(6), 4, "c", 1, None, None, "newtool")], EVENT_SCHEMA
+    )
+    apply_batch(spark, table, p2, "b4", mode="cow", allow_patches=True)
+    assert table.manifest().bloom is not None
+    got = _table_state(spark, table)
+    assert got.loc[1, "tool"] == "newtool" and got.loc[1, "text"] == "two"

@@ -659,13 +659,25 @@ def _merge_patch(
         stats.fast_path_append = True
         events = batch_ev
     else:
-        # the committed state of every touched bucket joins the aggregation
-        # as one virtual full-image (or delete) event per key; reduced=True
-        # so merge-on-read deltas resolve to one virtual event per key
+        # the committed state joins the aggregation as one virtual
+        # full-image (or delete) event per key; reduced=True so
+        # merge-on-read deltas resolve to one virtual event per key
         tgt = _align_to(
             table.read_storage(spark, touched, reduced=True),
             storage_cols, storage_schema,
         )
+        if mode == "mor":
+            # append path: only BATCH keys can produce written rows, so
+            # the virtual side is semi-joined down to them before the
+            # resolution — aggregation input is O(batch keys), not
+            # O(touched-bucket rows). At 10^10 stored rows with small
+            # micro-batches this is the difference between a batch-sized
+            # and a table-sized sort-agg. (COW keeps every bucket row:
+            # the rewrite must carry untouched keys through.)
+            batch_keys = batch.select(
+                *[F.col(k).cast(evolved[k].dataType).alias(k) for k in KEY_COLS]
+            ).dropDuplicates(list(KEY_COLS))
+            tgt = tgt.join(batch_keys, list(KEY_COLS), "left_semi")
         virt = tgt.select(
             *KEY_COLS,
             F.when(F.col("deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "doc_pii_redact",
     "doc_contamination",
     "doc_domain_mix",
+    "doc_pack_sequences",
+    "doc_quality_funnel",
     "cdc_patch_state",
     "cdc_envelope_decode",
     "filtered_revenue",

@@ -1143,3 +1143,169 @@ DOC_DOMAIN_MIX_SQL = f"""
     FROM r JOIN q ON r.lang = q.lang
     WHERE mix_rank <= quota
 """
+
+
+# --- training-sequence packing (concatenate-and-cut, GPT-style) ---------------
+# A pretraining pipeline's last hop: documents are tokenized, concatenated
+# per output shard, and cut into fixed-budget training sequences; a doc is
+# attributed to the sequence containing its FIRST token. This formulation
+# is a pure window plan — exclusive running sum of capped token counts,
+# seq_id = floor(offset / budget) — so packing parallelizes per shard with
+# ONE hash exchange on `shard` and an in-partition sort (no driver fold,
+# no Python). At 100 TB the shard count is the training-shard count
+# (thousands), keeping each sort partition-local and small. Reference
+# analog: the per-archive row batching before table loads
+# (/root/reference/etl/etl.go:20-35 buffer accounting).
+
+PACK_BUDGET = 256      # tokens per packed training sequence
+PACK_SHARDS = 8        # output shards (round-robin on doc_id; production
+                       # would hash, a shared modulo keeps the oracle exact)
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.size(F.regexp_extract_all(_norm(), F.lit(TOKEN_RE), 0))
+    base = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+        F.least(toks, F.lit(PACK_BUDGET)).cast("long").alias("tok_c"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("tok_c").over(w), F.lit(0).cast("long"))
+    return (
+        base.withColumn("seq_id", F.floor(offset / F.lit(PACK_BUDGET)))
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok_c").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+DOC_PACK_SEQUENCES_SQL = f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+               CAST(least(len(regexp_extract_all({NORM_SQL}, '{TOKEN_RE}')),
+                          {PACK_BUDGET}) AS BIGINT) AS tok_c
+        FROM documents
+    ),
+    a AS (
+        SELECT shard, doc_id, tok_c,
+               CAST(floor(coalesce(sum(tok_c) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {PACK_BUDGET}) AS BIGINT) AS seq_id
+        FROM base
+    )
+    SELECT shard, seq_id, count(*) AS n_docs,
+           CAST(sum(tok_c) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc
+    FROM a GROUP BY shard, seq_id
+"""
+
+
+# --- staged quality funnel (single-pass survivor counts) ----------------------
+# Gopher/C4-style curation runs documents through an ORDERED rule chain
+# and reports per-stage survivor counts. One scan computes every per-doc
+# flag; the funnel is sums of prefix conjunctions — map-side partial
+# aggregation, one 1-row exchange, then a 5-row explode. No second scan
+# per stage (the naive formulation reads the corpus once per rule).
+# Reference analog: the parser's accepted/failed/committed counter chain
+# (/root/reference/etl/etl.go:20-35, metrics.go task counters).
+
+FUNNEL_MIN_TOKENS = 30
+FUNNEL_MAX_AWL = 6.0       # max mean word length
+FUNNEL_MAX_REP = 0.55      # max (n - distinct)/n repetition ratio
+FUNNEL_MIN_STOP = 0.02     # min stopword ratio
+
+
+def doc_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_words(_docs(spark, sf_dir))
+    stats = _let(
+        F.col("__words"),
+        lambda w: F.struct(
+            F.size(w).alias("n"),
+            F.aggregate(
+                F.transform(w, lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("sl"),
+            F.size(F.array_distinct(w)).alias("d"),
+            F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).alias("st"),
+        ),
+    )
+    n, sl = F.col("__t.n"), F.col("__t.sl")
+    d, st = F.col("__t.d"), F.col("__t.st")
+    f1 = n >= FUNNEL_MIN_TOKENS
+    f2 = f1 & (sl / n <= FUNNEL_MAX_AWL)
+    f3 = f2 & ((n - d) / n < FUNNEL_MAX_REP)
+    f4 = f3 & (st / n >= FUNNEL_MIN_STOP)
+    agg = docs.select(F.col("doc_id"), stats.alias("__t")).agg(
+        F.count("*").alias("total"),
+        *[
+            F.sum(f.cast("long")).alias(f"s{i}")
+            for i, f in enumerate([f1, f2, f3, f4], start=1)
+        ],
+    )
+    stages = [
+        ("ingested", F.col("total"), F.lit(0).cast("long")),
+        ("min_tokens", F.col("s1"), F.col("total") - F.col("s1")),
+        ("avg_word_len", F.col("s2"), F.col("s1") - F.col("s2")),
+        ("repetition", F.col("s3"), F.col("s2") - F.col("s3")),
+        ("stopword_ratio", F.col("s4"), F.col("s3") - F.col("s4")),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                surv.cast("long").alias("survivors"),
+                drop.cast("long").alias("dropped_here"),
+            )
+            for i, (name, surv, drop) in enumerate(stages)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+DOC_QUALITY_FUNNEL_SQL = f"""
+    WITH per AS (
+        SELECT len(w) AS n,
+               list_aggregate(list_transform(w, x -> length(x)), 'sum') AS sl,
+               len(list_distinct(w)) AS d,
+               len(list_filter(w, x -> list_contains({_STOPWORDS!r}, x))) AS st
+        FROM (SELECT {WORDS_SQL} AS w FROM documents)
+    ),
+    f AS (
+        SELECT n >= {FUNNEL_MIN_TOKENS} AS f1,
+               n >= {FUNNEL_MIN_TOKENS} AND sl / n <= {FUNNEL_MAX_AWL} AS f2,
+               n >= {FUNNEL_MIN_TOKENS} AND sl / n <= {FUNNEL_MAX_AWL}
+                   AND (n - d) / CAST(n AS DOUBLE) < {FUNNEL_MAX_REP} AS f3,
+               n >= {FUNNEL_MIN_TOKENS} AND sl / n <= {FUNNEL_MAX_AWL}
+                   AND (n - d) / CAST(n AS DOUBLE) < {FUNNEL_MAX_REP}
+                   AND st / CAST(n AS DOUBLE) >= {FUNNEL_MIN_STOP} AS f4
+        FROM per
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+               CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+        FROM f
+    )
+    SELECT * FROM (
+        SELECT CAST(0 AS INT) AS stage_idx, 'ingested' AS stage,
+               total AS survivors, CAST(0 AS BIGINT) AS dropped_here FROM agg
+        UNION ALL SELECT 1, 'min_tokens', s1, total - s1 FROM agg
+        UNION ALL SELECT 2, 'avg_word_len', s2, s1 - s2 FROM agg
+        UNION ALL SELECT 3, 'repetition', s3, s2 - s3 FROM agg
+        UNION ALL SELECT 4, 'stopword_ratio', s4, s3 - s4 FROM agg
+    )
+"""

@@ -108,6 +108,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_pii_redact": (textops.doc_pii_redact, textops.DOC_PII_REDACT_SQL),
     "doc_contamination": (textops.doc_contamination, textops.DOC_CONTAMINATION_SQL),
     "doc_domain_mix": (textops.doc_domain_mix, textops.DOC_DOMAIN_MIX_SQL),
+    "doc_pack_sequences": (
+        textops.doc_pack_sequences,
+        textops.DOC_PACK_SEQUENCES_SQL,
+    ),
+    "doc_quality_funnel": (
+        textops.doc_quality_funnel,
+        textops.DOC_QUALITY_FUNNEL_SQL,
+    ),
     # --- similarity search over embeddings ---
     "emb_cosine_topk": (simsearch.emb_cosine_topk, simsearch.EMB_COSINE_TOPK_SQL),
     "emb_knn_label": (simsearch.emb_knn_label, simsearch.EMB_KNN_LABEL_SQL),

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "doc_domain_mix",
     "doc_pack_sequences",
     "doc_quality_funnel",
+    "doc_substring_dup",
     "cdc_patch_state",
     "cdc_envelope_decode",
     "filtered_revenue",

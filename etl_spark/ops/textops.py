@@ -1309,3 +1309,79 @@ DOC_QUALITY_FUNNEL_SQL = f"""
         UNION ALL SELECT 4, 'stopword_ratio', s4, s3 - s4 FROM agg
     )
 """
+
+
+# --- exact-substring duplication (rolling token windows) ----------------------
+# Training-data exact-substring dedup (the suffix-array method's
+# distributable approximation): every 8-token window of every document is
+# a key; a window appearing in >= 2 documents marks BOTH docs' spans as
+# duplicated text. Per doc: window count, duplicated-window count, and
+# the duplication rate in basis points. Plan: per-row window generation
+# (let-bound words, zero shuffle), explode, then ONE map-side-combinable
+# groupBy on the window key + an equi-join back (AQE splits hot boilerplate
+# windows). At 100 TB the join key would be md5(window) — 16 fixed bytes
+# through the shuffle instead of the window text; the string key here keeps
+# the oracle byte-identical. Reference analog: the dedup gardener joins
+# incoming archives against base_tables on content keys
+# (/root/reference/schema/README.md:6-10).
+
+SUBSTR_WINDOW = 8      # tokens per rolling window
+
+
+def doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    wlen = SUBSTR_WINDOW
+    wins = _let(
+        F.split(_norm(), " "),
+        lambda w: F.when(
+            F.size(w) >= wlen,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (wlen - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, wlen)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    e = docs.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("win")
+    )
+    c = e.groupBy("win").agg(F.count("*").alias("nd"))
+    return (
+        e.join(c, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.floor(10000.0 * F.col("n_dup_windows") / F.col("n_windows"))
+            .cast("long")
+            .alias("dup_bp"),
+        )
+    )
+
+
+DOC_SUBSTRING_DUP_SQL = f"""
+    WITH e AS (
+        SELECT DISTINCT doc_id, win FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(w) - {SUBSTR_WINDOW - 2}),
+                       i -> array_to_string(w[i:i+{SUBSTR_WINDOW - 1}], ' ')
+                   )) AS win
+            FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents)
+            WHERE len(w) >= {SUBSTR_WINDOW}
+        )
+    ),
+    c AS (SELECT win, count(*) AS nd FROM e GROUP BY win)
+    SELECT doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows,
+           CAST(floor(10000.0 * sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                      / count(*)) AS BIGINT) AS dup_bp
+    FROM e JOIN c USING (win)
+    GROUP BY doc_id
+"""

@@ -116,6 +116,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.doc_quality_funnel,
         textops.DOC_QUALITY_FUNNEL_SQL,
     ),
+    "doc_substring_dup": (
+        textops.doc_substring_dup,
+        textops.DOC_SUBSTRING_DUP_SQL,
+    ),
     # --- similarity search over embeddings ---
     "emb_cosine_topk": (simsearch.emb_cosine_topk, simsearch.EMB_COSINE_TOPK_SQL),
     "emb_knn_label": (simsearch.emb_knn_label, simsearch.EMB_KNN_LABEL_SQL),

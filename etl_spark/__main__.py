@@ -106,6 +106,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
 
     p = sub.add_parser(
+        "delete",
+        help="row-level DELETE FROM ... WHERE (tombstone+redact; --purge "
+             "drops rows physically)",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--where", required=True, help="SQL predicate over live rows")
+    p.add_argument("--purge", action="store_true")
+
+    p = sub.add_parser("update", help="row-level UPDATE ... SET ... WHERE")
+    p.add_argument("--table", required=True)
+    p.add_argument("--where", required=True, help="SQL predicate over live rows")
+    p.add_argument(
+        "--set", required=True, action="append", metavar="COL=EXPR",
+        help="payload column assignment, repeatable (EXPR is SQL)",
+    )
+
+    p = sub.add_parser(
         "timeslice",
         help="re-layout buckets into contiguous-ts files (days(ts)-style "
              "secondary clustering for window reads)",
@@ -266,6 +283,18 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "resolve":
         n = table.resolve_deltas(spark)
         print(json.dumps({"buckets_rewritten": n}))
+    elif args.cmd == "delete":
+        n = table.delete_where(spark, args.where, purge=args.purge)
+        print(json.dumps({"rows_deleted": n, "purged": bool(args.purge)}))
+    elif args.cmd == "update":
+        assignments = {}
+        for a in args.set:
+            col, _, expr = a.partition("=")
+            if not _:
+                raise SystemExit(f"--set expects COL=EXPR, got {a!r}")
+            assignments[col.strip()] = expr
+        n = table.update_where(spark, args.where, assignments)
+        print(json.dumps({"rows_updated": n}))
     elif args.cmd == "timeslice":
         n = table.cluster_time_slices(spark, args.slices)
         print(json.dumps({"buckets_rewritten": n}))

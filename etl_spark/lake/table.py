@@ -1166,6 +1166,121 @@ class LakeTable:
         )
         return n
 
+    def _payload_cols(self) -> list[str]:
+        return [
+            f.name
+            for f in self.user_schema().fields
+            if f.name not in KEY_COLS and f.name != "ts"
+        ]
+
+    def delete_where(
+        self, spark: SparkSession, predicate: str, purge: bool = False
+    ) -> int:
+        """Row-level DELETE FROM ... WHERE (Iceberg/Delta analog: copy-on-
+        write row deletes; reference analog: the gardener's reprocess-time
+        row retractions, /root/reference/schema/README.md:6-10). Matching
+        LIVE rows become TOMBSTONES: payload columns are nulled (the GDPR
+        redaction path — content is physically gone after the rewrite) and
+        ``deleted`` flips, but the row keeps its (ts, op_seq) ordinal, so
+        LWW stays coherent with the change feed: a strictly-newer feed
+        event still resurrects the key, an older replayed event is still
+        stale. ``purge=True`` drops the rows physically instead (the key
+        itself must vanish; a later re-insert is then indistinguishable
+        from a first insert).
+
+        Scale shape: one discovery scan with the predicate pushed to
+        parquet finds affected buckets; only those buckets are rewritten
+        (clustered + sorted), everything else is untouched manifest reuse.
+        Returns the number of rows deleted."""
+        m = self.manifest()
+        all_buckets = [int(b) for b, fl in m.files.items() if fl]
+        if not all_buckets:
+            return 0
+        pred = F.coalesce(F.expr(predicate), F.lit(False)) & ~F.col("deleted")
+        hit = self.read_storage(spark, all_buckets, reduced=m.needs_reduce).filter(
+            pred
+        )
+        buckets = sorted(
+            r[0] for r in hit.select(self.bucket_expr()).distinct().collect()
+        )
+        if not buckets:
+            return 0
+        rows = self.read_storage(spark, buckets, reduced=m.needs_reduce)
+        n = int(rows.filter(pred).count())
+        if purge:
+            out = rows.filter(~pred)
+        else:
+            out = rows.select(
+                *[
+                    F.when(pred, F.lit(None).cast(rows.schema[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in self._payload_cols()
+                    else (
+                        F.when(pred, F.lit(True)).otherwise(F.col(c)).alias(c)
+                        if c == "deleted"
+                        else F.col(c)
+                    )
+                    for c in rows.columns
+                ]
+            )
+        files = self.write_bucket_files(
+            out, version_tag=f"delete{m.version + 1}", cluster_sort=True
+        )
+        # a rewritten bucket may have gone empty under purge — keep its
+        # (now file-less) entry so the manifest still covers the bucket
+        for b in buckets:
+            files.setdefault(b, [])
+        self.commit_version(files, buckets, None, None, expected_version=m.version)
+        return n
+
+    def update_where(
+        self, spark: SparkSession, predicate: str, assignments: dict[str, str]
+    ) -> int:
+        """Row-level UPDATE ... SET ... WHERE over live rows (copy-on-write,
+        same discovery/rewrite shape as delete_where). ``assignments`` maps
+        payload column -> SQL expression (evaluated per matching row, may
+        reference any column). The row keeps its (ts, op_seq) ordinal: a
+        maintenance fix-up is not a feed event, so a strictly-newer CDC
+        event still overwrites it and an older replay is still stale —
+        exactly Iceberg's UPDATE interacting with a MERGE pipeline.
+        Returns the number of rows updated."""
+        bad = set(assignments) - set(self._payload_cols())
+        if bad:
+            raise ValueError(
+                f"update_where may only assign payload columns, got {sorted(bad)}"
+            )
+        m = self.manifest()
+        all_buckets = [int(b) for b, fl in m.files.items() if fl]
+        if not all_buckets:
+            return 0
+        pred = F.coalesce(F.expr(predicate), F.lit(False)) & ~F.col("deleted")
+        hit = self.read_storage(spark, all_buckets, reduced=m.needs_reduce).filter(
+            pred
+        )
+        buckets = sorted(
+            r[0] for r in hit.select(self.bucket_expr()).distinct().collect()
+        )
+        if not buckets:
+            return 0
+        rows = self.read_storage(spark, buckets, reduced=m.needs_reduce)
+        n = int(rows.filter(pred).count())
+        out = rows.select(
+            *[
+                F.when(pred, F.expr(assignments[c]).cast(rows.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in rows.columns
+            ]
+        )
+        files = self.write_bucket_files(
+            out, version_tag=f"update{m.version + 1}", cluster_sort=True
+        )
+        self.commit_version(files, buckets, None, None, expected_version=m.version)
+        return n
+
     def compact_small_files(
         self, spark: SparkSession, max_files_per_bucket: int = 4
     ) -> int:

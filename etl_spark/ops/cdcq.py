@@ -906,3 +906,63 @@ ENVELOPE_DECODE_SQL = f"""
                 ELSE json_extract_string(value, '$.after.tool') END AS tool
     FROM wire
 """
+
+
+def cdc_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the standard 4-segment feed, then run the row-level
+    maintenance pair: DELETE FROM ... WHERE role = 'system' (tombstone +
+    payload redaction, etl_spark/lake/table.py delete_where) and
+    UPDATE ... SET tool = 'masked' WHERE tool IS NOT NULL (update_where).
+    Final state must equal the global LWW oracle minus the deleted rows
+    with the update applied — proving the copy-on-write maintenance
+    rewrites compose with the CDC merge without disturbing untouched keys.
+    Reference analog: gardener reprocess-time row retractions/fix-ups
+    (/root/reference/schema/README.md:6-10)."""
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.apply import replay_feed
+    from etl_spark.cdc.gen import write_feed
+    from etl_spark.lake.table import LakeTable
+
+    feed = change_feed_from_events(spark, sf_dir).withColumn(
+        "batch", F.pmod(F.col("op_seq"), F.lit(4)).cast("int")
+    )
+    work = _work_dir("etl_spark_delupd_")
+    feed_dir = os.path.join(work, "feed")
+    write_feed(feed, feed_dir, n_batches=4)
+    feed_t = {f.name: f.dataType for f in feed.schema.fields}
+    user_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", feed_t["ts"], True),
+        ]
+    )
+    table = LakeTable.create(os.path.join(work, "lake"), user_schema, n_buckets=16)
+    replay_feed(spark, table, feed_dir)
+    table.delete_where(spark, "role = 'system'")
+    table.update_where(spark, "tool IS NOT NULL", {"tool": "'masked'"})
+    return table.read(spark).select(*FINAL_COLS)
+
+
+DELETE_UPDATE_SQL = f"""
+    WITH feed AS ({FEED_SQL}),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, op_seq DESC
+        ) AS rn
+        FROM feed
+    ),
+    state AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT conv_id, turn_idx, role, text,
+           CASE WHEN tool IS NOT NULL THEN 'masked' ELSE tool END AS tool,
+           ts
+    FROM state
+    WHERE NOT coalesce(role = 'system', FALSE)
+"""

@@ -36,6 +36,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_patch_state": (cdcq.cdc_patch_state, cdcq.PATCH_STATE_SQL),
     "cdc_patch_replay": (cdcq.cdc_patch_replay, cdcq.PATCH_STATE_SQL),
     "cdc_envelope_decode": (cdcq.cdc_envelope_decode, cdcq.ENVELOPE_DECODE_SQL),
+    "cdc_delete_update": (cdcq.cdc_delete_update, cdcq.DELETE_UPDATE_SQL),
     # --- reference dataflow operators (SURVEY §2.3/§2.4/§2.6) ---
     "last_event_summary": (refops.last_event_summary, refops.LAST_EVENT_SUMMARY_SQL),
     "snapshot_thinning": (refops.snapshot_thinning, refops.SNAPSHOT_THINNING_SQL),

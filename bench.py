@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "doc_pack_sequences",
     "doc_quality_funnel",
     "doc_substring_dup",
+    "events_asof_join",
     "cdc_patch_state",
     "cdc_envelope_decode",
     "filtered_revenue",

@@ -841,3 +841,95 @@ STRATIFIED_SAMPLE_SQL = f"""
         FROM events
     ) WHERE samp_rank <= {SAMPLE_K}
 """
+
+
+# --- as-of join (trades ⋈ latest quote at-or-before; kdb aj / Flink temporal
+#     join / DuckDB ASOF JOIN). Reference analog: the meta-file conn-spec
+#     joined onto each snaplog row as the LATEST metadata at-or-before the
+#     test (/root/reference/parser/ndt_meta.go:75-110). ----------------------
+# Spark has no ASOF JOIN operator; the naive formulation is a range join
+# (t.ts >= q.ts) + per-row max — a cross-join explosion per key. The
+# scalable composition is UNION-TAG + WINDOW: interleave both streams on
+# (key, ts), carry the last non-null quote value forward with one running
+# window, keep the trade rows. ONE hash exchange on the key + an
+# in-partition sort — the same cost as a groupBy, independent of how many
+# quotes precede each trade. Quotes sort before trades at equal ts, so
+# the join is at-or-before (>=), matching DuckDB ASOF semantics.
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # even event_ids form the quote stream, odd ones the trade stream;
+    # quotes dedup to one per (user, ts) via max event_id (ASOF JOIN is
+    # undefined under duplicate timestamps — both engines dedup the same)
+    quotes = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("q_value"))
+    )
+    trades = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    null_s = F.lit(None).cast("string")
+    u = quotes.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("q_value"),
+        F.lit(None).cast("long").alias("event_id"),
+        null_s.alias("event_type"),
+        F.col("ts").alias("q_ts"),
+    ).unionByName(
+        trades.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("side"),
+            F.lit(None).cast("double").alias("q_value"),
+            "event_id",
+            "event_type",
+            F.lit(None).cast(dict(ev.dtypes)["ts"]).alias("q_ts"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        "event_type",
+        F.last("q_value", ignorenulls=True).over(w).alias("last_quote"),
+        F.last("q_ts", ignorenulls=True).over(w).alias("last_q_ts"),
+    )
+    # parquet loads ts as TIMESTAMP_NTZ; the session tz is pinned UTC, so
+    # the NTZ->TZ cast is a pure reinterpretation and the µs diff is exact
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    age_us = us("ts") - us("last_q_ts")
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "last_quote",
+        F.floor(age_us / F.lit(1000000.0)).cast("long").alias("quote_age_sec"),
+    )
+
+
+EVENTS_ASOF_JOIN_SQL = """
+    WITH quotes AS (
+        SELECT user_id, ts, arg_max(value, event_id) AS q_value
+        FROM events WHERE event_id % 2 = 0 GROUP BY user_id, ts
+    ),
+    trades AS (
+        SELECT event_id, user_id, ts, event_type
+        FROM events WHERE event_id % 2 = 1
+    )
+    SELECT t.event_id, t.user_id, t.ts, t.event_type,
+           q.q_value AS last_quote,
+           CAST(floor((epoch_us(t.ts) - epoch_us(q.ts)) / 1000000.0) AS BIGINT)
+               AS quote_age_sec
+    FROM trades t
+    ASOF LEFT JOIN quotes q ON t.user_id = q.user_id AND t.ts >= q.ts
+"""

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "doc_quality_funnel",
     "doc_substring_dup",
     "events_asof_join",
+    "events_range_join",
     "cdc_patch_state",
     "cdc_envelope_decode",
     "filtered_revenue",

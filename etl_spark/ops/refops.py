@@ -933,3 +933,73 @@ EVENTS_ASOF_JOIN_SQL = """
     FROM trades t
     ASOF LEFT JOIN quotes q ON t.user_id = q.user_id AND t.ts >= q.ts
 """
+
+
+# --- range join (point-in-interval) via slot bucketing -----------------------
+# The second classic join Spark lacks a native operator for: events joined
+# to the time WINDOWS that contain them. The naive formulation
+# (t.ts BETWEEN w.start AND w.end) is a broadcast-nested-loop or cartesian
+# — O(events × windows). The scalable composition quantizes time into
+# fixed slots the size of the window span: every window overlaps ≤ 2
+# slots (exploded), every event lands in exactly 1, and the join becomes
+# an EQUI-join on (event_type, slot) + an interval filter — shuffle
+# bounded by slot-bucket sizes, AQE-splittable. Reference analog: joining
+# rows to their annotation window (/root/reference/parser/annotation.go).
+
+RANGE_WIN_MIN = 10         # window length = slot length, minutes
+RANGE_WIN_EVERY = 97       # every 97th event opens an incident window
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    slot_us = RANGE_WIN_MIN * 60 * 1_000_000
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    wins = ev.filter(F.col("event_id") % RANGE_WIN_EVERY == 0).select(
+        F.col("event_id").alias("win_id"),
+        F.col("event_type"),
+        us(F.col("ts")).alias("w_start_us"),
+        (us(F.col("ts")) + slot_us).alias("w_end_us"),
+    )
+    # [start, end) spans at most 2 slots when the span equals the slot size
+    wins_slotted = wins.select(
+        "win_id",
+        "event_type",
+        "w_start_us",
+        "w_end_us",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("w_start_us") / slot_us),
+                F.floor((F.col("w_end_us") - 1) / slot_us),
+            )
+        ).alias("slot"),
+    )
+    pts = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        us(F.col("ts")).alias("ts_us"),
+        F.floor(us(F.col("ts")) / slot_us).alias("slot"),
+    )
+    hits = wins_slotted.join(pts, ["event_type", "slot"]).filter(
+        (F.col("ts_us") >= F.col("w_start_us")) & (F.col("ts_us") < F.col("w_end_us"))
+    )
+    return hits.groupBy("win_id", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = f"""
+    WITH wins AS (
+        SELECT event_id AS win_id, event_type,
+               ts AS w_start, ts + INTERVAL {RANGE_WIN_MIN} MINUTE AS w_end
+        FROM events WHERE event_id % {RANGE_WIN_EVERY} = 0
+    )
+    SELECT w.win_id, w.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM wins w JOIN events e
+      ON e.event_type = w.event_type
+     AND e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.win_id, w.event_type
+"""

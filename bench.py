@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "doc_substring_dup",
     "events_asof_join",
     "events_range_join",
+    "emb_kmeans",
     "cdc_patch_state",
     "cdc_envelope_decode",
     "filtered_revenue",

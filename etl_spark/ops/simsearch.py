@@ -693,3 +693,138 @@ EMB_SQ_TOPK_SQL = f"""
         FROM cand
     ) WHERE rank <= {TOP_K}
 """
+
+
+# --- k-means (Lloyd's, the IVF "training" step made real) --------------------
+# Iterative algorithms on Spark: each Lloyd iteration is one scan —
+# assignment is a per-row argmin over k centroid literals (pure codegen,
+# no join), the update is one (cluster, dim) hash aggregation whose k×d
+# integer sums come back to the driver (k*65 longs — the same pattern as
+# MLlib's treeAggregate update, and the only driver traffic). Determinism
+# for the oracle: vectors are quantized to integers (×1000), so centroid
+# sums are EXACT in both engines; the assignment score
+#   g_c = ||s_c||²/n_c² - 2·(x·s_c)/n_c          (argmin_c of ||x-s_c/n_c||²)
+# is built from exact integers with the same IEEE-double operation order
+# on both sides, so even ties break identically (then by centroid id).
+# Empty clusters keep their previous centroid on both sides.
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+EMB_DIM = 64
+
+
+def _kmeans_assign(cents: list[tuple[int, list[int], int]]) -> F.Column:
+    structs = []
+    for c, s, n in cents:
+        s_lit = F.array(*[F.lit(int(v)).cast("long") for v in s])
+        dot = F.aggregate(
+            F.zip_with(F.col("__q"), s_lit, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        nsq_s = sum(int(v) * int(v) for v in s)
+        g = F.lit(nsq_s / (n * n)).cast("double") - (
+            F.lit(2.0) * dot.cast("double")
+        ) / F.lit(float(n))
+        structs.append(
+            F.struct(g.alias("g"), F.lit(int(c)).cast("int").alias("c"))
+        )
+    return F.array_min(F.array(*structs))["c"]
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(_emb(spark, sf_dir)).select("vec_id", "label", "__q")
+    init = (
+        e.filter(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "__q")
+        .collect()
+    )
+    cents = sorted(
+        (int(r["vec_id"]), [int(v) for v in r["__q"]], 1) for r in init
+    )
+    for _ in range(KMEANS_ITERS - 1):
+        a = e.withColumn("__c", _kmeans_assign(cents))
+        upd = (
+            a.select("__c", F.posexplode("__q").alias("pos", "val"))
+            .groupBy("__c", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, int]] = {}
+        n_c: dict[int, int] = {}
+        for r in upd:
+            by_c.setdefault(int(r["__c"]), {})[int(r["pos"])] = int(r["s"])
+            n_c[int(r["__c"])] = int(r["n"])
+        cents = [
+            (
+                c,
+                [by_c[c][p] for p in range(EMB_DIM)] if c in by_c else s,
+                n_c.get(c, n),
+            )
+            for c, s, n in cents
+        ]
+    final = e.withColumn("__c", _kmeans_assign(cents))
+    comp = F.aggregate(
+        F.col("__q"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return final.groupBy(F.col("__c").alias("cluster")).agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(comp).alias("comp_sum"),
+        F.sum("label").alias("label_sum"),
+    )
+
+
+_KM_DOT = (
+    "list_aggregate(list_transform(range(1, 65), i -> x.q[i] * c.s[i]), 'sum')"
+)
+_KM_G = f"CAST(c.nsq AS DOUBLE) / (c.n * c.n) - 2.0 * {_KM_DOT} / c.n"
+
+EMB_KMEANS_SQL = f"""
+    WITH n AS ({QUANT_SQL}),
+    c0 AS (
+        SELECT vec_id AS c, q AS s, 1 AS n,
+               list_aggregate(list_transform(q, x -> x * x), 'sum') AS nsq
+        FROM n WHERE vec_id < {KMEANS_K}
+    ),
+    a1 AS (
+        SELECT vec_id, label, q, c FROM (
+            SELECT x.vec_id, x.label, x.q, c.c,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id ORDER BY {_KM_G}, c.c
+                   ) AS rn
+            FROM n x, c0 c
+        ) WHERE rn = 1
+    ),
+    sums AS (
+        SELECT c, pos, CAST(sum(val) AS BIGINT) AS s_i, count(*) AS n_rows
+        FROM (
+            SELECT c, unnest(q) AS val, unnest(range(1, 65)) AS pos FROM a1
+        ) GROUP BY c, pos
+    ),
+    c1raw AS (
+        SELECT c, list(s_i ORDER BY pos) AS s, min(n_rows) AS n
+        FROM sums GROUP BY c
+    ),
+    c1 AS (
+        SELECT c0.c,
+               coalesce(c1raw.s, c0.s) AS s,
+               CAST(coalesce(c1raw.n, c0.n) AS BIGINT) AS n,
+               list_aggregate(
+                   list_transform(coalesce(c1raw.s, c0.s), x -> x * x), 'sum'
+               ) AS nsq
+        FROM c0 LEFT JOIN c1raw ON c0.c = c1raw.c
+    ),
+    a2 AS (
+        SELECT vec_id, label, q, c FROM (
+            SELECT x.vec_id, x.label, x.q, c.c,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id ORDER BY {_KM_G}, c.c
+                   ) AS rn
+            FROM n x, c1 c
+        ) WHERE rn = 1
+    )
+    SELECT c AS cluster, count(*) AS n_vecs,
+           CAST(sum(list_aggregate(q, 'sum')) AS BIGINT) AS comp_sum,
+           CAST(sum(label) AS BIGINT) AS label_sum
+    FROM a2 GROUP BY c
+"""

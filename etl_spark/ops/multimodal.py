@@ -206,3 +206,52 @@ MM_RESIZE_PLAN_SQL = f"""
            CAST(floor(({RESIZE_TARGET} - out_h) / 2.0) AS BIGINT) AS pad_y
     FROM sized
 """
+
+
+# --- audio chunking -----------------------------------------------------------
+# The audio-pipeline analog of frame sampling: split each asset's sample
+# stream into fixed-length windows with 50% overlap (the standard STFT /
+# whisper-style chunk grid). One row per (asset, chunk) with the chunk's
+# span and content digest. Pure expression — explode(sequence) +
+# substring + md5 in whole-stage codegen, no Python in the row path; a
+# real resampler/feature extractor slots into the same mapInPandas
+# plumbing as the decoder (mm_decode_meta). Generator output is bounded:
+# ~2 rows per hop-length of input, the same blowup discipline as the
+# shingle explode in textops.
+
+CHUNK_LEN = 400    # samples per chunk (bytes of the virtual stream)
+CHUNK_HOP = 200    # hop = 50% overlap
+
+
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    n = F.length("text")
+    seq = F.sequence(
+        F.lit(0), F.ceil(n / F.lit(float(CHUNK_HOP))).cast("int") - 1
+    )
+    ex = docs.filter(n > 0).select("doc_id", "text", F.explode(seq).alias("__i"))
+    start = F.col("__i") * CHUNK_HOP + 1
+    chunk = F.substring(F.col("text"), start, F.lit(CHUNK_LEN))
+    return ex.select(
+        "doc_id",
+        F.col("__i").cast("int").alias("chunk_idx"),
+        start.cast("long").alias("start_pos"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_digest"),
+    )
+
+
+MM_AUDIO_CHUNKS_SQL = f"""
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * {CHUNK_HOP} + 1 AS BIGINT) AS start_pos,
+           CAST(strlen(substr(text, i * {CHUNK_HOP} + 1, {CHUNK_LEN})) AS BIGINT)
+               AS chunk_len,
+           md5(substr(text, i * {CHUNK_HOP} + 1, {CHUNK_LEN})) AS chunk_digest
+    FROM documents,
+         unnest(generate_series(
+             0, CAST(ceil(strlen(text) / {CHUNK_HOP}.0) AS BIGINT) - 1, 1
+         )) AS t(i)
+    WHERE strlen(text) > 0
+"""

@@ -137,6 +137,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- multimodal plumbing (Arrow mapInPandas decode stub) ---
     "mm_decode_meta": (multimodal.mm_decode_meta, multimodal.MM_DECODE_META_SQL),
     "mm_frame_sample": (multimodal.mm_frame_sample, multimodal.MM_FRAME_SAMPLE_SQL),
+    "mm_audio_chunks": (multimodal.mm_audio_chunks, multimodal.MM_AUDIO_CHUNKS_SQL),
 }
 
 

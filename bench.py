@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_range_join",
     "emb_kmeans",
+    "mm_audio_chunks",
+    "shipping_priority",
     "cdc_patch_state",
     "cdc_envelope_decode",
     "filtered_revenue",

@@ -322,3 +322,52 @@ RETURNED_ITEM_SQL = f"""
     JOIN nation   ON c_nationkey = n_nationkey
     ORDER BY rev DESC, c_custkey LIMIT 20
 """
+
+
+# --- shipping-priority top-k (TPC-H Q3 analog) --------------------------------
+# Classic selective star join: segment-filtered customers (broadcast dim)
+# semi-restrict orders before the cutoff; lineitems shipped after it
+# pre-aggregate map-side per order. Catalyst pushes both date filters to
+# the parquet scans; only the order-key aggregation shuffles. Reference
+# analog: downstream BigQuery priority dashboards over parsed uploads
+# (SURVEY §2.5 — joins happen post-load in the reference).
+
+SHIP_CUTOFF = "1998-01-01"
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    c = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < F.lit(SHIP_CUTOFF).cast("timestamp"))
+    l = li.filter(F.col("l_shipdate") > F.lit(SHIP_CUTOFF).cast("timestamp"))
+    rev = l.groupBy("l_orderkey").agg(F.sum(_rev()).alias("__rev"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(rev, F.col("o_orderkey") == rev.l_orderkey)
+        .orderBy(F.col("__rev").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("__rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+SHIPPING_PRIORITY_SQL = f"""
+    SELECT o_orderkey, CAST(rev AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM (
+        SELECT l_orderkey, sum({REV_SQL}) AS rev
+        FROM lineitem WHERE l_shipdate > TIMESTAMP '{SHIP_CUTOFF}'
+        GROUP BY l_orderkey
+    ) r
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate < TIMESTAMP '{SHIP_CUTOFF}'
+      AND c_mktsegment = 'BUILDING'
+    ORDER BY rev DESC, o_orderkey LIMIT 10
+"""

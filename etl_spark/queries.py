@@ -81,6 +81,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         tpch.returned_item_revenue,
         tpch.RETURNED_ITEM_SQL,
     ),
+    "shipping_priority": (tpch.shipping_priority, tpch.SHIPPING_PRIORITY_SQL),
     # --- text curation: dedup / quality / lang-id / fingerprint ---
     "doc_exact_dedup": (textops.doc_exact_dedup, textops.DOC_EXACT_DEDUP_SQL),
     "doc_quality": (textops.doc_quality, textops.DOC_QUALITY_SQL),

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "emb_kmeans",
     "mm_audio_chunks",
     "shipping_priority",
+    "doc_curation_pipeline",
     "cdc_patch_state",
     "cdc_envelope_decode",
     "filtered_revenue",

@@ -1385,3 +1385,107 @@ DOC_SUBSTRING_DUP_SQL = f"""
     FROM e JOIN c USING (win)
     GROUP BY doc_id
 """
+
+
+# --- end-to-end curation pipeline ---------------------------------------------
+# The composition a training-data run actually executes, as ONE lazy plan:
+# quality gate (the funnel's full rule chain) → exact dedup (keep the
+# min doc_id per normalized-content hash) → GPT-style sequence packing of
+# the survivors. Each stage is the registered operator's exact logic, so
+# this both proves the operators compose and gives the planner the whole
+# pipeline to optimize: one scan feeds the gate, the dedup groupBy is the
+# only content shuffle, packing re-shards by output shard. At 100 TB the
+# stages stay independent exchanges — no stage re-reads the corpus.
+
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_words(_docs(spark, sf_dir))
+    stats = _let(
+        F.col("__words"),
+        lambda w: F.struct(
+            F.size(w).alias("n"),
+            F.aggregate(
+                F.transform(w, lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("sl"),
+            F.size(F.array_distinct(w)).alias("d"),
+            F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).alias("st"),
+        ),
+    )
+    n, sl = F.col("__t.n"), F.col("__t.sl")
+    d, st = F.col("__t.d"), F.col("__t.st")
+    passed = (
+        (n >= FUNNEL_MIN_TOKENS)
+        & (sl / n <= FUNNEL_MAX_AWL)
+        & ((n - d) / n < FUNNEL_MAX_REP)
+        & (st / n >= FUNNEL_MIN_STOP)
+    )
+    gated = (
+        docs.select("doc_id", F.md5(_norm()).alias("fp"), stats.alias("__t"))
+        .filter(passed)
+        .select("doc_id", "fp", F.col("__t.n").alias("n_tok"))
+    )
+    kept = (
+        gated.groupBy("fp")
+        .agg(F.min_by(F.struct("doc_id", "n_tok"), "doc_id").alias("__k"))
+        .select(F.col("__k.doc_id").alias("doc_id"), F.col("__k.n_tok").alias("n_tok"))
+    )
+    base = kept.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+        F.least(F.col("n_tok"), F.lit(PACK_BUDGET)).cast("long").alias("tok_c"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("tok_c").over(w), F.lit(0).cast("long"))
+    return (
+        base.withColumn("seq_id", F.floor(offset / F.lit(PACK_BUDGET)))
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok_c").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+DOC_CURATION_PIPELINE_SQL = f"""
+    WITH per AS (
+        SELECT doc_id, md5(nrm) AS fp, len(w) AS n,
+               list_aggregate(list_transform(w, x -> length(x)), 'sum') AS sl,
+               len(list_distinct(w)) AS d,
+               len(list_filter(w, x -> list_contains({_STOPWORDS!r}, x))) AS st
+        FROM (SELECT doc_id, {NORM_SQL} AS nrm, {WORDS_SQL} AS w FROM documents)
+    ),
+    gated AS (
+        SELECT doc_id, fp, n AS n_tok FROM per
+        WHERE n >= {FUNNEL_MIN_TOKENS} AND sl / n <= {FUNNEL_MAX_AWL}
+          AND (n - d) / CAST(n AS DOUBLE) < {FUNNEL_MAX_REP}
+          AND st / CAST(n AS DOUBLE) >= {FUNNEL_MIN_STOP}
+    ),
+    kept AS (
+        SELECT arg_min(doc_id, doc_id) AS doc_id,
+               arg_min(n_tok, doc_id) AS n_tok
+        FROM gated GROUP BY fp
+    ),
+    base AS (
+        SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+               CAST(least(n_tok, {PACK_BUDGET}) AS BIGINT) AS tok_c
+        FROM kept
+    ),
+    a AS (
+        SELECT shard, doc_id, tok_c,
+               CAST(floor(coalesce(sum(tok_c) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {PACK_BUDGET}) AS BIGINT) AS seq_id
+        FROM base
+    )
+    SELECT shard, seq_id, count(*) AS n_docs,
+           CAST(sum(tok_c) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc
+    FROM a GROUP BY shard, seq_id
+"""

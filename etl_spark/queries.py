@@ -124,6 +124,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.doc_substring_dup,
         textops.DOC_SUBSTRING_DUP_SQL,
     ),
+    "doc_curation_pipeline": (
+        textops.doc_curation_pipeline,
+        textops.DOC_CURATION_PIPELINE_SQL,
+    ),
     # --- similarity search over embeddings ---
     "emb_cosine_topk": (simsearch.emb_cosine_topk, simsearch.EMB_COSINE_TOPK_SQL),
     "emb_knn_label": (simsearch.emb_knn_label, simsearch.EMB_KNN_LABEL_SQL),

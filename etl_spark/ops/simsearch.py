@@ -744,23 +744,25 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(KMEANS_ITERS - 1):
         a = e.withColumn("__c", _kmeans_assign(cents))
+        # update = ONE hash aggregate with 64 per-dim sum buffers (k rows
+        # out) — no row blowup, map-side partials carry the whole reduction
         upd = (
-            a.select("__c", F.posexplode("__q").alias("pos", "val"))
-            .groupBy("__c", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            a.groupBy("__c")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("__q", i + 1)).alias(f"s{i}")
+                    for i in range(EMB_DIM)
+                ],
+            )
             .collect()
         )
-        by_c: dict[int, dict[int, int]] = {}
-        n_c: dict[int, int] = {}
-        for r in upd:
-            by_c.setdefault(int(r["__c"]), {})[int(r["pos"])] = int(r["s"])
-            n_c[int(r["__c"])] = int(r["n"])
+        by_c = {
+            int(r["__c"]): ([int(r[f"s{i}"]) for i in range(EMB_DIM)], int(r["n"]))
+            for r in upd
+        }
         cents = [
-            (
-                c,
-                [by_c[c][p] for p in range(EMB_DIM)] if c in by_c else s,
-                n_c.get(c, n),
-            )
+            (c, by_c[c][0], by_c[c][1]) if c in by_c else (c, s, n)
             for c, s, n in cents
         ]
     final = e.withColumn("__c", _kmeans_assign(cents))

@@ -159,3 +159,16 @@ def test_delete_where_untouched_buckets_reuse_files(spark, tmp_path):
     assert len(changed) == 1  # only the bucket holding conv-0 was rewritten
     unchanged = [b for b in before if b not in changed]
     assert all(before[b] == after[b] for b in unchanged)
+
+
+def test_delete_where_purge_entire_bucket(spark, tmp_path):
+    # all rows share one conv -> one bucket; purging everything must leave
+    # a readable empty-bucket manifest and later inserts must still work
+    rows = [("I", TS, i, "only-conv", i, "user", f"t{i}", None) for i in range(5)]
+    table = _mk_table(spark, tmp_path, rows, n_buckets=4)
+    n = table.delete_where(spark, "conv_id = 'only-conv'", purge=True)
+    assert n == 5
+    assert table.read(spark).count() == 0
+    again = [("I", TS2, 100, "only-conv", 0, "user", "fresh", None)]
+    apply_batch(spark, table, spark.createDataFrame(again, SCHEMA), "b2")
+    assert _state(spark, table) == {("only-conv", 0): ("user", "fresh")}

@@ -659,11 +659,16 @@ def _merge_patch(
         stats.fast_path_append = True
         events = batch_ev
     else:
-        # the committed state joins the aggregation as one virtual
-        # full-image (or delete) event per key; reduced=True so
-        # merge-on-read deltas resolve to one virtual event per key
+        # the committed state joins the aggregation as virtual full-image
+        # (or delete) events. RAW storage rows go in — merge-on-read
+        # deltas are NOT pre-reduced, because the resolution's per-column
+        # max over multiple full-image virtuals at distinct ords equals
+        # the reduced row exactly (full images set every column; delete
+        # dominance and __t_ord = max virtual ord are likewise invariant).
+        # Skipping the pre-reduce removes one whole exchange + sort-agg
+        # per micro-batch from the patch path.
         tgt = _align_to(
-            table.read_storage(spark, touched, reduced=True),
+            table.read_storage(spark, touched, reduced=False),
             storage_cols, storage_schema,
         )
         if mode == "mor":

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "doc_substring_dup",
     "events_asof_join",
     "events_range_join",
+    "events_distinct_sketch",
     "emb_kmeans",
     "mm_audio_chunks",
     "shipping_priority",

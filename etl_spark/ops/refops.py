@@ -1003,3 +1003,48 @@ EVENTS_RANGE_JOIN_SQL = f"""
      AND e.ts >= w.w_start AND e.ts < w.w_end
     GROUP BY w.win_id, w.event_type
 """
+
+
+# --- theta-style distinct sketch ----------------------------------------------
+# Sketch-based COUNT(DISTINCT) for 100 TB group-bys: hash every key to a
+# uniform 60-bit value, keep only hashes under a fixed threshold
+# (sample_frac of the hash space), and scale the kept-distinct count back
+# up — the theta/KMV sketch idea with a FIXED theta, which makes it a
+# pure filter + small exact distinct: per group the shuffle carries only
+# ~frac of the distinct keys (here 1/16; at 10^10 keys per group that is
+# the difference between a spilling exact distinct and an in-memory one).
+# Unlike HLL++ (approx_count_distinct), whose register layout differs
+# per engine, this construction is deterministic given the shared md5 —
+# the DuckDB oracle reproduces the estimate EXACTLY, so the sketch's
+# estimate (not just its error bound) is oracle-checked. Reference
+# analog: hash-mod work sampling (/root/reference/etl/globals.go
+# DoesBatchContain-style routing).
+
+SKETCH_BITS = 60
+SKETCH_FRAC = 16          # keep hashes in the lowest 1/16 of the space
+SKETCH_T = (1 << SKETCH_BITS) // SKETCH_FRAC
+
+
+def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+               ).cast("long")
+    kept = ev.select("event_type", h.alias("__h")).filter(F.col("__h") < SKETCH_T)
+    return kept.groupBy("event_type").agg(
+        F.countDistinct("__h").alias("kept_distinct"),
+        (F.countDistinct("__h") * SKETCH_FRAC).cast("long").alias("est_distinct"),
+    )
+
+
+EVENTS_DISTINCT_SKETCH_SQL = f"""
+    SELECT event_type,
+           count(DISTINCT h) AS kept_distinct,
+           CAST(count(DISTINCT h) * {SKETCH_FRAC} AS BIGINT) AS est_distinct
+    FROM (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events
+    )
+    WHERE h < {SKETCH_T}
+    GROUP BY event_type
+"""

@@ -66,6 +66,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stratified_sample": (refops.stratified_sample, refops.STRATIFIED_SAMPLE_SQL),
     "events_asof_join": (refops.events_asof_join, refops.EVENTS_ASOF_JOIN_SQL),
     "events_range_join": (refops.events_range_join, refops.EVENTS_RANGE_JOIN_SQL),
+    "events_distinct_sketch": (
+        refops.events_distinct_sketch,
+        refops.EVENTS_DISTINCT_SKETCH_SQL,
+    ),
     # --- star-schema analytics (joins/agg/top-k) ---
     "q1_pricing_summary": (tpch.q1_pricing_summary, tpch.Q1_SQL),
     "top_orders_by_revenue": (tpch.top_orders_by_revenue, tpch.TOP_ORDERS_SQL),

@@ -278,6 +278,27 @@ class LakeTable:
                     out.append(v)
         return sorted(out)
 
+    def version_as_of(self, ts: str | float) -> int:
+        """Timestamp time-travel (Iceberg ``TIMESTAMP AS OF``): the snapshot
+        that was CURRENT at ``ts`` — the newest retained version whose
+        commit time (``created_unix``, stamped inside the manifest before
+        the atomic pointer swap, so it is crash-consistent with visibility)
+        is <= ts. ISO-8601 strings are interpreted like every other ts in
+        the engine (naive = UTC). Raises if ts predates the oldest retained
+        snapshot — answering with a LATER state than existed at ts would be
+        silently wrong, the same contract as the expired-version error."""
+        cutoff = float(ts) if isinstance(ts, (int, float)) else _iso_to_utc(ts)[0] / 1e6
+        best = None
+        for v in self.versions():
+            if self.manifest(v).created_unix <= cutoff:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot existed at {ts!r}; oldest retained "
+                f"version is {self.versions()[:1]}"
+            )
+        return best
+
     # ------------------------------------------------------ branches / tags
     # Branch = a named snapshot pointer (file ``BRANCH-<name>`` beside
     # CURRENT). Staged commits on a branch create ordinary v{N+1}… manifests

@@ -196,3 +196,37 @@ def test_wap_resumes_after_crash_mid_stage(spark, tmpdir_path):
     t2 = LakeTable.create(tmpdir_path + "/oracle", TRANSCRIPT_SCHEMA, n_buckets=4)
     replay_feed(spark, t2, tmpdir_path + "/feed")
     assert _state(spark, t) == _state(spark, t2)
+
+
+def test_version_as_of_timestamp_travel(spark, tmp_path):
+    import time as _time
+
+    import datetime as _dt
+
+    from etl_spark.cdc.apply import apply_batch
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.schema import TRANSCRIPT_SCHEMA
+
+    schema = (
+        "op string, ts timestamp, op_seq long, conv_id string, turn_idx int, "
+        "role string, text string, tool string"
+    )
+    t = LakeTable.create(str(tmp_path / "lk"), TRANSCRIPT_SCHEMA, n_buckets=4)
+    marks = []
+    for i in range(3):
+        rows = [("I", _dt.datetime(2024, 1, 1), 10 + i, "c", i, "user", f"v{i}", None)]
+        apply_batch(spark, t, spark.createDataFrame(rows, schema), f"b{i}")
+        marks.append((_time.time(), t.current_version()))
+        _time.sleep(0.05)
+    # as-of each commit instant resolves to that commit's version
+    for when, ver in marks:
+        assert t.version_as_of(when + 0.01) == ver
+    # now → newest; before the first snapshot → error
+    assert t.version_as_of(_time.time()) == marks[-1][1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.version_as_of(marks[0][0] - 3600)
+    # the resolved version is readable (time-travel read path)
+    v1 = t.version_as_of(marks[1][0] + 0.01)
+    assert t.read(spark, version=v1).count() == 2

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "mm_audio_chunks",
     "shipping_priority",
     "doc_curation_pipeline",
+    "doc_winnow_fingerprint",
     "cdc_patch_state",
     "cdc_envelope_decode",
     "filtered_revenue",

@@ -1489,3 +1489,108 @@ DOC_CURATION_PIPELINE_SQL = f"""
            min(doc_id) AS first_doc
     FROM a GROUP BY shard, seq_id
 """
+
+
+# --- winnowing fingerprints (rolling k-gram hashes, window minima) ------------
+# The document-fingerprinting algorithm behind MOSS (Schleimer, Wilkerson,
+# Aiken, SIGMOD 2003): hash every k-gram, slide a window of W consecutive
+# hashes, select each window's minimum — guaranteeing any shared substring
+# of length >= k+W-1 contributes at least one common fingerprint, with a
+# ~2/(W+1) selection density. Entirely per-row array math (let-bound
+# lambdas, no shuffle at all): at 100 TB this is a map-only scan whose
+# output (doc_id, a few selected longs) is the ONLY thing that moves —
+# downstream dedup joins on the selected fingerprints exactly like the
+# LSH band keys. The checksum folds the selected set mod 2^31-1 so the
+# oracle compares exact integers.
+
+WINNOW_K = 3      # words per k-gram
+WINNOW_W = 4      # hashes per winnowing window
+
+
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    p = F.lit(MERSENNE_P).cast("long")
+
+    def hashes(w):
+        grams = F.when(
+            F.size(w) >= WINNOW_K,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (WINNOW_K - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i),
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        )
+
+    def mins_of(h):
+        return (
+            F.when(
+                F.size(h) >= WINNOW_W,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(h) - (WINNOW_W - 1)),
+                    lambda j: F.array_min(F.slice(h, j, WINNOW_W)),
+                ),
+            )
+            .when(F.size(h) > 0, F.array(F.array_min(h)))
+            .otherwise(F.array().cast("array<long>"))
+        )
+
+    stats = _let(
+        _let(F.split(_norm(), " "), hashes),
+        lambda h: _let(
+            mins_of(h),
+            lambda m: F.struct(
+                F.size(h).alias("ng"),
+                F.size(F.array_distinct(m)).alias("nf"),
+                F.aggregate(
+                    F.transform(F.array_distinct(m), lambda x: x % p),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("cs"),
+            ),
+        ),
+    )
+    return docs.select("doc_id", stats.alias("__t")).select(
+        "doc_id",
+        F.col("__t.ng").cast("long").alias("n_grams"),
+        F.col("__t.nf").cast("long").alias("n_fingerprints"),
+        F.col("__t.cs").alias("fp_checksum"),
+    )
+
+
+DOC_WINNOW_SQL = f"""
+    SELECT doc_id,
+           CAST(len(h) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(m)) AS BIGINT) AS n_fingerprints,
+           CAST(coalesce(list_aggregate(
+               list_transform(list_distinct(m), x -> x % {MERSENNE_P}), 'sum'
+           ), 0) AS BIGINT) AS fp_checksum
+    FROM (
+        SELECT doc_id, h,
+               CASE WHEN len(h) >= {WINNOW_W}
+                    THEN list_transform(
+                        range(1, len(h) - {WINNOW_W - 2}),
+                        j -> list_min(h[j:j+{WINNOW_W - 1}]))
+                    WHEN len(h) > 0 THEN [list_min(h)]
+                    ELSE [] END AS m
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       CASE WHEN len(w) >= {WINNOW_K}
+                            THEN list_transform(
+                                range(1, len(w) - {WINNOW_K - 2}),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                            ELSE [] END,
+                       g -> ('0x' || substr(md5(g), 1, 15))::BIGINT
+                   ) AS h
+            FROM (SELECT doc_id, {WORDS_SQL} AS w FROM documents)
+        )
+    )
+"""

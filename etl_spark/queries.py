@@ -132,6 +132,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.doc_curation_pipeline,
         textops.DOC_CURATION_PIPELINE_SQL,
     ),
+    "doc_winnow_fingerprint": (
+        textops.doc_winnow_fingerprint,
+        textops.DOC_WINNOW_SQL,
+    ),
     # --- similarity search over embeddings ---
     "emb_cosine_topk": (simsearch.emb_cosine_topk, simsearch.EMB_COSINE_TOPK_SQL),
     "emb_knn_label": (simsearch.emb_knn_label, simsearch.EMB_KNN_LABEL_SQL),

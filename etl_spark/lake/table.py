@@ -37,6 +37,16 @@ data — at n_buckets=4096 and one commit per micro-batch it stays in the
 driver's working set like Iceberg's manifest lists; data reads/writes are
 pure parquet DataFrame scans that Catalyst prunes by bucket directory. No
 driver-side row iteration anywhere.
+
+Ledger growth: the idempotence ledger (``commits`` + ``segments``) adds one
+small record per applied batch/segment, so manifest JSON size is
+O(files + history). Per-file input entries are pruned once their segment
+completes (see commit_version), compaction collapses file lists, and at
+the reference's own cadence (one archive ≈ one segment; ~10^4-10^5
+segments per 10^10 events) the ledger stays single-digit MB — written
+once per commit, never shipped to executors. A deployment past that scale
+would snapshot the ledger the way Iceberg splits manifest lists; the swap
+seam is commit_version, which is the only writer of it.
 """
 
 from __future__ import annotations

@@ -105,6 +105,11 @@ BENCH_QUERIES = [
     "filtered_revenue",
     "returned_item_revenue",
     "emb_sq_topk",
+    "customers_no_orders",
+    "small_qty_revenue",
+    "top_supplier",
+    "parts_supplier_count",
+    "market_share",
 ]
 # (cdc_patch_replay is replay-backed — excluded like the other replays.)
 # Excluded from the timed suite (correctness-only at sf0.01):

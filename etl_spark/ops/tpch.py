@@ -371,3 +371,268 @@ SHIPPING_PRIORITY_SQL = f"""
       AND c_mktsegment = 'BUILDING'
     ORDER BY rev DESC, o_orderkey LIMIT 10
 """
+
+
+# --- dormant rich customers (TPC-H Q22 analog) --------------------------------
+# Anti-join + scalar aggregate subquery: "rich" customers (account balance
+# above the positive-balance mean) with no RECENT order (the testdata
+# gives every customer at least one lifetime order, so the anti-join is
+# against the date-filtered orders — same plan shape, non-vacuous result),
+# rolled up per nation. Plan shape at 100 TB: the global (sum, count) pair
+# is a 2-long scalar broadcast (never a collect of rows); the anti-join is
+# a LEFT ANTI hash join on the orders key — AQE broadcasts the filtered
+# customer side when small, shuffles both sides when not; the date filter
+# is pushed to the orders parquet scan. The mean comparison is done as
+# acctbal * n > sum  in DECIMAL so Spark and DuckDB agree exactly (a
+# double `avg()` differs in the last ulp by summation order). Reference
+# analog: the annotation service's "rows with no matching snaplog"
+# inverse join (SURVEY §2.6 J1's complement).
+
+DORMANT_CUTOFF = "2001-01-01"
+
+
+def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(DORMANT_CUTOFF).cast("timestamp")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    stats = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(_dec("c_acctbal")).alias("__sum"),
+            F.count("*").alias("__n"),
+        )
+    )
+    rich = (
+        cust.join(F.broadcast(stats))
+        .filter(_dec("c_acctbal") * F.col("__n") > F.col("__sum"))
+    )
+    no_ord = rich.join(
+        orders.select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        no_ord.join(F.broadcast(nation), no_ord.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+CUSTOMERS_NO_ORDERS_SQL = f"""
+    SELECT n_name, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE CAST(c_acctbal AS DECIMAL(18,2))
+            * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+             FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '{DORMANT_CUTOFF} 00:00:00')
+    GROUP BY n_name
+"""
+
+
+# --- small-quantity revenue (TPC-H Q17 analog) --------------------------------
+# Correlated aggregate subquery, decorrelated Spark-first: the per-part
+# mean quantity becomes ONE pre-aggregation over lineitem (map-side
+# partials, |part| output rows), then an equi-join back — never a per-row
+# subquery execution. The 0.2*avg comparison is  qty * 5 * n < sum  in
+# DECIMAL for exact cross-engine agreement. At 100 TB both the stats
+# pre-agg and the re-join shuffle on l_partkey, so AQE coalesces them
+# into one exchange reuse.
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("__sum_qty"),
+        F.count("*").alias("__n"),
+    )
+    sel = part.filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(sel), li.l_partkey == F.col("p_partkey"))
+        .join(stats, "l_partkey")
+        .filter(_dec("l_quantity") * F.lit(5) * F.col("__n") < F.col("__sum_qty"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_rev"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SMALL_QTY_REVENUE_SQL = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+      AND CAST(l_quantity AS DECIMAL(18,2)) * 5
+            * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+          < (SELECT sum(CAST(l_quantity AS DECIMAL(18,2)))
+             FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+# --- top supplier by quarterly revenue (TPC-H Q15 analog) ---------------------
+# Argmax over an aggregate: quarterly revenue per supplier, keep the
+# supplier(s) hitting the global max. The max is a single DECIMAL scalar
+# broadcast back against the (already |supplier|-sized) revenue relation —
+# equality on DECIMAL is exact, so ties resolve identically in both
+# engines. Q15's CREATE VIEW becomes a plain CTE/DataFrame reuse.
+
+TOP_SUPPLIER_START = "1997-01-01"
+TOP_SUPPLIER_END = "1997-04-01"
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(TOP_SUPPLIER_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(TOP_SUPPLIER_END).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("__rev"))
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+TOP_SUPPLIER_SQL = f"""
+    WITH revenue AS (
+        SELECT l_suppkey, sum({REV_SQL}) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_START} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{TOP_SUPPLIER_END} 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE rev = (SELECT max(rev) FROM revenue)
+"""
+
+
+# --- supplier diversity per part class (TPC-H Q16 analog) ---------------------
+# COUNT(DISTINCT) with a NOT-IN exclusion list: distinct suppliers per
+# (brand, size) over non-promo parts, excluding "complaint" suppliers
+# (negative balance — the testdata's analog of Q16's comment scan). The
+# exclusion is a LEFT ANTI join (NULL-safe, unlike a naive NOT IN at
+# scale); the distinct-count shuffles once on the group key with
+# partial_count(distinct) map-side.
+
+def parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    sel = part.filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_type") != "PROMO")
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        li.join(F.broadcast(sel), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+PARTS_SUPPLIER_COUNT_SQL = """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+"""
+
+
+# --- national market share (TPC-H Q8 analog) ----------------------------------
+# Six-table star join where the nation dimension plays TWO roles (customer
+# nation restricts the market to one region; supplier nation drives the
+# numerator). Share-of-revenue per order year. Both sums are exact
+# DECIMAL; the share divides the two as DOUBLE — identical operands give
+# a bit-identical quotient in both engines. At 100 TB: region/nation are
+# hinted broadcasts (fixed cardinality), customer/orders joins left to
+# AQE, and the whole thing is one fact-table scan.
+
+MKT_REGION = "ASIA"
+MKT_NATION = "NATION_7"
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cnat = nation.select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_regionkey").alias("__cn_reg")
+    )
+    snat = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("__sn_name")
+    )
+    reg = region.filter(F.col("r_name") == MKT_REGION)
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cnat), cust.c_nationkey == F.col("__cn_key"))
+        .join(F.broadcast(reg), F.col("__cn_reg") == reg.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snat), supp.s_nationkey == F.col("__sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("__sn_name") == MKT_NATION, _rev()).otherwise(zero))
+            .cast("double")
+            .alias("nation_rev"),
+            F.sum(_rev()).cast("double").alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            "nation_rev",
+            "total_rev",
+            (F.col("nation_rev") / F.col("total_rev")).alias("mkt_share"),
+        )
+    )
+
+
+MARKET_SHARE_SQL = f"""
+    WITH scoped AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               {REV_SQL} AS rev, sn.n_name AS sn_name
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = '{MKT_REGION}'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN sn_name = '{MKT_NATION}' THEN rev
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_rev,
+           CAST(sum(rev) AS DOUBLE) AS total_rev,
+           CAST(sum(CASE WHEN sn_name = '{MKT_NATION}' THEN rev
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE) AS mkt_share
+    FROM scoped
+    GROUP BY o_year
+"""

@@ -86,6 +86,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         tpch.RETURNED_ITEM_SQL,
     ),
     "shipping_priority": (tpch.shipping_priority, tpch.SHIPPING_PRIORITY_SQL),
+    "customers_no_orders": (tpch.customers_no_orders, tpch.CUSTOMERS_NO_ORDERS_SQL),
+    "small_qty_revenue": (tpch.small_qty_revenue, tpch.SMALL_QTY_REVENUE_SQL),
+    "top_supplier": (tpch.top_supplier, tpch.TOP_SUPPLIER_SQL),
+    "parts_supplier_count": (
+        tpch.parts_supplier_count,
+        tpch.PARTS_SUPPLIER_COUNT_SQL,
+    ),
+    "market_share": (tpch.market_share, tpch.MARKET_SHARE_SQL),
     # --- text curation: dedup / quality / lang-id / fingerprint ---
     "doc_exact_dedup": (textops.doc_exact_dedup, textops.DOC_EXACT_DEDUP_SQL),
     "doc_quality": (textops.doc_quality, textops.DOC_QUALITY_SQL),

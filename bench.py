@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "top_supplier",
     "parts_supplier_count",
     "market_share",
+    "event_percentiles",
+    "type_day_rollup_sets",
+    "user_type_pivot",
 ]
 # (cdc_patch_replay is replay-backed — excluded like the other replays.)
 # Excluded from the timed suite (correctness-only at sf0.01):

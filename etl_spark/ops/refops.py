@@ -1048,3 +1048,135 @@ EVENTS_DISTINCT_SKETCH_SQL = f"""
     WHERE h < {SKETCH_T}
     GROUP BY event_type
 """
+
+
+# --- OLAP: exact discrete percentiles per group -------------------------------
+# Exact p50/p90/p99 of `value` per event type — percentile_disc semantics
+# (pick the ceil(p*n)-th element of the sorted multiset, NO interpolation),
+# computed with one sort-window pass + one hash agg. Discrete quantiles
+# return ORIGINAL doubles, so both engines agree bitwise; interpolating
+# quantiles (percentile_cont / Spark `percentile`) mix engine-specific
+# float expressions and are deliberately avoided. The rank threshold is
+# integer math ((p*100*n + 99) div 100), never float ceil. At 100 TB the
+# window sorts within event_type partitions (5 types here → salt or
+# pre-bucket by (type, value-range) for truly hot types; the shuffle is
+# one exchange on the partition key either way). Reference analog: the
+# web100 snapshot summaries pick ordinal elements of ordered series
+# (/root/reference/web100/web100.go:590-616), not interpolated ones.
+
+def event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_type", "event_id", "value")
+    w = W.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+
+    def pick(p: int) -> F.Column:
+        return F.min(
+            F.when(
+                F.col("rn") == F.expr(f"({p} * n + 99) div 100"), F.col("value")
+            )
+        )
+
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        pick(50).alias("p50"),
+        pick(90).alias("p90"),
+        pick(99).alias("p99"),
+    )
+
+
+EVENT_PERCENTILES_SQL = """
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value ASC, event_id ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type, max(n) AS n,
+           min(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS p50,
+           min(CASE WHEN rn = (90 * n + 99) // 100 THEN value END) AS p90,
+           min(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+    FROM ranked GROUP BY event_type
+"""
+
+
+# --- OLAP: ROLLUP grouping sets ------------------------------------------------
+# One scan computing the (type, day), (type), () aggregation lattice with
+# map-side partials — the Spark `rollup` relational operator (Catalyst
+# Expand node: each input row fans out once per grouping set BEFORE the
+# exchange, so the shuffle still carries partially-aggregated rows; at
+# 100 TB that is 3× map output for 3 grouping sets, not 3 scans).
+# grouping() flags disambiguate the NULL-key subtotal rows from genuine
+# NULL group values.
+
+def type_day_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("<all>")).alias("day"),
+            "g_type",
+            "g_day",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+TYPE_DAY_ROLLUP_SETS_SQL = """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(CAST(ts_day AS DATE) AS VARCHAR), '<all>') AS day,
+           CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+           CAST(GROUPING(ts_day) AS INTEGER) AS g_day,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (SELECT event_type, CAST(ts AS DATE) AS ts_day, value FROM events)
+    GROUP BY ROLLUP (event_type, ts_day)
+"""
+
+
+# --- OLAP: pivot (conditional aggregation) -------------------------------------
+# Wide per-user activity matrix: `pivot` over the closed event-type set.
+# Spark's pivot IS conditional aggregation after Catalyst lowers it (one
+# hash agg, no join, no extra shuffle vs the plain groupBy) — the pivot
+# column list is declared explicitly, because at 100 TB an undeclared
+# pivot first runs a distinct scan just to learn the columns. The oracle
+# spells out the same CASE WHEN lowering in ANSI SQL.
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dec = F.col("value").cast("decimal(18,2)")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.sum(dec))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t).cast("double"), F.lit(0.0)).alias(f"sum_{t}")
+            for t in PIVOT_TYPES
+        ],
+    )
+
+
+USER_TYPE_PIVOT_SQL = "SELECT user_id, " + ", ".join(
+    f"CAST(coalesce(sum(CASE WHEN event_type = '{t}' "
+    f"THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS sum_{t}"
+    for t in PIVOT_TYPES
+) + " FROM events GROUP BY user_id"

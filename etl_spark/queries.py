@@ -70,6 +70,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         refops.events_distinct_sketch,
         refops.EVENTS_DISTINCT_SKETCH_SQL,
     ),
+    "event_percentiles": (refops.event_percentiles, refops.EVENT_PERCENTILES_SQL),
+    "type_day_rollup_sets": (
+        refops.type_day_rollup_sets,
+        refops.TYPE_DAY_ROLLUP_SETS_SQL,
+    ),
+    "user_type_pivot": (refops.user_type_pivot, refops.USER_TYPE_PIVOT_SQL),
     # --- star-schema analytics (joins/agg/top-k) ---
     "q1_pricing_summary": (tpch.q1_pricing_summary, tpch.Q1_SQL),
     "top_orders_by_revenue": (tpch.top_orders_by_revenue, tpch.TOP_ORDERS_SQL),

@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "event_percentiles",
     "type_day_rollup_sets",
     "user_type_pivot",
+    "user_set_ops",
+    "events_trailing_window",
 ]
 # (cdc_patch_replay is replay-backed — excluded like the other replays.)
 # Excluded from the timed suite (correctness-only at sf0.01):

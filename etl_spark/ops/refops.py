@@ -1180,3 +1180,86 @@ USER_TYPE_PIVOT_SQL = "SELECT user_id, " + ", ".join(
     f"THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS sum_{t}"
     for t in PIVOT_TYPES
 ) + " FROM events GROUP BY user_id"
+
+
+# --- set operators: EXCEPT / INTERSECT -----------------------------------------
+# Buyer/error user-set algebra: purchasers who never erred (EXCEPT) and
+# purchasers who also signed up (INTERSECT), tagged and unioned. Spark
+# lowers both to aggregate/join shapes with distinct semantics — one
+# exchange per side on user_id, no row-by-row anti logic. The tag column
+# keeps the two sets distinguishable through the driver's sorted-hash
+# compare.
+
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+
+    def days(t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select("user_id", F.to_date("ts").cast("string").alias("day"))
+        )
+
+    # (user, day) granularity so both sets discriminate at every SF; EXCEPT
+    # DISTINCT semantics: distinct left input, then the left-anti lowering
+    # of exceptAll — one exchange per side
+    clean = days("purchase").distinct().exceptAll(days("error").distinct())
+    both = days("purchase").intersect(days("signup"))
+    return clean.withColumn("tag", F.lit("buy_day_no_error")).unionByName(
+        both.withColumn("tag", F.lit("buy_and_signup_day"))
+    )
+
+
+USER_SET_OPS_SQL = """
+    WITH d AS (SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                      event_type FROM events)
+    SELECT user_id, day, 'buy_day_no_error' AS tag FROM (
+        SELECT user_id, day FROM d WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT user_id, day FROM d WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT user_id, day, 'buy_and_signup_day' AS tag FROM (
+        SELECT user_id, day FROM d WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id, day FROM d WHERE event_type = 'signup'
+    )
+"""
+
+
+# --- RANGE-frame trailing window -------------------------------------------------
+# Per-user trailing 1-hour activity (sum + count), a RANGE BETWEEN frame
+# keyed on event time — the frame boundary is a VALUE offset (3600s), not
+# a row count, so ties and gaps are handled by time, the way rate limits
+# and rolling SLOs are defined. Spark requires a numeric ordering column
+# for range frames → epoch seconds; the sum is exact DECIMAL. One
+# exchange on user_id, sort within partition, single pass.
+
+def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    sec = F.unix_timestamp("ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum("v").over(w).cast("double").alias("trailing_sum"),
+        F.count("*").over(w).alias("trailing_n"),
+    )
+
+
+EVENTS_TRAILING_WINDOW_SQL = """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_sum,
+           count(*) OVER w AS trailing_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""

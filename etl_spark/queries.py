@@ -76,6 +76,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         refops.TYPE_DAY_ROLLUP_SETS_SQL,
     ),
     "user_type_pivot": (refops.user_type_pivot, refops.USER_TYPE_PIVOT_SQL),
+    "user_set_ops": (refops.user_set_ops, refops.USER_SET_OPS_SQL),
+    "events_trailing_window": (
+        refops.events_trailing_window,
+        refops.EVENTS_TRAILING_WINDOW_SQL,
+    ),
     # --- star-schema analytics (joins/agg/top-k) ---
     "q1_pricing_summary": (tpch.q1_pricing_summary, tpch.Q1_SQL),
     "top_orders_by_revenue": (tpch.top_orders_by_revenue, tpch.TOP_ORDERS_SQL),

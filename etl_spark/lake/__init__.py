@@ -1,6 +1,7 @@
 from etl_spark.lake.table import CommitConflictError, LakeTable
 from etl_spark.lake.merge import merge_into, MergeStats
 from etl_spark.lake.catalog import LakeCatalog, TableNotFoundError
+from etl_spark.lake.export import export_partitioned, read_export
 
 __all__ = [
     "LakeTable",
@@ -9,4 +10,6 @@ __all__ = [
     "MergeStats",
     "LakeCatalog",
     "TableNotFoundError",
+    "export_partitioned",
+    "read_export",
 ]

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "user_type_pivot",
     "user_set_ops",
     "events_trailing_window",
+    "events_funnel",
+    "events_retention",
 ]
 # (cdc_patch_replay is replay-backed — excluded like the other replays.)
 # Excluded from the timed suite (correctness-only at sf0.01):

@@ -1263,3 +1263,86 @@ EVENTS_TRAILING_WINDOW_SQL = """
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
+
+
+# --- ordered conversion funnel ---------------------------------------------------
+# signup → purchase ordering per user: one conditional aggregate computes
+# each user's first signup and first purchase timestamps (min_by-free —
+# plain FILTERed mins, map-side combinable), the funnel stage is decided
+# by comparing them, and a final rollup counts users per stage. One scan,
+# two hash aggregates, no window, no self-join — the shape that survives
+# 10^10 events (the naive formulation self-joins events on user_id).
+# Tie-break: a purchase at the exact signup instant counts as converted
+# (>=), and both engines compare identical µs integers.
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("t_purchase"),
+    )
+    stage = (
+        F.when(F.col("t_signup").isNull(), F.lit("no_signup"))
+        .when(F.col("t_purchase").isNull(), F.lit("signup_only"))
+        .when(F.col("t_purchase") >= F.col("t_signup"), F.lit("converted"))
+        .otherwise(F.lit("purchase_first"))
+    )
+    return (
+        per_user.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+    SELECT stage, count(*) AS n_users FROM (
+        SELECT CASE WHEN t_signup IS NULL THEN 'no_signup'
+                    WHEN t_purchase IS NULL THEN 'signup_only'
+                    WHEN t_purchase >= t_signup THEN 'converted'
+                    ELSE 'purchase_first' END AS stage
+        FROM (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup'
+                            THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_signup,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+            FROM events GROUP BY user_id
+        )
+    ) GROUP BY stage
+"""
+
+
+# --- cohort retention matrix ------------------------------------------------------
+# Users cohorted by first-activity day; retention cell (cohort_day,
+# day_offset) counts distinct users of that cohort active offset days
+# later. Two aggregates: first-day per user (hash agg), then the
+# (cohort, offset) distinct count — the user×day dedup happens in the
+# same aggregate via count(DISTINCT user_id). The cohort join is on
+# user_id (AQE: broadcast while the user dimension fits, shuffle after).
+# Day math is DATEDIFF on DATE values — integer-exact in both engines.
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+EVENTS_RETENTION_SQL = """
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    first AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(datediff('day', cohort_day, day) AS INTEGER) AS day_offset,
+           count(DISTINCT d.user_id) AS n_active
+    FROM d JOIN first ON d.user_id = first.user_id
+    GROUP BY 1, 2
+"""

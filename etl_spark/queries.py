@@ -81,6 +81,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         refops.events_trailing_window,
         refops.EVENTS_TRAILING_WINDOW_SQL,
     ),
+    "events_funnel": (refops.events_funnel, refops.EVENTS_FUNNEL_SQL),
+    "events_retention": (refops.events_retention, refops.EVENTS_RETENTION_SQL),
     # --- star-schema analytics (joins/agg/top-k) ---
     "q1_pricing_summary": (tpch.q1_pricing_summary, tpch.Q1_SQL),
     "top_orders_by_revenue": (tpch.top_orders_by_revenue, tpch.TOP_ORDERS_SQL),

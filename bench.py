@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "events_trailing_window",
     "events_funnel",
     "events_retention",
+    "doc_dup_canonical",
 ]
 # (cdc_patch_replay is replay-backed — excluded like the other replays.)
 # Excluded from the timed suite (correctness-only at sf0.01):

@@ -1594,3 +1594,39 @@ DOC_WINNOW_SQL = f"""
         )
     )
 """
+
+
+# --- canonical selection for duplicate clusters --------------------------------
+# Composition: connected-component dup clusters (doc_dup_groups) × a
+# deterministic quality key (token count, doc_id tiebreak) → per cluster
+# keep the best document, drop the rest. This is the curation decision
+# the cluster labels exist FOR: dedup keeps the longest member, not an
+# arbitrary one. Plan: the CC labels (bounded iterative joins, see
+# connected_components_labels) + ONE window over cluster_id — the window
+# partitions by cluster, and clusters are tiny (near-dup groups), so no
+# skew. Integer-only ranking: no float quality score to drift between
+# engines.
+
+def doc_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = doc_dup_groups(spark, sf_dir).select("doc_id", "cluster_id")
+    ntok = _with_words(_docs(spark, sf_dir)).select(
+        "doc_id", F.size("__words").alias("n_tokens")
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        groups.join(ntok, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_tokens", "keep")
+    )
+
+
+DOC_DUP_CANONICAL_SQL = f"""
+    WITH groups AS ({DOC_DUP_GROUPS_SQL}),
+    ntok AS (SELECT doc_id, len({WORDS_SQL}) AS n_tokens FROM documents)
+    SELECT g.doc_id, g.cluster_id, n.n_tokens,
+           row_number() OVER (PARTITION BY g.cluster_id
+                              ORDER BY n.n_tokens DESC, g.doc_id ASC) = 1 AS keep
+    FROM groups g JOIN ntok n ON g.doc_id = n.doc_id
+"""

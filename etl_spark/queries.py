@@ -157,6 +157,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.doc_winnow_fingerprint,
         textops.DOC_WINNOW_SQL,
     ),
+    "doc_dup_canonical": (textops.doc_dup_canonical, textops.DOC_DUP_CANONICAL_SQL),
     # --- similarity search over embeddings ---
     "emb_cosine_topk": (simsearch.emb_cosine_topk, simsearch.EMB_COSINE_TOPK_SQL),
     "emb_knn_label": (simsearch.emb_knn_label, simsearch.EMB_KNN_LABEL_SQL),

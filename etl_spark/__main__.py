@@ -207,6 +207,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--mv", required=True, help="MV directory")
 
+    p = sub.add_parser(
+        "query",
+        help="run a registry query by name over a testdata SF dir "
+        "(list names with --list)",
+    )
+    p.add_argument("name", nargs="?", help="registry query name")
+    p.add_argument("--sf", default="/root/testdata/sf0.01", help="SF directory")
+    p.add_argument("--limit", type=int, default=20, help="rows to show")
+    p.add_argument("--list", action="store_true", help="list query names")
+    p.add_argument("--explain", action="store_true", help="print the plan instead")
+
     args = ap.parse_args(argv)
 
     from etl_spark.lake.table import LakeTable
@@ -216,7 +227,29 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"table": args.table, "created": True}))
         return 0
 
+    if args.cmd == "query":
+        from etl_spark.queries import REGISTRY
+
+        if args.list or not args.name:
+            for name in sorted(REGISTRY):
+                print(name)
+            return 0
+        if args.name not in REGISTRY:
+            print(f"error: unknown query {args.name!r} (see --list)", file=sys.stderr)
+            return 2
+
     spark = get_spark(cores=args.cores, app_name=f"etl_spark_{args.cmd}")
+
+    if args.cmd == "query":
+        from etl_spark.queries import REGISTRY
+
+        df = REGISTRY[args.name][0](spark, args.sf)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=40)
+            print(json.dumps({"query": args.name, "rows": df.count(), "sf": args.sf}))
+        return 0
 
     if args.cmd == "gen":
         from etl_spark.cdc.gen import change_feed_df, write_feed

@@ -572,7 +572,9 @@ PARTS_SUPPLIER_COUNT_SQL = """
 # AQE, and the whole thing is one fact-table scan.
 
 MKT_REGION = "ASIA"
-MKT_NATION = "NATION_7"
+# NATION_12 is in ASIA (regionkey 2) and has suppliers at every testdata
+# SF including sf0.001 — keeps the numerator non-vacuous at smoke scale
+MKT_NATION = "NATION_12"
 
 
 def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:

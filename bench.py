@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_retention",
     "doc_dup_canonical",
+    "part_pairs",
+    "doc_multimodal_gate",
 ]
 # (cdc_patch_replay is replay-backed — excluded like the other replays.)
 # Excluded from the timed suite (correctness-only at sf0.01):

@@ -1630,3 +1630,55 @@ DOC_DUP_CANONICAL_SQL = f"""
                               ORDER BY n.n_tokens DESC, g.doc_id ASC) = 1 AS keep
     FROM groups g JOIN ntok n ON g.doc_id = n.doc_id
 """
+
+
+# --- cross-modal curation gate ---------------------------------------------------
+# The id-aligned documents/embeddings tables (doc_id == vec_id) model a
+# corpus with one embedding per document; the production dedup decision
+# uses BOTH signals: drop a document if its TEXT is a non-canonical
+# member of a MinHash dup cluster (doc_dup_canonical) OR its EMBEDDING
+# has a cosine near-duplicate with a smaller id (emb_neardup_pairs —
+# smaller id kept, mirroring the canonical rule). One output row per
+# document with each signal separately visible — the downstream filter
+# is `WHERE NOT drop_doc`, the audit is the two boolean columns. Plan:
+# both signal subplans are the registry queries themselves (shared
+# subtrees, bounded iterative CC + banded LSH), fused by two hash joins
+# on doc_id.
+
+def doc_multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_spark.ops import simsearch
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    canon = doc_dup_canonical(spark, sf_dir).select("doc_id", "keep")
+    sem = (
+        simsearch.emb_neardup_pairs(spark, sf_dir)
+        .select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__sem", F.lit(True))
+    )
+    return (
+        docs.join(canon, "doc_id")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            (~F.col("keep")).alias("text_dup"),
+            F.coalesce("__sem", F.lit(False)).alias("semantic_dup"),
+            (~F.col("keep") | F.coalesce("__sem", F.lit(False))).alias("drop_doc"),
+        )
+    )
+
+
+def _multimodal_gate_sql() -> str:
+    from etl_spark.ops.simsearch import EMB_NEARDUP_SQL
+
+    return f"""
+    WITH canon AS ({DOC_DUP_CANONICAL_SQL}),
+    sem AS (SELECT DISTINCT vec_b AS doc_id FROM ({EMB_NEARDUP_SQL}))
+    SELECT d.doc_id,
+           NOT c.keep AS text_dup,
+           s.doc_id IS NOT NULL AS semantic_dup,
+           (NOT c.keep) OR s.doc_id IS NOT NULL AS drop_doc
+    FROM documents d
+    JOIN canon c ON d.doc_id = c.doc_id
+    LEFT JOIN sem s ON d.doc_id = s.doc_id
+"""

@@ -638,3 +638,39 @@ MARKET_SHARE_SQL = f"""
     FROM scoped
     GROUP BY o_year
 """
+
+
+# --- market-basket part co-occurrence ------------------------------------------
+# Self-join on the order key: parts bought together, top pairs by count.
+# The explosion is bounded by ORDER SIZE (C(n,2) with n = lines per
+# order, single digits in any order system), never by |lineitem| — the
+# self-join is an equi-join on l_orderkey whose per-key fan-out is a
+# constant, so it scales linearly. p_a < p_b halves the pairs and fixes
+# the orientation; count ties break by (p_a, p_b) for a deterministic
+# top-k.
+
+TOP_PAIRS = 25
+
+
+def part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "p_a", "p_b")
+        .limit(TOP_PAIRS)
+    )
+
+
+PART_PAIRS_SQL = f"""
+    SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, count(*) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, p_a, p_b LIMIT {TOP_PAIRS}
+"""

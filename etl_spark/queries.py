@@ -107,6 +107,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         tpch.PARTS_SUPPLIER_COUNT_SQL,
     ),
     "market_share": (tpch.market_share, tpch.MARKET_SHARE_SQL),
+    "part_pairs": (tpch.part_pairs, tpch.PART_PAIRS_SQL),
     # --- text curation: dedup / quality / lang-id / fingerprint ---
     "doc_exact_dedup": (textops.doc_exact_dedup, textops.DOC_EXACT_DEDUP_SQL),
     "doc_quality": (textops.doc_quality, textops.DOC_QUALITY_SQL),
@@ -158,6 +159,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.DOC_WINNOW_SQL,
     ),
     "doc_dup_canonical": (textops.doc_dup_canonical, textops.DOC_DUP_CANONICAL_SQL),
+    "doc_multimodal_gate": (
+        textops.doc_multimodal_gate,
+        textops._multimodal_gate_sql(),
+    ),
     # --- similarity search over embeddings ---
     "emb_cosine_topk": (simsearch.emb_cosine_topk, simsearch.EMB_COSINE_TOPK_SQL),
     "emb_knn_label": (simsearch.emb_knn_label, simsearch.EMB_KNN_LABEL_SQL),

@@ -139,6 +139,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--from", dest="v_from", type=int, required=True)
     p.add_argument("--to", dest="v_to", type=int, default=None)
 
+    p = sub.add_parser(
+        "rollback", help="roll the table back to a retained snapshot"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--to-version", type=int, required=True)
+
     p = sub.add_parser("expire", help="expire old snapshots")
     p.add_argument("--table", required=True)
     p.add_argument("--keep-last", type=int, default=2)
@@ -338,6 +344,13 @@ def main(argv: list[str] | None = None) -> int:
         table.changes_between(spark, args.v_from, args.v_to).orderBy(
             "conv_id", "turn_idx"
         ).show(100, truncate=False)
+    elif args.cmd == "rollback":
+        m = table.rollback(args.to_version)
+        print(
+            json.dumps(
+                {"rolled_back_to": args.to_version, "new_version": m.version}
+            )
+        )
     elif args.cmd == "expire":
         n = table.expire_snapshots(keep_last=args.keep_last)
         print(json.dumps({"files_deleted": n, "versions": table.versions()}))

@@ -113,6 +113,26 @@ class LakeCatalog:
         spaces = [ns] if ns is not None else sorted(cat)
         return [f"{s}.{t}" for s in spaces for t in sorted(cat.get(s, {}))]
 
+    def snapshot(self, ns: str | None = None) -> dict[str, int]:
+        """Consistent multi-table read point: the current committed
+        version of every table (one namespace or all). Because each
+        table's commit is an atomic pointer swap and versions are
+        monotonic, pinning {table: version} AND READING THROUGH IT later
+        yields the same cross-table state regardless of concurrent
+        writers — the poor-man's multi-table transaction ISOLATION level
+        (writers still commit per-table; this gives readers a stable
+        joint view, the part downstream joins actually need)."""
+        return {
+            ident: self.load_table(ident).current_version()
+            for ident in self.list_tables(ns)
+        }
+
+    def read_at(self, spark, ident: str, snapshot: dict[str, int]):
+        """Time-travel read of one table under a pinned catalog snapshot."""
+        if ident not in snapshot:
+            raise TableNotFoundError(f"{ident} not in snapshot")
+        return self.load_table(ident).read(spark, version=snapshot[ident])
+
     def drop_table(self, ident: str, purge: bool = False) -> None:
         """Unregister; ``purge=True`` also deletes the table directory."""
         ns, name = self._split(ident)

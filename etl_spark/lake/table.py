@@ -1471,6 +1471,39 @@ class LakeTable:
         )
         return len([b for b, fl in files.items() if fl])
 
+    def rollback(self, to_version: int) -> Manifest:
+        """Iceberg-style rollback: commit a NEW snapshot whose content is
+        an exact copy of a retained older snapshot. History stays linear
+        (versions keep increasing; time travel to the undone versions
+        still works until they expire) and the undo is itself undoable.
+        The batch/segment idempotence ledger reverts WITH the content:
+        feed segments applied after ``to_version`` are no longer "seen",
+        so re-replaying the feed re-applies exactly the undone batches —
+        rollback + replay is the disaster-recovery path (Iceberg analog:
+        ``rollback_to_snapshot``). Goes through the same exclusive-create
+        commit gate as every writer, so it cannot clobber a concurrent
+        commit."""
+        self._require_published_view("rollback")
+        cur = self.manifest()
+        if to_version == cur.version:
+            return cur
+        if to_version not in self.versions():
+            raise ValueError(
+                f"cannot rollback to v{to_version}: not a retained "
+                f"committed snapshot (retained: {self.versions()})"
+            )
+        old = self.manifest(to_version)
+        from dataclasses import replace as _dc_replace
+
+        m = _dc_replace(
+            old,
+            version=cur.version + 1,
+            parent=cur.version,
+            created_unix=time.time(),
+        )
+        self._write_manifest(m)
+        return m
+
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Drop all but the newest ``keep_last`` manifest versions and
         physically delete data/bloom files referenced ONLY by expired

@@ -106,3 +106,20 @@ def test_catalog_snapshot_pins_cross_table_state(spark, tmpdir_path):
     assert got == state_a
     with pytest.raises(TableNotFoundError):
         cat.read_at(spark, "raw.nope", snap)
+
+
+def test_expire_after_rollback_keeps_referenced_files(spark, tmpdir_path):
+    """A rollback manifest references files first written by an OLD
+    version; expiring the old versions must keep those files live (they
+    are referenced by a retained snapshot)."""
+    feed = _feed(spark, tmpdir_path, n_batches=3, seed=13)
+    t = LakeTable.create(os.path.join(tmpdir_path, "lake"), TRANSCRIPT_SCHEMA, 8)
+    replay_feed(spark, t, feed)
+    v_first = t.versions()[0]
+    first_state = _state(spark, t, version=v_first)
+
+    t.rollback(v_first)
+    t.expire_snapshots(keep_last=1)  # only the rollback copy survives
+    assert _state(spark, t) == first_state
+    # the undone versions are gone from history
+    assert t.versions() == [t.current_version()]

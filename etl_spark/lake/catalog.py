@@ -121,7 +121,12 @@ class LakeCatalog:
         yields the same cross-table state regardless of concurrent
         writers — the poor-man's multi-table transaction ISOLATION level
         (writers still commit per-table; this gives readers a stable
-        joint view, the part downstream joins actually need)."""
+        joint view, the part downstream joins actually need). Caveat: the
+        pin loop itself is not atomic ACROSS tables — a writer committing
+        mid-loop can land table A's pin before its commit and table B's
+        after; pin during a quiesced window (or re-pin until two
+        consecutive snapshots agree) when strict cross-table atomicity
+        matters."""
         return {
             ident: self.load_table(ident).current_version()
             for ident in self.list_tables(ns)

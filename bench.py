@@ -119,6 +119,16 @@ BENCH_QUERIES = [
     "events_retention",
     "doc_dup_canonical",
     "part_pairs",
+    "local_supplier_volume",
+    "nation_volume_shipping",
+    "product_type_profit",
+    "late_shipment_priority",
+    "customer_order_histogram",
+    "disjunctive_revenue",
+    "waiting_supplier",
+    "min_cost_supplier",
+    "important_parts",
+    "excess_share_suppliers",
     "doc_multimodal_gate",
 ]
 # (cdc_patch_replay is replay-backed — excluded like the other replays.)

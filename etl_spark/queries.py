@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_spark.ops import cdcq, multimodal, refops, simsearch, textops, tpch
+from etl_spark.ops import cdcq, multimodal, refops, simsearch, textops, tpch, tpch2
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -108,6 +108,31 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "market_share": (tpch.market_share, tpch.MARKET_SHARE_SQL),
     "part_pairs": (tpch.part_pairs, tpch.PART_PAIRS_SQL),
+    "local_supplier_volume": (
+        tpch2.local_supplier_volume,
+        tpch2.LOCAL_SUPPLIER_VOLUME_SQL,
+    ),
+    "nation_volume_shipping": (
+        tpch2.nation_volume_shipping,
+        tpch2.NATION_VOLUME_SHIPPING_SQL,
+    ),
+    "product_type_profit": (tpch2.product_type_profit, tpch2.PRODUCT_TYPE_PROFIT_SQL),
+    "late_shipment_priority": (
+        tpch2.late_shipment_priority,
+        tpch2.LATE_SHIPMENT_PRIORITY_SQL,
+    ),
+    "customer_order_histogram": (
+        tpch2.customer_order_histogram,
+        tpch2.CUSTOMER_ORDER_HISTOGRAM_SQL,
+    ),
+    "disjunctive_revenue": (tpch2.disjunctive_revenue, tpch2.DISJUNCTIVE_REVENUE_SQL),
+    "waiting_supplier": (tpch2.waiting_supplier, tpch2.WAITING_SUPPLIER_SQL),
+    "min_cost_supplier": (tpch2.min_cost_supplier, tpch2.MIN_COST_SUPPLIER_SQL),
+    "important_parts": (tpch2.important_parts, tpch2.IMPORTANT_PARTS_SQL),
+    "excess_share_suppliers": (
+        tpch2.excess_share_suppliers,
+        tpch2.EXCESS_SHARE_SUPPLIERS_SQL,
+    ),
     # --- text curation: dedup / quality / lang-id / fingerprint ---
     "doc_exact_dedup": (textops.doc_exact_dedup, textops.DOC_EXACT_DEDUP_SQL),
     "doc_quality": (textops.doc_quality, textops.DOC_QUALITY_SQL),

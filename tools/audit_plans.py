@@ -41,6 +41,11 @@ ALLOW: dict[str, dict[str, str]] = {
     # ungrouped final aggregates: the single partition receives one
     # partially-aggregated row per upstream partition, never the data
     "promo_revenue": {"Exchange SinglePartition": "ungrouped final aggregate — 1 partial row per partition"},
+    "disjunctive_revenue": {"Exchange SinglePartition": "ungrouped final aggregate — 1 partial row per partition"},
+    "important_parts": {
+        "BroadcastNestedLoopJoin": "build side is the global sum(value) scalar aggregate — 1 row at any SF",
+        "Exchange SinglePartition": "fan-in of that scalar aggregate — 1 partial row per upstream partition",
+    },
     "filtered_revenue": {"Exchange SinglePartition": "ungrouped final aggregate — 1 partial row per partition"},
     "small_qty_revenue": {"Exchange SinglePartition": "ungrouped final aggregate — 1 partial row per partition"},
     # ANN probe joins: the BROADCAST side is the probe set — a fixed-size

@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "min_cost_supplier",
     "important_parts",
     "excess_share_suppliers",
+    "event_transitions",
+    "user_activity_deciles",
+    "doc_bm25_search",
     "doc_multimodal_gate",
 ]
 # (cdc_patch_replay is replay-backed — excluded like the other replays.)

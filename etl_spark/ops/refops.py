@@ -1346,3 +1346,91 @@ EVENTS_RETENTION_SQL = """
     FROM d JOIN first ON d.user_id = first.user_id
     GROUP BY 1, 2
 """
+
+
+# --- event-type transition bigrams (Markov edge counts) --------------------------
+# Per-user event-path bigrams: lag(event_type) over the unique total order
+# (ts, event_id) within each user, then one hash agg over the
+# (prev, cur) pairs. The window shuffles ONCE on user_id (the same key
+# the sessionize/funnel family already uses — at 100 TB a pre-bucketed
+# events table makes this exchange-free), the bigram agg is map-side
+# partial. Top-k with a full (n DESC, prev, cur) tie-break.
+# Reference analog: per-connection state-transition counting in the
+# snapshot parsers (/root/reference/parser/tcpinfo.go:193-197 applies
+# per-snapshot deltas in file order — the same lag-over-ordered-stream
+# shape).
+
+TRANSITION_TOP = 20
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("cur_type"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "prev_type", "cur_type")
+        .limit(TRANSITION_TOP)
+    )
+
+
+EVENT_TRANSITIONS_SQL = f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS cur_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY n DESC, prev_type, cur_type LIMIT {TRANSITION_TOP}
+"""
+
+
+# --- user activity deciles (ntile over per-user volume) ----------------------------
+# Two-level rollup: per-user event counts, ntile(10) over the
+# DETERMINISTIC total order (count DESC, user_id — ties broken by the
+# unique key, so both engines assign identical tiles), then per-decile
+# user count, event sum, and count bounds. Plan: one user_id exchange for
+# the count, one single-partition window for the ntile — acceptable
+# because its input is ALREADY one row per user (|users| << |events|;
+# at extreme user cardinality the same decile boundaries come from
+# percentile ranks instead). Final agg is 10 rows.
+
+
+def user_activity_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    w = W.orderBy(F.col("n_events").desc(), "user_id")
+    return (
+        per_user.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events").alias("sum_events"),
+            F.min("n_events").alias("min_events"),
+            F.max("n_events").alias("max_events"),
+        )
+        .orderBy("decile")
+    )
+
+
+USER_ACTIVITY_DECILES_SQL = """
+    WITH per_user AS (
+        SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+    ),
+    tiled AS (
+        SELECT n_events,
+               ntile(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+        FROM per_user
+    )
+    SELECT decile, count(*) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS sum_events,
+           min(n_events) AS min_events, max(n_events) AS max_events
+    FROM tiled
+    GROUP BY decile ORDER BY decile
+"""

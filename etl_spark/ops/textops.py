@@ -1682,3 +1682,107 @@ def _multimodal_gate_sql() -> str:
     JOIN canon c ON d.doc_id = c.doc_id
     LEFT JOIN sem s ON d.doc_id = s.doc_id
 """
+
+
+# --- BM25 keyword search (IEEE-deterministic ranking) ---------------------------
+# Full BM25 (k1=1.2, b=0.75) over whitespace tokens for a fixed 3-term
+# query, as two hash aggregations and ZERO joins against the corpus scan:
+# per-doc term frequencies come from ONE conditional aggregation (the
+# terms are query constants — no explode-and-join with a term table), and
+# the corpus stats (N, total length, per-term document frequencies) are a
+# single scalar aggregate broadcast into the scoring expression.
+#
+# Cross-engine float determinism: a naive BM25 disagrees between engines
+# in the last ulp (ln() implementations differ; aggregate addition order
+# is unspecified). Here every division takes EXACT-INTEGER operands
+# (idf = (2(N-df)+1)/(2df+1), the rational Robertson idf with the ln
+# dropped — a monotone transform, so ranking is unchanged; the tf term is
+# scaled by 20*S to clear the k1/b denominators), each quotient is one
+# correctly-rounded IEEE op, and the 3-term sum is a FIXED-parenthesized
+# expression, not an aggregate — so Spark and DuckDB produce bit-identical
+# doubles. Reference analog: the reference delegates search ranking to
+# BigQuery (SURVEY §2.5); a standalone curation engine needs it in-plan.
+
+BM25_TERMS = ("spark", "merge", "window")
+BM25_TOP = 20
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    )
+    def _tf(term: str) -> Column:
+        return F.size(F.filter("__toks", lambda t: t == F.lit(term)))
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size("__toks").alias("dl"),
+        *[_tf(term).alias(f"tf{i}") for i, term in enumerate(BM25_TERMS)],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("s_len"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+
+    def term_score(i: int) -> Column:
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        n, s, dl = F.col("n_docs"), F.col("s_len"), F.col("dl")
+        idf = (2 * (n - df) + 1).cast("double") / (2 * df + 1).cast("double")
+        # tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)), k1=6/5, b=3/4, avgdl=S/N,
+        # both sides scaled by 20*S to keep every operand an exact integer
+        num = (tf * 44 * s).cast("double")
+        den = (20 * s * tf + 6 * s + 18 * dl * n).cast("double")
+        return idf * (num / den)
+
+    score = (term_score(0) + term_score(1)) + term_score(2)
+    return (
+        scored.select("doc_id", score.alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(toks, t -> t = '{w}')) AS tf{i}"
+        for i, w in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n               ".join(
+        f"count(CASE WHEN tf{i} > 0 THEN 1 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    terms = [
+        f"(CAST(2 * (n_docs - df{i}) + 1 AS DOUBLE) / CAST(2 * df{i} + 1 AS DOUBLE))"
+        f" * (CAST(tf{i} * 44 * s_len AS DOUBLE)"
+        f" / CAST(20 * s_len * tf{i} + 6 * s_len + 18 * dl * n_docs AS DOUBLE))"
+        for i in range(len(BM25_TERMS))
+    ]
+    score = f"(({terms[0]} + {terms[1]}) + {terms[2]})"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, len(toks) AS dl,
+               {tf_cols}
+        FROM tok
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS s_len,
+               {df_cols}
+        FROM per_doc
+    )
+    SELECT doc_id, {score} AS bm25
+    FROM per_doc, stats
+    WHERE {score} > 0
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP}
+"""
+
+
+DOC_BM25_SEARCH_SQL = _bm25_sql()

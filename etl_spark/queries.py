@@ -133,6 +133,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         tpch2.excess_share_suppliers,
         tpch2.EXCESS_SHARE_SUPPLIERS_SQL,
     ),
+    "event_transitions": (refops.event_transitions, refops.EVENT_TRANSITIONS_SQL),
+    "user_activity_deciles": (
+        refops.user_activity_deciles,
+        refops.USER_ACTIVITY_DECILES_SQL,
+    ),
+    "doc_bm25_search": (textops.doc_bm25_search, textops.DOC_BM25_SEARCH_SQL),
     # --- text curation: dedup / quality / lang-id / fingerprint ---
     "doc_exact_dedup": (textops.doc_exact_dedup, textops.DOC_EXACT_DEDUP_SQL),
     "doc_quality": (textops.doc_quality, textops.DOC_QUALITY_SQL),

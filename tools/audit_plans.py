@@ -42,6 +42,13 @@ ALLOW: dict[str, dict[str, str]] = {
     # partially-aggregated row per upstream partition, never the data
     "promo_revenue": {"Exchange SinglePartition": "ungrouped final aggregate — 1 partial row per partition"},
     "disjunctive_revenue": {"Exchange SinglePartition": "ungrouped final aggregate — 1 partial row per partition"},
+    "user_activity_deciles": {
+        "Exchange SinglePartition": "global ntile window over the ALREADY per-user-aggregated relation (1 row/user; decile boundaries switch to percentile ranks at extreme user cardinality — noted in the docstring)",
+    },
+    "doc_bm25_search": {
+        "BroadcastNestedLoopJoin": "build side is the corpus-stats scalar aggregate (N, S, df0..df2) — 1 row at any SF",
+        "Exchange SinglePartition": "fan-in of that scalar aggregate + the top-k head — O(1) rows per partition",
+    },
     "important_parts": {
         "BroadcastNestedLoopJoin": "build side is the global sum(value) scalar aggregate — 1 row at any SF",
         "Exchange SinglePartition": "fan-in of that scalar aggregate — 1 partial row per upstream partition",

@@ -158,6 +158,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("lineage", help="per-(batch,bucket) lineage table")
     p.add_argument("--table", required=True)
 
+    p = sub.add_parser(
+        "inspect", help="metadata tables: files|snapshots|history|partitions|refs"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("name", choices=["files", "snapshots", "history", "partitions", "refs"])
+    p.add_argument("--version", type=int, default=None)
+
     p = sub.add_parser("show", help="final transcript state")
     p.add_argument("--table", required=True)
     p.add_argument("--conv", default=None)
@@ -360,6 +367,12 @@ def main(argv: list[str] | None = None) -> int:
         table.stats_df(spark).orderBy("bucket").show(200, truncate=False)
     elif args.cmd == "lineage":
         table.lineage_df(spark).orderBy("batch_id", "bucket").show(100, truncate=False)
+    elif args.cmd == "inspect":
+        from etl_spark.lake.meta import metadata_df
+
+        metadata_df(table, spark, args.name, version=args.version).show(
+            200, truncate=False
+        )
     elif args.cmd == "show":
         if args.conv:
             # pruned serving path: one bucket's stats-selected files

@@ -205,6 +205,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--version", type=int, default=None)
 
     p = sub.add_parser(
+        "constraint",
+        help="row expectations: list | add --name --expr [--policy] | drop --name",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("action", choices=["list", "add", "drop"])
+    p.add_argument("--name", default=None)
+    p.add_argument("--expr", default=None)
+    p.add_argument("--policy", choices=["fail", "drop", "warn"], default="fail")
+    p.add_argument("--no-validate", action="store_true",
+                   help="skip validating existing rows on add")
+
+    p = sub.add_parser(
         "replicate",
         help="sync a replica table from this table's changelog (CDC-out); "
         "bootstraps the replica (created if missing) then applies diffs",
@@ -430,6 +442,18 @@ def main(argv: list[str] | None = None) -> int:
         else:
             table.drop_tag(args.name)
             print(json.dumps({"dropped": args.name}))
+    elif args.cmd == "constraint":
+        if args.action == "list":
+            print(json.dumps(table.constraints()))
+        elif args.action == "add":
+            m = table.add_constraint(
+                spark, args.name, args.expr, policy=args.policy,
+                validate=not args.no_validate,
+            )
+            print(json.dumps({"added": args.name, "version": m.version}))
+        else:
+            m = table.drop_constraint(args.name)
+            print(json.dumps({"dropped": args.name, "version": m.version}))
     elif args.cmd == "replicate":
         from etl_spark.lake.replicate import sync_replica, synced_version
 

@@ -120,10 +120,14 @@ def validate_events(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
     return batch.filter(ok), batch.filter(~ok)
 
 
-def _failure_reason(ops: tuple[str, ...]) -> F.Column:
+def _failure_reason(
+    ops: tuple[str, ...], cons_viol: dict[str, F.Column] | None = None
+) -> F.Column:
     """First matching rejection reason, mirroring _ok_predicate clause by
-    clause (kept adjacent so the two can't drift)."""
-    return (
+    clause (kept adjacent so the two can't drift). Declared-constraint
+    violations (``cons_viol``: name -> violation predicate) append their
+    own ``constraint:<name>`` reasons."""
+    r = (
         F.when(~F.col("op").isin(*ops), F.lit("bad_op"))
         .when(F.col("conv_id").isNull() | F.col("turn_idx").isNull(),
               F.lit("null_key"))
@@ -134,12 +138,41 @@ def _failure_reason(ops: tuple[str, ...]) -> F.Column:
             >= MAX_TEXT_BYTES,
             F.lit("oversize_text"),
         )
-        .otherwise(F.lit("unknown"))
     )
+    for name, pred in (cons_viol or {}).items():
+        r = r.when(pred, F.lit(f"constraint:{name}"))
+    return r.otherwise(F.lit("unknown"))
+
+
+def _constraint_predicates(table: LakeTable) -> dict[str, dict[str, F.Column]]:
+    """Compile the table's declared expectations into violation
+    predicates, grouped by policy. SQL CHECK semantics: a row violates
+    only when the expression IS FALSE (NULL passes). Tombstones and
+    sparse patches are exempt — their NULL payloads mean "absent",
+    not "invalid"."""
+    upsert = F.col("op").isin("I", "U")
+    out: dict[str, dict[str, F.Column]] = {"fail": {}, "drop": {}, "warn": {}}
+    for name, c in (table.manifest().constraints or {}).items():
+        pred = F.coalesce(
+            upsert & F.expr(c["expr"]).eqNullSafe(F.lit(False)), F.lit(False)
+        )
+        out[c["policy"]][name] = pred
+    return out
+
+
+def _any_of(preds) -> F.Column:
+    import functools
+    import operator
+
+    return functools.reduce(operator.or_, preds)
 
 
 def _write_quarantine(
-    batch: DataFrame, ops: tuple[str, ...], quarantine_dir: str, batch_id: str
+    batch: DataFrame,
+    ops: tuple[str, ...],
+    quarantine_dir: str,
+    batch_id: str,
+    cons_viol: dict[str, F.Column] | None = None,
 ) -> None:
     """Dead-letter the batch's invalid rows: parquet under
     <quarantine_dir>/<batch_id>/ with a per-row ``reason`` column, keys and
@@ -152,9 +185,11 @@ def _write_quarantine(
     rows, not just the count, so producers can be debugged and the batch
     re-emitted."""
     ok = _ok_predicate(ops)
+    if cons_viol:
+        ok = ok & ~_any_of(cons_viol.values())
     bad = batch.filter(~ok).select(
         *[F.col(c).cast("string").alias(c) for c in batch.columns],
-        _failure_reason(ops).alias("reason"),
+        _failure_reason(ops, cons_viol).alias("reason"),
         F.lit(batch_id).alias("batch_id"),
         F.current_timestamp().alias("quarantined_ts"),
     )
@@ -225,7 +260,35 @@ def apply_batch(
     # Validation counters ride the merge's fused scan as an Observation —
     # computed DURING pass 1, no standalone aggregation job.
     ops = VALID_OPS + ("P",) if allow_patches else VALID_OPS
+    cons = _constraint_predicates(table)
+    if cons["fail"]:
+        # zero-tolerance expectations must abort BEFORE any write — in MOR
+        # mode the validation counters only fill during the delta-append
+        # job itself, which is too late. One pushed-down probe scan per
+        # batch, paid only when a fail-policy constraint is declared
+        # (short-circuits on the first violation).
+        if not batch.filter(_any_of(cons["fail"].values())).isEmpty():
+            if quarantine_dir is not None:
+                _write_quarantine(
+                    batch, ops, quarantine_dir, batch_id,
+                    cons_viol={**cons["drop"], **cons["fail"]},
+                )
+            counts = batch.agg(
+                *[
+                    F.sum(F.when(p, F.lit(1)).otherwise(F.lit(0))).alias(n)
+                    for n, p in cons["fail"].items()
+                ]
+            ).first().asDict()
+            viol = {k: int(v or 0) for k, v in counts.items() if v}
+            raise BatchFailedError(
+                f"batch {batch_id}: fail-policy constraint violations "
+                f"{viol} — aborting before any write"
+            )
     ok = _ok_predicate(ops)
+    if cons["drop"]:
+        # drop-policy violations are ordinary failed rows: counted against
+        # the error budget, quarantined with a constraint:<name> reason
+        ok = ok & ~_any_of(cons["drop"].values())
     counters = Observation()
     agg_cols = [
         F.count(F.lit(1)).alias("n"),
@@ -237,6 +300,12 @@ def apply_batch(
         ).alias("late"),
         F.max(F.when(ok, F.col("ts"))).alias("max_ts"),
     ]
+    for n, p in cons["warn"].items():
+        agg_cols.append(
+            F.coalesce(
+                F.sum(F.when(p, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+            ).alias(f"cwarn_{n}")
+        )
     observed = batch.observe(counters, *agg_cols)
     valid = observed.filter(ok & ~late_pred)
     if allow_patches:
@@ -248,20 +317,22 @@ def apply_batch(
         # ``observed`` — a limit-1 action on the observed plan could fill
         # the counters from a partial scan.
         allow_patches = not batch.filter(F.col("op") == "P").isEmpty()
-    if quarantine_dir is not None and not batch.filter(~_ok_predicate(ops)).isEmpty():
+    if quarantine_dir is not None and not batch.filter(~ok).isEmpty():
         # BEFORE the merge: a crash between commit and a post-commit
         # quarantine write would lose the dead-letter rows forever (the
         # committed batch_id no-ops on redelivery and never retries the
         # write). Pre-commit, redelivery simply overwrites — idempotent.
         # The isEmpty probe short-circuits, so clean batches pay one
         # pushed-down limit-1 scan only when quarantine is enabled.
-        _write_quarantine(batch, ops, quarantine_dir, batch_id)
-    return merge_into(
+        _write_quarantine(batch, ops, quarantine_dir, batch_id,
+                          cons_viol=cons["drop"])
+    resilient = _ResilientCounters(counters, batch, agg_cols)
+    stats = merge_into(
         spark,
         table,
         valid,
         batch_id,
-        counters=_ResilientCounters(counters, batch, agg_cols),
+        counters=resilient,
         fail_threshold=fail_threshold,
         source_files=source_files,
         segments=segments,
@@ -269,6 +340,12 @@ def apply_batch(
         mode=mode,
         allow_patches=allow_patches,
     )
+    if cons["warn"]:
+        c = resilient.get  # filled by the merge's pass-1/write job
+        stats.constraint_warns = {
+            n: int(c[f"cwarn_{n}"]) for n in cons["warn"]
+        }
+    return stats
 
 
 def replay_feed(

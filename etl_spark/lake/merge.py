@@ -93,6 +93,9 @@ class MergeStats:
     bucket_rows: dict[str, int] = field(default_factory=dict)
     skipped_idempotent: bool = False
     fast_path_append: bool = False  # Bloom proved pure-insert → no join
+    # warn-policy constraint violations observed this batch (name -> n);
+    # informational only — the rows still applied (see LakeTable.add_constraint)
+    constraint_warns: dict[str, int] = field(default_factory=dict)
     # wall seconds per phase: scan (pass 1), write (pass 2), commit (driver)
     phase_sec: dict[str, float] = field(default_factory=dict)
 

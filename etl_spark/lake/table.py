@@ -169,6 +169,11 @@ class Manifest:
     # (resolve_deltas / full compaction). COW commits and Bloom-proven
     # pure-insert appends keep key uniqueness and never set it.
     needs_reduce: bool = False
+    # declarative row expectations (Delta CHECK-constraint analog):
+    # name -> {"expr": <SQL boolean over user columns>, "policy":
+    # "fail" | "drop" | "warn"}. Enforced by the ingest path
+    # (cdc/apply.py) on upsert payloads; SQL semantics — NULL passes.
+    constraints: dict[str, dict[str, str]] | None = None
 
     def __post_init__(self):
         if self.segments is None:
@@ -187,6 +192,7 @@ class Manifest:
         d.setdefault("bloom", None)
         d.setdefault("watermark_us", None)
         d.setdefault("needs_reduce", False)
+        d.setdefault("constraints", None)
         return Manifest(**d)
 
 
@@ -1017,6 +1023,7 @@ class LakeTable:
             bloom=bloom_meta,
             watermark_us=wm,
             needs_reduce=nr,
+            constraints=m.constraints,
         )
         self._write_manifest(nm)
         return nm
@@ -1503,6 +1510,104 @@ class LakeTable:
         )
         self._write_manifest(m)
         return m
+
+    # ------------------------------------------------------- constraints
+    def constraints(self) -> dict[str, dict[str, str]]:
+        """Declared row expectations: name -> {expr, policy}."""
+        return dict(self.manifest().constraints or {})
+
+    def add_constraint(
+        self,
+        spark: SparkSession,
+        name: str,
+        expr: str,
+        policy: str = "fail",
+        validate: bool = True,
+    ) -> Manifest:
+        """Declare a CHECK-style expectation on ingested rows (Delta
+        ``ADD CONSTRAINT`` / DLT expectations analog; the reference's
+        equivalent is each parser's per-datatype row validation,
+        /root/reference/parser/*.go, which it can only hard-code — a
+        standalone engine lets the operator declare it per table).
+
+        ``expr`` is a SQL boolean over the USER columns; SQL CHECK
+        semantics: a row violates only when the expression IS FALSE
+        (NULL passes). ``policy`` decides what the ingest path does
+        with violating upsert payloads (tombstones and sparse patches
+        are exempt — their NULLs mean "absent", not "invalid"):
+
+        * ``fail`` — any violation aborts the whole batch before any
+          write (zero-tolerance; the batch's own fail budget does not
+          apply).
+        * ``drop`` — violating rows are counted ``failed``, routed to
+          the quarantine (reason ``constraint:<name>``), and excluded;
+          the normal error budget still failfasts the batch if too
+          many rows violate.
+        * ``warn`` — violations are only counted
+          (``MergeStats.constraint_warns``); rows still apply.
+
+        With ``validate=True`` (default, like Delta) the CURRENT table
+        contents must already satisfy the expression."""
+        if policy not in ("fail", "drop", "warn"):
+            raise ValueError(f"policy must be fail|drop|warn, got {policy!r}")
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z][A-Za-z0-9_\-]*", name):
+            raise ValueError(f"invalid constraint name {name!r}")
+        # compile check against the user schema (analysis only, no job)
+        probe = spark.createDataFrame([], self.user_schema())
+        try:
+            dt = probe.select(F.expr(expr).alias("c")).schema["c"].dataType
+        except Exception as e:
+            raise ValueError(f"constraint {name!r} does not compile: {e}") from None
+        if dt.typeName() != "boolean":
+            raise ValueError(
+                f"constraint {name!r} must be a boolean expression, got {dt.simpleString()}"
+            )
+        if validate and self.has_files():
+            n_viol = (
+                self.read(spark)
+                .filter(F.expr(expr).eqNullSafe(F.lit(False)))
+                .limit(1)
+                .count()
+            )
+            if n_viol:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: existing rows violate "
+                    f"({expr}); fix the data or pass validate=False"
+                )
+        from dataclasses import replace as _dc_replace
+
+        m = self.manifest()
+        cons = dict(m.constraints or {})
+        cons[name] = {"expr": expr, "policy": policy}
+        nm = _dc_replace(
+            m,
+            version=m.version + 1,
+            parent=m.version,
+            created_unix=time.time(),
+            constraints=cons,
+        )
+        self._write_manifest(nm)
+        return nm
+
+    def drop_constraint(self, name: str) -> Manifest:
+        from dataclasses import replace as _dc_replace
+
+        m = self.manifest()
+        cons = dict(m.constraints or {})
+        if name not in cons:
+            raise KeyError(f"no constraint named {name!r}")
+        del cons[name]
+        nm = _dc_replace(
+            m,
+            version=m.version + 1,
+            parent=m.version,
+            created_unix=time.time(),
+            constraints=cons or None,
+        )
+        self._write_manifest(nm)
+        return nm
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Drop all but the newest ``keep_last`` manifest versions and

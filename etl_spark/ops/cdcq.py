@@ -109,6 +109,22 @@ LWW_STATE_SQL = f"""
     FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
+CONSTRAINT_STATE_SQL = f"""
+    WITH feed AS ({FEED_SQL}),
+    gated AS (
+        SELECT * FROM feed
+        WHERE NOT (op IN ('I','U') AND NOT (role <> 'system'))
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, op_seq DESC
+        ) AS rn
+        FROM gated
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
 DISPOSITIONS_SQL = f"""
     WITH feed AS ({FEED_SQL}),
     ranked AS (
@@ -178,6 +194,44 @@ def cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = LakeTable.create(os.path.join(work, "lake"), user_schema, n_buckets=16)
     replay_feed(spark, table, feed_dir)
+    return table.read(spark).select(*FINAL_COLS)
+
+
+def cdc_constraint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay with a declared drop-policy expectation (Delta CHECK /
+    DLT analog, LakeTable.add_constraint): ``role <> 'system'`` rows
+    are rejected by the ingest path BEFORE the merge, so a violating
+    update never clobbers an earlier valid version. Oracle: LWW over
+    the feed with violating upserts removed first (tombstones exempt)."""
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.apply import replay_feed
+    from etl_spark.cdc.gen import write_feed
+    from etl_spark.lake.table import LakeTable
+
+    feed = change_feed_from_events(spark, sf_dir).withColumn(
+        "batch", F.pmod(F.col("op_seq"), F.lit(4)).cast("int")
+    )
+    work = _work_dir("etl_spark_constraint_")
+    feed_dir = os.path.join(work, "feed")
+    write_feed(feed, feed_dir, n_batches=4)
+    feed_t = {f.name: f.dataType for f in feed.schema.fields}
+    user_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", feed_t["ts"], True),
+        ]
+    )
+    table = LakeTable.create(os.path.join(work, "lake"), user_schema, n_buckets=16)
+    table.add_constraint(spark, "no-system", "role <> 'system'", policy="drop")
+    # the op_seq%4 segmenting correlates with the derived role, so one
+    # segment is ~all violations — the demo disables the error budget to
+    # show pure constraint filtering; production keeps the 10% failfast
+    replay_feed(spark, table, feed_dir, fail_threshold=1.0)
     return table.read(spark).select(*FINAL_COLS)
 
 

@@ -130,6 +130,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--slices", type=int, default=8)
 
+    p = sub.add_parser(
+        "zorder",
+        help="re-layout buckets along a Morton curve over (conv_id, ts) "
+             "so point lookups AND window reads both skip files",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--files-per-bucket", type=int, default=8)
+    p.add_argument("--bits", type=int, default=4)
+
     p = sub.add_parser("rebucket", help="bucket-count evolution: rewrite into bucket(N, conv_id)")
     p.add_argument("--table", required=True)
     p.add_argument("--buckets", type=int, required=True)
@@ -355,6 +364,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows_updated": n}))
     elif args.cmd == "timeslice":
         n = table.cluster_time_slices(spark, args.slices)
+        print(json.dumps({"buckets_rewritten": n}))
+    elif args.cmd == "zorder":
+        n = table.cluster_zorder(
+            spark, files_per_bucket=args.files_per_bucket, bits=args.bits
+        )
         print(json.dumps({"buckets_rewritten": n}))
     elif args.cmd == "rebucket":
         n = table.rebucket(spark, args.buckets)

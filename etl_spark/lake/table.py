@@ -1436,6 +1436,129 @@ class LakeTable:
         )
         return len(buckets)
 
+    def cluster_zorder(
+        self,
+        spark: SparkSession,
+        files_per_bucket: int = 8,
+        bits: int = 4,
+        sample_rows: int = 20_000,
+        seed: int = 42,
+    ) -> int:
+        """Z-order maintenance rewrite (Delta ``OPTIMIZE ZORDER BY
+        (conv_id, ts)`` analog): re-layout every bucket along a Morton
+        curve over the table's TWO pruned dimensions, so ONE layout
+        serves both access paths — ``point_read`` (conv_id equality)
+        and ``read_between`` (ts range) each skip a large fraction of
+        files, instead of choosing between ``compact_small_files``
+        (conv-tight, ts-blind) and ``cluster_time_slices`` (ts-tight,
+        conv-blind). Classic z-order trade: each dimension prunes to
+        roughly sqrt(files) instead of one dimension pruning to one
+        file — pick per workload.
+
+        Mechanics (all misuse of the existing machinery avoided — the
+        same file stats, pruning planners, and atomic commit path are
+        reused untouched):
+
+        1. Per-dimension rank codes from SAMPLED quantile boundaries
+           (2^bits - 1 cut points; sampling keeps the boundary job
+           O(sample) like Spark's own RangePartitioner). Quantile
+           ranks, not min-max scaling — robust to skew and to common
+           prefixes in string keys.
+        2. Codes interleave into a 2*bits-bit z-value as a pure
+           column expression (codegen; no UDF).
+        3. One range exchange on (bucket, z) into ~files_per_bucket
+           files per bucket, z-sorted within files so row-group stats
+           stay tight too; manifest file stats then carry compact
+           [conv_min, conv_max] x [ts_min, ts_max] rectangles that
+           ``plan_point_lookup`` and ``read_between`` prune with
+           as-is.
+
+        LWW deltas are collapsed on the way (leaves merge-on-read
+        state), and a lost Bloom seen-set is rebuilt for free — same
+        contract as resolve_deltas/cluster_time_slices. Returns the
+        number of buckets rewritten."""
+        if bits < 1 or bits > 8:
+            raise ValueError(f"bits must be 1..8, got {bits}")
+        m = self.manifest()
+        buckets = [int(b) for b, fl in m.files.items() if fl]
+        if not buckets:
+            return 0
+        rows = self.read_storage(spark, buckets, reduced=m.needs_reduce)
+        new_bloom = None
+        if self.load_bloom() is None:
+            from etl_spark.cdc.bloom import build_bloom
+            from etl_spark.schema import KEY_COLS
+
+            new_bloom = build_bloom(rows, list(KEY_COLS))
+        # --- 1. sampled quantile boundaries per dimension -----------------
+        total = sum(
+            fe["rows"] for fl in m.files.values() for fe in fl
+            if fe.get("rows") is not None
+        ) or 1
+        frac = min(1.0, sample_rows / total)
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        sample = (
+            rows.select(F.col("conv_id").alias("c"), ts_us.alias("t"))
+            .sample(False, frac, seed)
+            .collect()
+        )
+        if not sample:  # tiny table: degenerate single-cell curve is fine
+            sample = rows.select(
+                F.col("conv_id").alias("c"), ts_us.alias("t")
+            ).limit(1).collect()
+        n_cells = 1 << bits
+
+        def _cuts(vals: list) -> list:
+            vals = sorted(v for v in vals if v is not None)
+            if not vals:
+                return []
+            return sorted(
+                {vals[min(len(vals) - 1, (i * len(vals)) // n_cells)]
+                 for i in range(1, n_cells)}
+            )
+
+        conv_cuts = _cuts([r["c"] for r in sample])
+        ts_cuts = _cuts([r["t"] for r in sample])
+
+        def _code(col: F.Column, cuts: list, lit) -> F.Column:
+            # rank = #cuts strictly below the value: 15 codegen comparisons
+            code = F.lit(0)
+            for cut in cuts:
+                code = code + F.when(col > lit(cut), 1).otherwise(0)
+            return code
+
+        c_code = _code(F.col("conv_id"), conv_cuts, F.lit)
+        t_code = _code(ts_us, ts_cuts, F.lit)
+        # --- 2. Morton interleave: conv bits high, ts bits low ------------
+        z = F.lit(0)
+        for j in range(bits):
+            z = (
+                z.bitwiseOR(
+                    F.shiftleft(F.shiftright(c_code, j).bitwiseAND(F.lit(1)), 2 * j + 1)
+                ).bitwiseOR(
+                    F.shiftleft(F.shiftright(t_code, j).bitwiseAND(F.lit(1)), 2 * j)
+                )
+            )
+        # --- 3. one range exchange, z-sorted files, same commit path ------
+        curved = (
+            rows.withColumn("__bucket", self.bucket_expr())
+            .withColumn("__z", z)
+            .repartitionByRange(
+                max(1, len(buckets) * files_per_bucket),
+                F.col("__bucket"), F.col("__z"),
+            )
+            .sortWithinPartitions("__bucket", "__z", "conv_id", "turn_idx")
+            .drop("__z")
+        )
+        files = self.write_bucket_files(
+            curved, version_tag=f"zorder{m.version + 1}", pre_clustered=True
+        )
+        self.commit_version(
+            files, buckets, None, None, needs_reduce=False,
+            expected_version=m.version, new_bloom=new_bloom,
+        )
+        return len(buckets)
+
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
         """Bucket-count evolution (Iceberg partition-spec-evolution analog):
         rewrite the whole table into a ``bucket(new_n_buckets, conv_id)``

@@ -234,3 +234,63 @@ def test_time_slice_rewrite_prunes_window_reads(spark, tmpdir_path):
     assert eligible < total / 2  # the window touches a minority of files
     got = sorted(map(tuple, t.read_between(spark, lo, hi).collect()))
     assert got == want and len(got) == 12  # days 4,5 x 6 convs
+
+
+def test_zorder_rewrite_prunes_both_dimensions(spark, tmpdir_path):
+    """cluster_zorder lays each bucket along a Morton curve over
+    (conv_id, ts): point lookups AND time-window reads must BOTH skip
+    files of the same layout (the two single-dimension rewrites each
+    serve only one), and results stay identical to the pre-rewrite
+    read."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=1)
+    # 64 convs x 16 days: both dimensions spread wide within the bucket
+    rows = [
+        ("I", _ts(f"2024-01-{d:02d}T12:00:00"), d * 1000 + j,
+         f"conv-{j:03d}", d, "user", f"t-{d}-{j}", None, "f")
+        for d in range(1, 17) for j in range(64)
+    ]
+    for b in range(4):  # 4 MOR batches so the table starts many-filed
+        batch = [r for r in rows if r[2] % 4 == b]
+        apply_batch(spark, t, _mk(spark, batch), f"b{b}", mode="mor")
+    lo, hi = "2024-01-04T00:00:00", "2024-01-06T00:00:00"
+    want_window = sorted(map(tuple, t.read_between(spark, lo, hi).collect()))
+    want_point = sorted(
+        map(tuple, t.point_read(spark, "conv-007").collect())
+    )
+    want_all = sorted(map(tuple, t.read(spark).collect()))
+
+    assert t.cluster_zorder(spark, files_per_bucket=8) == 1
+    m = t.manifest()
+    assert not m.needs_reduce
+    files = m.files["0"]
+    assert len(files) >= 6  # really split into several z-range files
+
+    # point-lookup pruning: the key's conv range excludes most files
+    plan = t.plan_point_lookup(spark, "conv-007")
+    assert 0 < len(plan["files"]) < len(files)
+
+    # window pruning: the ts rectangle excludes most files
+    lo_us = int(dt.datetime.fromisoformat(lo + "+00:00").timestamp() * 1e6)
+    hi_us = int(dt.datetime.fromisoformat(hi + "+00:00").timestamp() * 1e6)
+    eligible = [
+        fe for fe in files
+        if fe["stats"]["ts_min_us"] < hi_us and fe["stats"]["ts_max_us"] >= lo_us
+    ]
+    assert 0 < len(eligible) < len(files)
+
+    # pruning never changes results
+    assert sorted(map(tuple, t.read(spark).collect())) == want_all
+    assert sorted(map(tuple, t.read_between(spark, lo, hi).collect())) == want_window
+    assert sorted(
+        map(tuple, t.point_read(spark, "conv-007").collect())
+    ) == want_point
+
+
+def test_zorder_empty_and_validation(spark, tmpdir_path):
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=2)
+    assert t.cluster_zorder(spark) == 0  # no files yet: no-op
+    import pytest
+
+    with pytest.raises(ValueError, match="bits"):
+        apply_batch(spark, t, _mk(spark, [_insert("a", 0, 1, "x")]), "b1")
+        t.cluster_zorder(spark, bits=0)

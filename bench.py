@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "user_activity_deciles",
     "doc_bm25_search",
     "doc_multimodal_gate",
+    "type_day_cube",
+    "events_gap_fill",
+    "events_heavy_hitters",
 ]
 # (cdc_patch_replay is replay-backed — excluded like the other replays.)
 # Excluded from the timed suite (correctness-only at sf0.01):

@@ -1434,3 +1434,181 @@ USER_ACTIVITY_DECILES_SQL = """
     FROM tiled
     GROUP BY decile ORDER BY decile
 """
+
+
+# --- OLAP: CUBE lattice ---------------------------------------------------
+# Full 2^2 grouping lattice over (event_type, day) in ONE scan: Catalyst
+# lowers cube() to an Expand node (4 copies of each input row tagged with
+# its grouping-set id) feeding a single hash aggregate — no union of four
+# scans, no re-read. At 100 TB the Expand multiplies shuffle volume by the
+# lattice size, so wide cubes want a pre-aggregation on the finest set
+# first (here the day grain is already coarse). Same decimal-exact sums
+# and grouping() flags as the ROLLUP variant.
+
+def type_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("<all>")).alias("day"),
+            "g_type",
+            "g_day",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+TYPE_DAY_CUBE_SQL = """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(CAST(ts_day AS DATE) AS VARCHAR), '<all>') AS day,
+           CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+           CAST(GROUPING(ts_day) AS INTEGER) AS g_day,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (SELECT event_type, CAST(ts AS DATE) AS ts_day, value FROM events)
+    GROUP BY CUBE (event_type, ts_day)
+"""
+
+
+# --- time series: calendar gap fill + forward fill -----------------------
+# Per-user daily activity with missing days materialized (n_events = 0)
+# and the last known daily value carried forward — the classic
+# time-series densification that monitoring/feature pipelines need before
+# any rolling computation. Shape matters at 100 TB: NO calendar join. A
+# lead() window finds each row's next active day and sequence()+explode
+# emits the gap days from the anchor row itself, so the whole operator is
+# one window over the (user, day) pre-aggregate plus a generator — the
+# naive span-table LEFT JOIN would shuffle users x days rows twice.
+# Reference analog: snapshot series are delta-encoded against the
+# previous sample the same way (/root/reference/parser/disco.go:75-86).
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    with_next = daily.withColumn("next_day", F.lead("day").over(w))
+    cal = with_next.select(
+        "user_id",
+        "day",
+        "n",
+        "v",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.coalesce(F.date_sub(F.col("next_day"), 1), F.col("day")),
+            )
+        ).alias("cal_day"),
+    )
+    return cal.select(
+        "user_id",
+        F.col("cal_day").cast("string").alias("day"),
+        F.when(F.col("cal_day") == F.col("day"), F.col("n"))
+        .otherwise(F.lit(0)).alias("n_events"),
+        F.col("v").alias("carried_value"),
+        (F.col("cal_day") != F.col("day")).alias("is_gap"),
+    )
+
+
+EVENTS_GAP_FILL_SQL = """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    nxt AS (
+        SELECT *, lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nd
+        FROM daily
+    )
+    SELECT user_id,
+           CAST(CAST(cal AS DATE) AS VARCHAR) AS day,
+           CASE WHEN CAST(cal AS DATE) = d THEN n ELSE 0 END AS n_events,
+           v AS carried_value,
+           CAST(cal AS DATE) <> d AS is_gap
+    FROM nxt,
+         unnest(generate_series(
+             CAST(d AS TIMESTAMP),
+             CAST(coalesce(nd - INTERVAL 1 DAY, d) AS TIMESTAMP),
+             INTERVAL 1 DAY)) AS t(cal)
+"""
+
+
+# --- sketch: count-min heavy hitters --------------------------------------
+# Find high-frequency users without a per-user exact aggregate: a
+# 3x64 count-min sketch (three md5-derived hash rows) built in one
+# groupBy over (row, bucket) — the sketch is 192 cells regardless of
+# cardinality, so it broadcasts everywhere and merges associatively
+# (streaming/partition-parallel by construction). Estimates are
+# min-over-rows, never under the true count; candidates at or above the
+# threshold are then verified with their exact counts (the standard
+# CMS + exact re-check pattern). Deterministic md5 bucketing keeps the
+# estimate exactly reproducible across engines, like the theta-style
+# distinct sketch above. At 100 TB the exact per-user groupBy here
+# would be replaced by re-checking ONLY the candidate set; both stages
+# of that plan are already in this query (the filter is on est_count).
+
+CMS_D, CMS_W, HH_THRESHOLD = 3, 64, 50
+
+
+def _cms_bucket(i_col: F.Column, key_col: F.Column) -> F.Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", i_col, key_col)), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(CMS_W))
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id")
+    rows = ev.withColumn("i", F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])))
+    cms = (
+        rows.withColumn("bucket", _cms_bucket(F.col("i"), F.col("user_id")))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    users = ev.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    probes = users.withColumn(
+        "i", F.explode(F.array(*[F.lit(i) for i in range(CMS_D)]))
+    ).withColumn("bucket", _cms_bucket(F.col("i"), F.col("user_id")))
+    return (
+        probes.join(F.broadcast(cms), ["i", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("c").alias("est_count"))
+        .filter(F.col("est_count") >= HH_THRESHOLD)
+        .select("user_id", "est_count", "true_count")
+    )
+
+
+EVENTS_HEAVY_HITTERS_SQL = f"""
+    WITH rows AS (
+        SELECT user_id, i
+        FROM events, range({CMS_D}) AS t(i)
+    ),
+    cms AS (
+        SELECT i,
+               ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % {CMS_W} AS bucket,
+               count(*) AS c
+        FROM rows GROUP BY 1, 2
+    ),
+    users AS (
+        SELECT user_id, count(*) AS true_count FROM events GROUP BY 1
+    ),
+    probes AS (
+        SELECT u.user_id, u.true_count, t.i,
+               ('0x' || substr(md5(CAST(t.i AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT % {CMS_W} AS bucket
+        FROM users u, range({CMS_D}) AS t(i)
+    )
+    SELECT p.user_id, min(c.c) AS est_count, p.true_count
+    FROM probes p JOIN cms c ON p.i = c.i AND p.bucket = c.bucket
+    GROUP BY p.user_id, p.true_count
+    HAVING min(c.c) >= {HH_THRESHOLD}
+"""

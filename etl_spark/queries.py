@@ -139,6 +139,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         refops.user_activity_deciles,
         refops.USER_ACTIVITY_DECILES_SQL,
     ),
+    "type_day_cube": (refops.type_day_cube, refops.TYPE_DAY_CUBE_SQL),
+    "events_gap_fill": (refops.events_gap_fill, refops.EVENTS_GAP_FILL_SQL),
+    "events_heavy_hitters": (
+        refops.events_heavy_hitters,
+        refops.EVENTS_HEAVY_HITTERS_SQL,
+    ),
     "doc_bm25_search": (textops.doc_bm25_search, textops.DOC_BM25_SEARCH_SQL),
     # --- text curation: dedup / quality / lang-id / fingerprint ---
     "doc_exact_dedup": (textops.doc_exact_dedup, textops.DOC_EXACT_DEDUP_SQL),

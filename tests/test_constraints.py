@@ -180,3 +180,23 @@ def test_cli_constraint_roundtrip(spark, tmpdir_path, capsys):
     rc = main(["constraint", "--table", t.path, "drop", "--name", "no-system"])
     assert rc == 0
     assert t.constraints() == {}
+
+
+def test_constraints_enforce_through_streaming(spark, tmpdir_path):
+    """run_stream routes every micro-batch through the same apply_batch —
+    declared expectations must hold identically on the streaming path."""
+    from etl_spark.cdc.stream import run_stream
+
+    feed = _feed(spark, tmpdir_path, n_batches=3)
+    t = _table(tmpdir_path)
+    t.add_constraint(spark, "no-system", "role <> 'system'", policy="drop")
+    qdir = os.path.join(tmpdir_path, "quarantine")
+    run_stream(
+        spark, t, feed, os.path.join(tmpdir_path, "ckpt"),
+        available_now=True, fail_threshold=0.9, quarantine_dir=qdir,
+    )
+    assert _state(spark, t) == _expected_state(spark, feed, "role <> 'system'")
+    q = spark.read.parquet(os.path.join(qdir, "*"))
+    ev = spark.read.parquet(os.path.join(feed, "*", "*.parquet"))
+    n_system = ev.filter("op IN ('I','U') AND role = 'system'").count()
+    assert q.filter("reason = 'constraint:no-system'").count() == n_system

@@ -138,6 +138,56 @@ class LakeCatalog:
             raise TableNotFoundError(f"{ident} not in snapshot")
         return self.load_table(ident).read(spark, version=snapshot[ident])
 
+    # --- multi-table transactions (lake/txn.py) ------------------------
+    @property
+    def _pins_path(self) -> str:
+        return os.path.join(self.root, "pins.json")
+
+    def pins(self) -> dict[str, int]:
+        """Transactionally-committed version per pin-governed table —
+        the catalog's single atomic visibility root (see lake/txn.py)."""
+        try:
+            with open(self._pins_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _swap_pins(self, updates: dict[str, int]) -> None:
+        """ONE atomic write moving every updated pin together — the
+        cross-table commit point of a transaction."""
+        pins = self.pins()
+        pins.update(updates)
+        _atomic_write(self._pins_path, json.dumps(pins, sort_keys=True))
+
+    def begin(self):
+        """Start a multi-table transaction (see lake/txn.py)."""
+        from etl_spark.lake.txn import CatalogTransaction
+
+        return CatalogTransaction(self)
+
+    def recover_txns(self) -> dict[str, str]:
+        """Heal crash-interrupted transactions; call at startup."""
+        from etl_spark.lake.txn import recover_txns
+
+        return recover_txns(self)
+
+    def read_committed(self, spark, ident: str):
+        """Read a table at its transactionally-committed pin (tables
+        never written through a transaction read their current head).
+        This is the read path that sees multi-table commits atomically."""
+        v = self.pins().get(ident)
+        return self.load_table(ident).read(spark, version=v)
+
+    def committed_snapshot(self, ns: str | None = None) -> dict[str, int]:
+        """Like :meth:`snapshot`, but pin-governed tables resolve to
+        their transactional pin — a cross-table-ATOMIC read point for
+        every table that participates in transactions."""
+        pins = self.pins()
+        return {
+            ident: pins.get(ident, self.load_table(ident).current_version())
+            for ident in self.list_tables(ns)
+        }
+
     def drop_table(self, ident: str, purge: bool = False) -> None:
         """Unregister; ``purge=True`` also deletes the table directory."""
         ns, name = self._split(ident)

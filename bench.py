@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "type_day_cube",
     "events_gap_fill",
     "events_heavy_hitters",
+    "events_session_window",
+    "props_variant_stats",
 ]
 # (cdc_patch_replay is replay-backed — excluded like the other replays.)
 # Excluded from the timed suite (correctness-only at sf0.01):

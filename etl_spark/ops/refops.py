@@ -1612,3 +1612,96 @@ EVENTS_HEAVY_HITTERS_SQL = f"""
     GROUP BY p.user_id, p.true_count
     HAVING min(c.c) >= {HH_THRESHOLD}
 """
+
+
+# --- streaming-native session windows, run in batch ------------------------
+# The SAME gap-sessionization as `sessionize`, but through Spark's native
+# session_window() operator — the streaming-capable formulation (state
+# store merges partial sessions per trigger; in batch Catalyst lowers it
+# to one aggregate over merged intervals, no window-function sort pass).
+# Semantics difference worth pinning: session_window treats the window as
+# [start, last_event + gap) and an event landing EXACTLY at the close
+# boundary starts a NEW session (strict <), while the lag() formulation
+# in `sessionize` merges on equality (break only when gap > G). The
+# oracle below replicates the native operator's strict semantics
+# (break when gap >= G). Reference analog: the same snapshot-gap session
+# grouping mapped in SURVEY §2.3 P8.
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count("*").alias("n"))
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+    )
+
+
+EVENTS_SESSION_WINDOW_SQL = f"""
+    WITH brks AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sids AS (
+        SELECT user_id,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM brks
+    ),
+    sess AS (
+        SELECT user_id, sid, count(*) AS n FROM sids GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           max(n) AS max_session_events
+    FROM sess GROUP BY user_id
+"""
+
+
+# --- semi-structured: VARIANT extraction -----------------------------------
+# Spark 4's VARIANT type for schema-on-read JSON: parse once with
+# parse_json (binary variant encoding, no per-access string re-parse),
+# extract typed paths with variant_get. At 100 TB this is the right
+# shape for ragged payloads — the variant column prunes/pushes like any
+# other, and repeated path extraction is O(paths), not O(re-parses).
+# The reference stores raw JSON strings and re-parses per query
+# (/root/reference/parser/annotation.go) — variant is the Spark-native
+# upgrade of the same passthrough pattern.
+
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+        )
+    )
+
+
+PROPS_VARIANT_STATS_SQL = """
+    SELECT event_type,
+           count(k) AS n_with_k,
+           min(k) AS k_min,
+           max(k) AS k_max,
+           CAST(sum(k) AS BIGINT) AS k_sum
+    FROM (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+"""

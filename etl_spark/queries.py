@@ -140,6 +140,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         refops.USER_ACTIVITY_DECILES_SQL,
     ),
     "type_day_cube": (refops.type_day_cube, refops.TYPE_DAY_CUBE_SQL),
+    "events_session_window": (
+        refops.events_session_window,
+        refops.EVENTS_SESSION_WINDOW_SQL,
+    ),
+    "props_variant_stats": (
+        refops.props_variant_stats,
+        refops.PROPS_VARIANT_STATS_SQL,
+    ),
     "events_gap_fill": (refops.events_gap_fill, refops.EVENTS_GAP_FILL_SQL),
     "events_heavy_hitters": (
         refops.events_heavy_hitters,

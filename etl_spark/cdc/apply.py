@@ -152,7 +152,7 @@ def _constraint_predicates(table: LakeTable) -> dict[str, dict[str, F.Column]]:
     not "invalid"."""
     upsert = F.col("op").isin("I", "U")
     out: dict[str, dict[str, F.Column]] = {"fail": {}, "drop": {}, "warn": {}}
-    for name, c in (table.manifest().constraints or {}).items():
+    for name, c in table.constraints().items():
         pred = F.coalesce(
             upsert & F.expr(c["expr"]).eqNullSafe(F.lit(False)), F.lit(False)
         )

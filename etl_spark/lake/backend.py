@@ -32,6 +32,7 @@ nothing else:
 | current_version        | current snapshot id (OCC base for commits)         |
 | high_watermark_us      | snapshot property                                  |
 | metrics_df/lineage_df  | a companion metrics table                          |
+| constraints            | table properties (CHECK-expectation map)           |
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 class LakeBackend(Protocol):
     # ---- identity / commit ledger
     def is_committed(self, batch_id: str) -> bool: ...
+    def constraints(self) -> dict[str, dict[str, str]]: ...
     def current_version(self) -> int: ...
     def committed_segments(self) -> dict[str, str]: ...
     def committed_inputs(self) -> set[str]: ...

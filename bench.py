@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "events_heavy_hitters",
     "events_session_window",
     "props_variant_stats",
+    "doc_chunk_overlap",
 ]
 # (cdc_patch_replay is replay-backed — excluded like the other replays.)
 # Excluded from the timed suite (correctness-only at sf0.01):

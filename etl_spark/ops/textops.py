@@ -1786,3 +1786,53 @@ def _bm25_sql() -> str:
 
 
 DOC_BM25_SEARCH_SQL = _bm25_sql()
+
+
+# --- RAG chunking: fixed-size overlapping windows ---------------------------
+# The retrieval-side counterpart of doc_pack_sequences: split each
+# document into CHUNK-char windows every STRIDE chars (25% overlap), the
+# standard RAG pre-index transform. Pure generator-expression plan —
+# sequence() builds the start offsets from the row itself, posexplode is
+# Spark's native UDTF lowering, substring/md5 stay in codegen — so the
+# operator is embarrassingly parallel: no shuffle at all until a
+# downstream groupBy, and the explode factor (~len/STRIDE) is bounded
+# per row, never per partition. chunk_idx is derived arithmetically from
+# the offset (not the explode position) so engines agree without
+# ordering assumptions.
+
+CHUNK_CHARS, CHUNK_STRIDE = 128, 96
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    out = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)),
+                       F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+        F.col("text"),
+    )
+    chunk = F.substring(F.col("text"), F.col("start"), CHUNK_CHARS)
+    return out.select(
+        "doc_id",
+        F.expr(f"CAST((start - 1) DIV {CHUNK_STRIDE} AS INT)").alias("chunk_idx"),
+        F.col("start"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+DOC_CHUNK_OVERLAP_SQL = f"""
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           start,
+           length(substring(text, start, {CHUNK_CHARS})) AS chunk_len,
+           md5(substring(text, start, {CHUNK_CHARS})) AS chunk_md5
+    FROM (
+        SELECT doc_id, text,
+               CAST(unnest(generate_series(1, greatest(length(text), 1),
+                                           {CHUNK_STRIDE})) AS BIGINT) AS start
+        FROM documents
+    )
+"""

@@ -156,6 +156,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_bm25_search": (textops.doc_bm25_search, textops.DOC_BM25_SEARCH_SQL),
     # --- text curation: dedup / quality / lang-id / fingerprint ---
     "doc_exact_dedup": (textops.doc_exact_dedup, textops.DOC_EXACT_DEDUP_SQL),
+    "doc_chunk_overlap": (textops.doc_chunk_overlap, textops.DOC_CHUNK_OVERLAP_SQL),
     "doc_quality": (textops.doc_quality, textops.DOC_QUALITY_SQL),
     "doc_lang_id": (textops.doc_lang_id, textops.DOC_LANG_ID_SQL),
     "doc_fingerprint": (textops.doc_fingerprint, textops.DOC_FINGERPRINT_SQL),

@@ -171,7 +171,10 @@ def main(argv: list[str] | None = None) -> int:
         "inspect", help="metadata tables: files|snapshots|history|partitions|refs"
     )
     p.add_argument("--table", required=True)
-    p.add_argument("name", choices=["files", "snapshots", "history", "partitions", "refs"])
+    p.add_argument(
+        "name",
+        choices=["files", "snapshots", "history", "partitions", "refs", "constraints"],
+    )
     p.add_argument("--version", type=int, default=None)
 
     p = sub.add_parser("show", help="final transcript state")

@@ -228,12 +228,24 @@ def refs_df(table: LakeTable, spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, schema="name string, type string, version long")
 
 
+def constraints_df(table: LakeTable, spark: SparkSession) -> DataFrame:
+    """Declared CHECK expectations — name, expression, policy."""
+    rows = [
+        {"name": n, "expr": c["expr"], "policy": c["policy"]}
+        for n, c in sorted(table.constraints().items())
+    ]
+    return spark.createDataFrame(
+        rows, schema="name string, expr string, policy string"
+    )
+
+
 METADATA_TABLES = {
     "files": files_df,
     "snapshots": snapshots_df,
     "history": history_df,
     "partitions": partitions_df,
     "refs": refs_df,
+    "constraints": constraints_df,
 }
 
 

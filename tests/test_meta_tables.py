@@ -127,3 +127,14 @@ def test_cli_inspect(spark, table, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "version" in out and "operation" in out
+
+
+def test_constraints_metadata_table(spark, table):
+    from etl_spark.lake.meta import constraints_df
+
+    assert constraints_df(table, spark).count() == 0
+    table.add_constraint(spark, "sane-turn", "turn_idx >= 0", policy="warn")
+    rows = metadata_df(table, spark, "constraints").collect()
+    assert [(r["name"], r["expr"], r["policy"]) for r in rows] == [
+        ("sane-turn", "turn_idx >= 0", "warn")
+    ]

@@ -217,6 +217,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--version", type=int, default=None)
 
     p = sub.add_parser(
+        "requeue",
+        help="re-apply dead-lettered rows from a quarantine dir "
+             "(after the cause is fixed)",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--quarantine", required=True)
+    p.add_argument("--batch-id", action="append", default=None)
+    p.add_argument("--reason", action="append", default=None)
+    p.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    p.add_argument("--fail-threshold", type=float, default=0.10)
+
+    p = sub.add_parser(
         "constraint",
         help="row expectations: list | add --name --expr [--policy] | drop --name",
     )
@@ -459,6 +471,15 @@ def main(argv: list[str] | None = None) -> int:
         else:
             table.drop_tag(args.name)
             print(json.dumps({"dropped": args.name}))
+    elif args.cmd == "requeue":
+        from etl_spark.cdc.apply import requeue_quarantine
+
+        s = requeue_quarantine(
+            spark, table, args.quarantine, batch_ids=args.batch_id,
+            reasons=args.reason, mode=args.mode,
+            fail_threshold=args.fail_threshold,
+        )
+        print(_stats_json([s]))
     elif args.cmd == "constraint":
         if args.action == "list":
             print(json.dumps(table.constraints()))

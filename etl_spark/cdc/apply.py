@@ -38,6 +38,7 @@ __all__ = [
     "apply_batch",
     "batch_fingerprint",
     "replay_feed",
+    "requeue_quarantine",
     "validate_events",
     "wap_replay",
 ]
@@ -346,6 +347,76 @@ def apply_batch(
             n: int(c[f"cwarn_{n}"]) for n in cons["warn"]
         }
     return stats
+
+
+def requeue_quarantine(
+    spark: SparkSession,
+    table: LakeTable,
+    quarantine_dir: str,
+    batch_ids: list[str] | None = None,
+    reasons: list[str] | None = None,
+    mode: str = "cow",
+    allow_patches: bool = False,
+    fail_threshold: float = 0.10,
+) -> MergeStats:
+    """Re-apply dead-lettered rows after the cause is fixed (producer
+    redeployed, constraint relaxed, oversize limit raised) — the second
+    half of the dead-letter contract: quarantine keeps the ROWS so they
+    can re-enter the pipeline, not just be counted. The reference's
+    failed rows are gone once logged (per-task error counters only,
+    /root/reference/task/task.go:139-173); a standalone engine must be
+    able to drain its dead-letter queue.
+
+    Rows are re-typed from the quarantine's all-string encoding back to
+    the change schema (a cast failure yields NULL, which the normal
+    validation counts failed again), filtered by ``batch_ids`` and/or
+    ``reasons`` if given, and applied as ONE new batch whose id derives
+    from the source (batch_id, reason, op_seq) set — so a requeue is
+    itself idempotent, and rows that STILL violate re-quarantine under
+    the new batch id rather than dropping silently. Rows that were
+    meanwhile superseded by newer upserts lose LWW as usual (requeue
+    never resurrects old data past a newer write)."""
+    from etl_spark.schema import CHANGE_SCHEMA
+
+    src = spark.read.parquet(
+        *(
+            [os.path.join(quarantine_dir, b) for b in batch_ids]
+            if batch_ids
+            else [os.path.join(quarantine_dir, "*")]  # one subdir per batch
+        )
+    )
+    if reasons:
+        src = src.filter(F.col("reason").isin(*reasons))
+    # deterministic requeue identity from the quarantined row set
+    ident_rows = (
+        src.select("batch_id", "reason", "op_seq")
+        .orderBy("batch_id", "reason", "op_seq")
+        .collect()
+    )
+    h = hashlib.md5()
+    for r in ident_rows:
+        h.update(f"{r['batch_id']}|{r['reason']}|{r['op_seq']}".encode())
+    requeue_id = "requeue-" + h.hexdigest()[:16]
+    ts_type = table.user_schema()["ts"].dataType.simpleString()
+    batch = src.select(
+        *[
+            F.col(f.name).cast(
+                ts_type if f.name == "ts" else f.dataType.simpleString()
+            ).alias(f.name)
+            for f in CHANGE_SCHEMA.fields
+            if f.name in src.columns
+        ]
+    )
+    return apply_batch(
+        spark,
+        table,
+        batch,
+        requeue_id,
+        fail_threshold=fail_threshold,
+        mode=mode,
+        allow_patches=allow_patches,
+        quarantine_dir=quarantine_dir,
+    )
 
 
 def replay_feed(

@@ -200,3 +200,62 @@ def test_constraints_enforce_through_streaming(spark, tmpdir_path):
     ev = spark.read.parquet(os.path.join(feed, "*", "*.parquet"))
     n_system = ev.filter("op IN ('I','U') AND role = 'system'").count()
     assert q.filter("reason = 'constraint:no-system'").count() == n_system
+
+
+def test_requeue_quarantined_rows_after_fix(spark, tmpdir_path):
+    """The dead-letter loop closes: drop-policy violations quarantine,
+    the constraint is dropped (cause fixed), requeue re-applies them and
+    the table converges to the UNfiltered LWW state. A second requeue of
+    the same rows is idempotent."""
+    from etl_spark.cdc.apply import requeue_quarantine
+
+    feed = _feed(spark, tmpdir_path)
+    t = _table(tmpdir_path)
+    t.add_constraint(spark, "no-system", "role <> 'system'", policy="drop")
+    qdir = os.path.join(tmpdir_path, "quarantine")
+    replay_feed(spark, t, feed, fail_threshold=0.9, quarantine_dir=qdir)
+    assert _state(spark, t) == _expected_state(spark, feed, "role <> 'system'")
+
+    t.drop_constraint("no-system")
+    s = requeue_quarantine(spark, t, qdir)
+    assert s.failed == 0 and s.applied() > 0
+    assert _state(spark, t) == _expected_state(spark, feed)  # unfiltered
+
+    s2 = requeue_quarantine(spark, t, qdir)
+    assert s2.skipped_idempotent
+
+
+def test_requeue_still_violating_requarantines(spark, tmpdir_path):
+    from etl_spark.cdc.apply import requeue_quarantine
+
+    feed = _feed(spark, tmpdir_path)
+    t = _table(tmpdir_path)
+    t.add_constraint(spark, "no-system", "role <> 'system'", policy="drop")
+    qdir = os.path.join(tmpdir_path, "quarantine")
+    replay_feed(spark, t, feed, fail_threshold=0.9, quarantine_dir=qdir)
+    state_before = _state(spark, t)
+    # cause NOT fixed: rows re-fail; default 10% budget aborts the requeue
+    with pytest.raises(BatchFailedError):
+        requeue_quarantine(spark, t, qdir)
+    # with the budget lifted, they re-quarantine under the requeue id
+    s = requeue_quarantine(spark, t, qdir, fail_threshold=1.0)
+    assert s.failed > 0 and s.applied() == 0
+    assert _state(spark, t) == state_before
+    requeue_dirs = [d for d in os.listdir(qdir) if d.startswith("requeue-")]
+    assert requeue_dirs
+
+
+def test_requeue_filters_by_reason(spark, tmpdir_path):
+    from etl_spark.cdc.apply import requeue_quarantine
+
+    feed = _feed(spark, tmpdir_path)
+    t = _table(tmpdir_path)
+    t.add_constraint(spark, "no-system", "role <> 'system'", policy="drop")
+    t.add_constraint(spark, "no-tool", "role <> 'tool'", policy="drop")
+    qdir = os.path.join(tmpdir_path, "quarantine")
+    replay_feed(spark, t, feed, fail_threshold=0.9, quarantine_dir=qdir)
+    t.drop_constraint("no-system")
+    t.drop_constraint("no-tool")
+    # requeue ONLY the no-system rows; the no-tool rows stay out
+    requeue_quarantine(spark, t, qdir, reasons=["constraint:no-system"])
+    assert _state(spark, t) == _expected_state(spark, feed, "role <> 'tool'")

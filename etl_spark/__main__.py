@@ -217,6 +217,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--version", type=int, default=None)
 
     p = sub.add_parser(
+        "catalog",
+        help="catalog ops: list [--ns] | pins | snapshot | recover "
+             "(heal crash-interrupted multi-table transactions)",
+    )
+    p.add_argument("--root", required=True, help="catalog root directory")
+    p.add_argument("action", choices=["list", "pins", "snapshot", "recover"])
+    p.add_argument("--ns", default=None)
+
+    p = sub.add_parser(
         "requeue",
         help="re-apply dead-lettered rows from a quarantine dir "
              "(after the cause is fixed)",
@@ -274,6 +283,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "init":
         LakeTable.create_if_not_exists(args.table, TRANSCRIPT_SCHEMA, args.buckets)
         print(json.dumps({"table": args.table, "created": True}))
+        return 0
+
+    if args.cmd == "catalog":
+        from etl_spark.lake.catalog import LakeCatalog
+
+        cat = LakeCatalog(args.root)
+        if args.action == "list":
+            print(json.dumps(cat.list_tables(args.ns)))
+        elif args.action == "pins":
+            print(json.dumps(cat.pins()))
+        elif args.action == "snapshot":
+            print(json.dumps(cat.committed_snapshot(args.ns)))
+        else:
+            print(json.dumps(cat.recover_txns()))
         return 0
 
     if args.cmd == "query":

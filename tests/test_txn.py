@@ -155,3 +155,19 @@ def test_txn_composes_with_replay(spark, cat, tmpdir_path):
                 _batch(spark, "zz", n=3), "extra")
     txn2.commit()
     assert cat.read_committed(spark, "raw.a").count() == n + 3
+
+
+def test_cli_catalog_ops(spark, cat, capsys):
+    from etl_spark.__main__ import main
+
+    assert main(["catalog", "--root", cat.root, "list"]) == 0
+    out = capsys.readouterr().out
+    assert "raw.a" in out and "raw.b" in out
+    txn = cat.begin()
+    apply_batch(spark, txn.table("raw.a"), _batch(spark, "a"), "b1")
+    txn.commit(_crash_before_pin_swap=True)
+    assert main(["catalog", "--root", cat.root, "recover"]) == 0
+    out = capsys.readouterr().out
+    assert "rolled_forward" in out
+    assert main(["catalog", "--root", cat.root, "pins"]) == 0
+    assert "raw.a" in capsys.readouterr().out

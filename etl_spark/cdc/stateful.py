@@ -170,3 +170,68 @@ def batch_conv_stats(spark: SparkSession, feed_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+def streaming_session_rollup(
+    spark: SparkSession,
+    feed_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+):
+    """Watermarked SESSION windows per conversation (session_window: a
+    session extends while events arrive within ``gap`` of its end),
+    append mode — each closed session emits exactly once, when the
+    watermark passes its end. This is the streaming-native form of the
+    reference's per-session grouping (NDT session pairing,
+    /root/reference/parser/ndt.go:210-309): state per OPEN session only,
+    merged across triggers by the state store, expired by the watermark
+    — never |events| state. Returns the final event-time watermark so
+    callers know which sessions must have flushed (sessions still open
+    at end-of-feed stay in state, by design)."""
+    schema = detect_feed_schema(spark, feed_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.parquet(f"{feed_dir}/*").select("conv_id", "ts")
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "conv_id",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    lp = q.lastProgress or {}
+    return (lp.get("eventTime") or {}).get("watermark")
+
+
+def batch_session_rollup(spark: SparkSession, feed_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Batch-mode oracle: identical session_window aggregation over the
+    whole static feed."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{feed_dir}/*")
+        .groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "conv_id",
+            "n",
+        )
+    )

@@ -151,3 +151,33 @@ def test_windowed_rollup_drops_late_rows(spark, tmpdir_path):
     # no window emitted twice, none exceeds its true total
     assert emitted.groupBy("win_start", "win_end", "op").count().filter("count > 1").count() == 0
     assert j.filter("n > n_batch").count() == 0
+
+
+def test_session_rollup_append_matches_batch(spark, tmpdir_path):
+    """session_window in a STREAM: sessions merge across triggers in the
+    state store and emit once the watermark passes their end — emitted
+    sessions must equal the batch session_window aggregation exactly."""
+    from etl_spark.cdc.stateful import batch_session_rollup, streaming_session_rollup
+
+    feed = os.path.join(tmpdir_path, "feed")
+    _gen_feed(spark, feed, dup_ratio=0.0, ooo_ratio=0.0)
+    out_dir = os.path.join(tmpdir_path, "out")
+    wm = streaming_session_rollup(
+        spark, feed, os.path.join(tmpdir_path, "ckpt"), out_dir,
+        gap="10 minutes", watermark="5 minutes", max_files_per_trigger=4,
+    )
+    emitted = spark.read.parquet(out_dir)
+    assert emitted.count() > 0
+    batch = batch_session_rollup(spark, feed, gap="10 minutes").withColumnRenamed(
+        "n", "n_batch"
+    )
+    # every emitted session is closed and final => exact batch equality
+    j = emitted.join(batch, ["session_start", "session_end", "conv_id"], "left")
+    assert j.filter("n_batch IS NULL OR n != n_batch").count() == 0
+    # flush boundary: no emitted session extends past the final watermark
+    assert wm is not None
+    assert emitted.filter(
+        F.col("session_end") > F.lit(wm).cast("timestamp")
+    ).count() == 0
+    # sessions genuinely coalesce events: some session holds more than one
+    assert emitted.filter("n > 1").count() > 0

@@ -139,6 +139,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--files-per-bucket", type=int, default=8)
     p.add_argument("--bits", type=int, default=4)
 
+    p = sub.add_parser(
+        "rename",
+        help="rename a payload column without rewriting data files",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--old", required=True)
+    p.add_argument("--new", required=True)
+
     p = sub.add_parser("rebucket", help="bucket-count evolution: rewrite into bucket(N, conv_id)")
     p.add_argument("--table", required=True)
     p.add_argument("--buckets", type=int, required=True)
@@ -408,6 +416,9 @@ def main(argv: list[str] | None = None) -> int:
             spark, files_per_bucket=args.files_per_bucket, bits=args.bits
         )
         print(json.dumps({"buckets_rewritten": n}))
+    elif args.cmd == "rename":
+        m = table.rename_column(spark, args.old, args.new)
+        print(json.dumps({"renamed": {args.old: args.new}, "version": m.version}))
     elif args.cmd == "rebucket":
         n = table.rebucket(spark, args.buckets)
         print(json.dumps({"data_buckets": n, "n_buckets": table.n_buckets}))

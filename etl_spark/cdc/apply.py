@@ -104,25 +104,49 @@ def batch_fingerprint(source_files: list[str]) -> str:
     return h.hexdigest()
 
 
-def _ok_predicate(ops: tuple[str, ...] = VALID_OPS) -> F.Column:
+def _payload_str_cols(batch: DataFrame) -> tuple[str, ...]:
+    """String payload columns the oversize guard applies to — computed
+    from the batch's OWN schema so the guard follows column renames
+    (rename_column) and trimmed/extended envelopes instead of
+    hard-coding 'text'."""
+    skip = {"op", "conv_id", "source_file"}
+    return tuple(
+        f.name for f in batch.schema.fields
+        if f.dataType.typeName() == "string" and f.name not in skip
+    )
+
+
+def _oversize_pred(str_cols: tuple[str, ...]) -> F.Column:
+    """True when ANY string payload column breaches the row-size guard."""
+    p = F.lit(False)
+    for c in str_cols:
+        p = p | (F.coalesce(F.octet_length(F.col(c)), F.lit(0)) >= MAX_TEXT_BYTES)
+    return p
+
+
+def _ok_predicate(
+    ops: tuple[str, ...] = VALID_OPS, str_cols: tuple[str, ...] = ("text",)
+) -> F.Column:
     return (
         F.col("op").isin(*ops)
         & F.col("conv_id").isNotNull()
         & F.col("turn_idx").isNotNull()
         & F.col("ts").isNotNull()
         & F.col("op_seq").isNotNull()
-        & (F.coalesce(F.octet_length(F.col("text")), F.lit(0)) < MAX_TEXT_BYTES)
+        & ~_oversize_pred(str_cols)
     )
 
 
 def validate_events(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split (valid, failed). Pure column predicates — pushed into the scan."""
-    ok = _ok_predicate()
+    ok = _ok_predicate(str_cols=_payload_str_cols(batch))
     return batch.filter(ok), batch.filter(~ok)
 
 
 def _failure_reason(
-    ops: tuple[str, ...], cons_viol: dict[str, F.Column] | None = None
+    ops: tuple[str, ...],
+    cons_viol: dict[str, F.Column] | None = None,
+    str_cols: tuple[str, ...] = ("text",),
 ) -> F.Column:
     """First matching rejection reason, mirroring _ok_predicate clause by
     clause (kept adjacent so the two can't drift). Declared-constraint
@@ -134,11 +158,7 @@ def _failure_reason(
               F.lit("null_key"))
         .when(F.col("ts").isNull(), F.lit("null_ts"))
         .when(F.col("op_seq").isNull(), F.lit("null_op_seq"))
-        .when(
-            F.coalesce(F.octet_length(F.col("text")), F.lit(0))
-            >= MAX_TEXT_BYTES,
-            F.lit("oversize_text"),
-        )
+        .when(_oversize_pred(str_cols), F.lit("oversize_text"))
     )
     for name, pred in (cons_viol or {}).items():
         r = r.when(pred, F.lit(f"constraint:{name}"))
@@ -185,12 +205,13 @@ def _write_quarantine(
     /root/reference/etl/etl.go:116-117) — a standalone engine keeps the
     rows, not just the count, so producers can be debugged and the batch
     re-emitted."""
-    ok = _ok_predicate(ops)
+    str_cols = _payload_str_cols(batch)
+    ok = _ok_predicate(ops, str_cols)
     if cons_viol:
         ok = ok & ~_any_of(cons_viol.values())
     bad = batch.filter(~ok).select(
         *[F.col(c).cast("string").alias(c) for c in batch.columns],
-        _failure_reason(ops, cons_viol).alias("reason"),
+        _failure_reason(ops, cons_viol, str_cols).alias("reason"),
         F.lit(batch_id).alias("batch_id"),
         F.current_timestamp().alias("quarantined_ts"),
     )
@@ -285,7 +306,7 @@ def apply_batch(
                 f"batch {batch_id}: fail-policy constraint violations "
                 f"{viol} — aborting before any write"
             )
-    ok = _ok_predicate(ops)
+    ok = _ok_predicate(ops, _payload_str_cols(batch))
     if cons["drop"]:
         # drop-policy violations are ordinary failed rows: counted against
         # the error budget, quarantined with a constraint:<name> reason

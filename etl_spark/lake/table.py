@@ -174,6 +174,12 @@ class Manifest:
     # "fail" | "drop" | "warn"}. Enforced by the ingest path
     # (cdc/apply.py) on upsert payloads; SQL semantics — NULL passes.
     constraints: dict[str, dict[str, str]] | None = None
+    # column renames without rewrite (Iceberg field-ID analog, realized
+    # as a cumulative HISTORIC name -> CURRENT name map): files written
+    # under old eras keep their old column names; the era-aligned scan
+    # resolves a missing current name through this map. Key columns,
+    # ts, and system columns are never renamable (merge keys + stats).
+    renames: dict[str, str] | None = None
 
     def __post_init__(self):
         if self.segments is None:
@@ -193,6 +199,7 @@ class Manifest:
         d.setdefault("watermark_us", None)
         d.setdefault("needs_reduce", False)
         d.setdefault("constraints", None)
+        d.setdefault("renames", None)
         return Manifest(**d)
 
 
@@ -530,14 +537,27 @@ class LakeTable:
                 groups.setdefault(fe["schema_id"], []).append(
                     os.path.join(self.path, fe["path"])
                 )
+        ren = m.renames or {}
         parts: list[DataFrame] = []
         for sid, paths in groups.items():
             era_user = schema_from_json(m.schemas[sid])
             era_storage = self.storage_schema(era_user)
             df = spark.read.schema(era_storage).parquet(*paths)
             have = set(df.columns)
+
+            def _src(n: str) -> str | None:
+                if n in have:
+                    return n
+                # rename resolution: an old era stores the column under a
+                # historic name — the cumulative map points it at n
+                for old, cur in ren.items():
+                    if cur == n and old in have:
+                        return old
+                return None
+
             cols = [
-                (F.col(n).cast(cur_storage[n].dataType) if n in have
+                (F.col(s).cast(cur_storage[n].dataType)
+                 if (s := _src(n)) is not None
                  else F.lit(None).cast(cur_storage[n].dataType)).alias(n)
                 for n in want
             ]
@@ -1024,6 +1044,7 @@ class LakeTable:
             watermark_us=wm,
             needs_reduce=nr,
             constraints=m.constraints,
+            renames=m.renames,
         )
         self._write_manifest(nm)
         return nm
@@ -1710,6 +1731,78 @@ class LakeTable:
             parent=m.version,
             created_unix=time.time(),
             constraints=cons,
+        )
+        self._write_manifest(nm)
+        return nm
+
+    def rename_column(self, spark: SparkSession, old: str, new: str) -> Manifest:
+        """Rename a payload column WITHOUT rewriting any data file — the
+        Iceberg field-ID rename, realized name-wise: the new schema era
+        carries the new name, old-era files keep theirs, and the
+        era-aligned scan resolves current->historic through the
+        manifest's cumulative rename map. O(1) metadata commit at any
+        table size.
+
+        Key columns (conv_id, turn_idx), ts, and system columns are not
+        renamable — they are the merge keys, file-stat columns, and
+        engine plumbing. Declared constraints must not reference the old
+        name (they are SQL strings; refuse rather than let the next
+        batch fail at enforcement time). Writers must use the new name
+        from the next batch on (an old-name feed would null-pad, same
+        contract as Iceberg after RENAME COLUMN)."""
+        from etl_spark.schema import SYSTEM_COLS
+
+        protected = set(KEY_COLS) | set(SYSTEM_COLS) | {"ts"}
+        if old in protected:
+            raise ValueError(f"column {old!r} is engine-protected, not renamable")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"invalid column name {new!r}")
+        if new in protected:
+            raise ValueError(f"{new!r} collides with an engine column")
+        m = self.manifest()
+        sch = schema_from_json(m.schema_json)
+        names = [f.name for f in sch.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        new_schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old else f
+                for f in sch.fields
+            ]
+        )
+        # constraints are SQL strings over the user schema: refuse the
+        # rename while any of them no longer compiles against the result
+        probe = spark.createDataFrame([], new_schema)
+        for cname, c in (m.constraints or {}).items():
+            try:
+                probe.select(F.expr(c["expr"])).schema  # noqa: B018
+            except Exception:
+                raise ValueError(
+                    f"constraint {cname!r} references {old!r} "
+                    f"({c['expr']}); drop or re-declare it first"
+                ) from None
+        schemas = dict(m.schemas)
+        sid = str(len(schemas))
+        schemas[sid] = new_schema.json()
+        renames = dict(m.renames or {})
+        for k, v in list(renames.items()):
+            if v == old:
+                renames[k] = new
+        renames[old] = new
+        from dataclasses import replace as _dc_replace
+
+        nm = _dc_replace(
+            m,
+            version=m.version + 1,
+            parent=m.version,
+            created_unix=time.time(),
+            schema_json=new_schema.json(),
+            schemas=schemas,
+            current_schema_id=sid,
+            renames=renames,
         )
         self._write_manifest(nm)
         return nm

@@ -154,10 +154,23 @@ class LakeCatalog:
 
     def _swap_pins(self, updates: dict[str, int]) -> None:
         """ONE atomic write moving every updated pin together — the
-        cross-table commit point of a transaction."""
-        pins = self.pins()
-        pins.update(updates)
-        _atomic_write(self._pins_path, json.dumps(pins, sort_keys=True))
+        cross-table commit point of a transaction. The read-modify-write
+        is flock-guarded: two transactions over DISJOINT table sets may
+        commit concurrently (per-table single-writer covers overlapping
+        sets), and without the lock the second writer would clobber the
+        first's pins. On an object store the equivalent is a conditional
+        put (ETag/if-match) on pins.json."""
+        import fcntl
+
+        lock_path = os.path.join(self.root, "pins.lock")
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                pins = self.pins()
+                pins.update(updates)
+                _atomic_write(self._pins_path, json.dumps(pins, sort_keys=True))
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     def begin(self):
         """Start a multi-table transaction (see lake/txn.py)."""

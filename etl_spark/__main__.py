@@ -147,6 +147,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--old", required=True)
     p.add_argument("--new", required=True)
 
+    p = sub.add_parser(
+        "add-column", help="ADD COLUMN (nullable, O(1) metadata commit)"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--name", required=True)
+    p.add_argument("--type", required=True, dest="dtype")
+    p.add_argument("--comment", default=None)
+
+    p = sub.add_parser(
+        "drop-column", help="logical DROP COLUMN (no data rewrite)"
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--name", required=True)
+
     p = sub.add_parser("rebucket", help="bucket-count evolution: rewrite into bucket(N, conv_id)")
     p.add_argument("--table", required=True)
     p.add_argument("--buckets", type=int, required=True)
@@ -419,6 +433,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "rename":
         m = table.rename_column(spark, args.old, args.new)
         print(json.dumps({"renamed": {args.old: args.new}, "version": m.version}))
+    elif args.cmd == "add-column":
+        m = table.add_column(args.name, args.dtype, comment=args.comment)
+        print(json.dumps({"added": args.name, "version": m.version}))
+    elif args.cmd == "drop-column":
+        m = table.drop_column(args.name)
+        print(json.dumps({"dropped": args.name, "version": m.version}))
     elif args.cmd == "rebucket":
         n = table.rebucket(spark, args.buckets)
         print(json.dumps({"data_buckets": n, "n_buckets": table.n_buckets}))

@@ -77,6 +77,9 @@ _SYSTEM_FIELDS = [
 ]
 
 
+_SENTINEL = object()  # "argument not passed" marker for schema-DDL commits
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed this snapshot version first (optimistic
     concurrency, Iceberg-style): the caller should re-read the table state
@@ -1784,16 +1787,90 @@ class LakeTable:
                     f"constraint {cname!r} references {old!r} "
                     f"({c['expr']}); drop or re-declare it first"
                 ) from None
-        schemas = dict(m.schemas)
-        sid = str(len(schemas))
-        schemas[sid] = new_schema.json()
         renames = dict(m.renames or {})
         for k, v in list(renames.items()):
             if v == old:
                 renames[k] = new
         renames[old] = new
+        return self._commit_schema_ddl(m, new_schema, renames=renames)
+
+    def add_column(
+        self, name: str, dtype: str, comment: str | None = None
+    ) -> Manifest:
+        """Explicit ADD COLUMN (nullable) — the DDL form of the widening
+        evolution the merge path already performs implicitly when a batch
+        arrives with a new field. O(1) metadata commit: old-era files
+        simply null-pad on read."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid column name {name!r}")
+        from etl_spark.schema import SYSTEM_COLS
+
+        if name in SYSTEM_COLS:
+            raise ValueError(f"{name!r} collides with an engine column")
+        m = self.manifest()
+        sch = schema_from_json(m.schema_json)
+        if name in [f.name for f in sch.fields]:
+            raise ValueError(f"column {name!r} already exists")
+        scalar_types = {
+            "string": T.StringType(), "int": T.IntegerType(),
+            "integer": T.IntegerType(), "long": T.LongType(),
+            "bigint": T.LongType(), "float": T.FloatType(),
+            "double": T.DoubleType(), "boolean": T.BooleanType(),
+            "date": T.DateType(), "timestamp": T.TimestampType(),
+            "timestamp_ntz": T.TimestampNTZType(), "binary": T.BinaryType(),
+        }
+        dt = scalar_types.get(dtype.lower())
+        if dt is None:
+            raise ValueError(
+                f"unsupported DDL type {dtype!r} (one of {sorted(scalar_types)}); "
+                "complex types arrive via batch-schema evolution instead"
+            )
+        meta = {"comment": comment} if comment else None
+        new_schema = T.StructType(
+            list(sch.fields) + [T.StructField(name, dt, True, metadata=meta)]
+        )
+        return self._commit_schema_ddl(m, new_schema)
+
+    def drop_column(self, name: str) -> Manifest:
+        """Logical DROP COLUMN without rewriting any data file: the new
+        schema era omits the field; the era-aligned scan projects only
+        current columns, so old files' extra data is simply never
+        selected. Time travel to pre-drop snapshots still shows it.
+        Key/ts/system columns are protected; declared constraints
+        referencing the column block the drop (fail at DDL time)."""
+        from etl_spark.schema import SYSTEM_COLS
+
+        protected = set(KEY_COLS) | set(SYSTEM_COLS) | {"ts"}
+        if name in protected:
+            raise ValueError(f"column {name!r} is engine-protected, not droppable")
+        m = self.manifest()
+        sch = schema_from_json(m.schema_json)
+        if name not in [f.name for f in sch.fields]:
+            raise ValueError(f"no column {name!r}")
+        for cname, c in (m.constraints or {}).items():
+            # cheap, conservative: a constraint whose expression mentions
+            # the identifier blocks the drop (re-declare it first)
+            if re.search(rf"\b{re.escape(name)}\b", c["expr"]):
+                raise ValueError(
+                    f"constraint {cname!r} references {name!r} "
+                    f"({c['expr']}); drop or re-declare it first"
+                )
+        new_schema = T.StructType([f for f in sch.fields if f.name != name])
+        # a historic rename pointing at the dropped column must not
+        # resurrect old-era data into a future column of the same name
+        renames = {
+            k: v for k, v in (m.renames or {}).items() if v != name
+        } or None
+        return self._commit_schema_ddl(m, new_schema, renames=renames)
+
+    def _commit_schema_ddl(
+        self, m: Manifest, new_schema: T.StructType, renames=_SENTINEL
+    ) -> Manifest:
         from dataclasses import replace as _dc_replace
 
+        schemas = dict(m.schemas)
+        sid = str(len(schemas))
+        schemas[sid] = new_schema.json()
         nm = _dc_replace(
             m,
             version=m.version + 1,
@@ -1802,7 +1879,7 @@ class LakeTable:
             schema_json=new_schema.json(),
             schemas=schemas,
             current_schema_id=sid,
-            renames=renames,
+            renames=m.renames if renames is _SENTINEL else renames,
         )
         self._write_manifest(nm)
         return nm

@@ -104,3 +104,70 @@ def test_rename_cli(spark, tmpdir_path, capsys):
     assert rc == 0
     assert "tool_name" in capsys.readouterr().out
     assert "tool_name" in [f.name for f in t.user_schema().fields]
+
+
+def test_drop_column_is_logical_and_time_travel_safe(spark, tmpdir_path):
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=2)
+    apply_batch(spark, t, _mk(spark, [_insert("c1", 0, 1, "keep-me")]), "b1")
+    v0 = t.current_version()
+    t.drop_column("tool")
+    cols = t.read(spark).columns
+    assert "tool" not in cols and "text" in cols
+    # no data file was touched
+    assert {fe["path"] for fl in t.manifest(v0).files.values() for fe in fl} \
+        == {fe["path"] for fl in t.manifest().files.values() for fe in fl}
+    # time travel still shows the dropped column
+    assert "tool" in t.read(spark, version=v0).columns
+    # merges keep working against the narrowed schema
+    narrowed = T.StructType([f for f in CHANGE_SCHEMA.fields if f.name != "tool"])
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:05"), 2, "c2", 0, "user", "fresh", "f"),
+    ], narrowed), "b2")
+    got = {r["conv_id"]: r["text"] for r in t.read(spark).collect()}
+    assert got == {"c1": "keep-me", "c2": "fresh"}
+
+
+def test_drop_column_validation_and_rename_interplay(spark, tmpdir_path):
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=2)
+    with pytest.raises(ValueError, match="engine-protected"):
+        t.drop_column("conv_id")
+    with pytest.raises(ValueError, match="no column"):
+        t.drop_column("nope")
+    t.add_constraint(spark, "has-text", "text IS NOT NULL", policy="warn")
+    with pytest.raises(ValueError, match="references"):
+        t.drop_column("text")
+    t.drop_constraint("has-text")
+    # rename then drop: the alias chain must die with the column, so a
+    # future SAME-NAME column cannot resurrect old-era data
+    apply_batch(spark, t, _mk(spark, [_insert("c1", 0, 1, "zombie?")]), "b1")
+    t.rename_column(spark, "text", "body")
+    t.drop_column("body")
+    assert t.manifest().renames in (None, {})
+    t.add_column("body", "string", comment="fresh start")
+    got = t.read(spark).collect()[0]
+    assert got["body"] is None  # old-era 'text' data must NOT reappear
+
+
+def test_add_column_ddl(spark, tmpdir_path):
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=2)
+    apply_batch(spark, t, _mk(spark, [_insert("c1", 0, 1, "x")]), "b1")
+    t.add_column("score", "double", comment="quality score")
+    row = t.read(spark).collect()[0]
+    assert row["score"] is None
+    desc = {d["name"]: d for d in t.describe()}
+    assert desc["score"]["type"] == "double"
+    assert desc["score"]["comment"] == "quality score"
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("score", "double")
+    with pytest.raises(ValueError, match="unsupported DDL type"):
+        t.add_column("vec", "array<float>")
+
+
+def test_add_drop_column_cli(spark, tmpdir_path, capsys):
+    from etl_spark.__main__ import main
+
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=2)
+    assert main(["add-column", "--table", t.path, "--name", "lang",
+                 "--type", "string"]) == 0
+    assert main(["drop-column", "--table", t.path, "--name", "lang"]) == 0
+    assert "lang" not in [f.name for f in t.user_schema().fields]

@@ -235,6 +235,43 @@ def cdc_constraint_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select(*FINAL_COLS)
 
 
+def cdc_zorder_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path THROUGH a maintenance rewrite: the 4-segment
+    replay of ``cdc_replay_state`` followed by ``cluster_zorder`` (Morton
+    re-layout over conv_id x ts, MOR deltas collapsed, stats rebuilt),
+    then read back. Same oracle as the plain replay — a maintenance
+    rewrite must never change table content, only layout. This is the
+    oracle-checked form of the rewrite-safety contract the pruning tests
+    assert locally."""
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.apply import replay_feed
+    from etl_spark.cdc.gen import write_feed
+    from etl_spark.lake.table import LakeTable
+
+    feed = change_feed_from_events(spark, sf_dir).withColumn(
+        "batch", F.pmod(F.col("op_seq"), F.lit(4)).cast("int")
+    )
+    work = _work_dir("etl_spark_zorder_")
+    feed_dir = os.path.join(work, "feed")
+    write_feed(feed, feed_dir, n_batches=4)
+    feed_t = {f.name: f.dataType for f in feed.schema.fields}
+    user_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", feed_t["ts"], True),
+        ]
+    )
+    table = LakeTable.create(os.path.join(work, "lake"), user_schema, n_buckets=16)
+    replay_feed(spark, table, feed_dir, mode="mor")
+    table.cluster_zorder(spark, files_per_bucket=4)
+    return table.read(spark).select(*FINAL_COLS)
+
+
 def cdc_wap_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish replay (Iceberg WAP analog over branch refs):
     the same 4-segment feed as ``cdc_replay_state`` is staged entirely on

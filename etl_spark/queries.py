@@ -23,6 +23,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_replay_state": (cdcq.cdc_replay_state, cdcq.LWW_STATE_SQL),
     "cdc_wap_replay": (cdcq.cdc_wap_replay, cdcq.LWW_STATE_SQL),
     "cdc_constraint_state": (cdcq.cdc_constraint_state, cdcq.CONSTRAINT_STATE_SQL),
+    "cdc_zorder_state": (cdcq.cdc_zorder_state, cdcq.LWW_STATE_SQL),
     "cdc_replica_sync": (cdcq.cdc_replica_sync, cdcq.LWW_STATE_SQL),
     "cdc_dispositions": (cdcq.cdc_dispositions, cdcq.DISPOSITIONS_SQL),
     "cdc_stream_stats": (cdcq.cdc_stream_stats, cdcq.STREAM_STATS_SQL),

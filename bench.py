@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "events_session_window",
     "props_variant_stats",
     "doc_chunk_overlap",
+    "emb_sq_recall",
 ]
 # (cdc_patch_replay is replay-backed — excluded like the other replays.)
 # Excluded from the timed suite (correctness-only at sf0.01):

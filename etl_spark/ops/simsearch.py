@@ -830,3 +830,72 @@ EMB_KMEANS_SQL = f"""
            CAST(sum(label) AS BIGINT) AS label_sum
     FROM a2 GROUP BY c
 """
+
+
+# --- SQ recall audit -----------------------------------------------------------
+# Same contract as emb_ivf_recall, for the scalar-quantized path: per
+# probe, how many of the exact brute-force top-k survive the 4-bit
+# code scan + exact re-rank. Quantifies the compression/recall trade of
+# SQ_REFINE (candidates kept per probe) the way a production ANN rollout
+# is judged — recall ~10000 bp here because the refine set is 4x the
+# final k and 4-bit midpoint reconstruction preserves ordering at this
+# dimensionality; shrink SQ_REFINE and this audit is what catches it.
+
+def emb_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sq = emb_sq_topk(spark, sf_dir).select("q_id", "cand_id").withColumn(
+        "__hit", F.lit(1)
+    )
+    e = _quantized(_emb(spark, sf_dir)).select("vec_id", "__q", "__nsq")
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("q_id"), F.col("__q").alias("qv"),
+        F.col("__nsq").alias("qn"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("__q").alias("cv"),
+        F.col("__nsq").alias("cn"),
+    )
+    cos = _cos(_dot("qv", "cv"), "qn", "cn")
+    scored = (
+        F.broadcast(probes)
+        .join(cand, F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", cos.alias("__cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("__cos").desc(), F.col("cand_id"))
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= TOP_K)
+        .select("q_id", "cand_id")
+    )
+    return (
+        exact.join(sq, ["q_id", "cand_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("__hit").alias("n_hits"),
+            F.floor(F.lit(10000.0) * F.count("__hit") / F.lit(TOP_K)).alias(
+                "recall_bp"
+            ),
+        )
+    )
+
+
+EMB_SQ_RECALL_SQL = f"""
+    WITH n AS ({NORM_SQL}),
+    exact AS (
+        SELECT q_id, cand_id FROM (
+            SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id ORDER BY {COS_SQL} DESC, b.vec_id
+                   ) AS rn
+            FROM n a JOIN n b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < {N_PROBES}
+        ) WHERE rn <= {TOP_K}
+    ),
+    sq AS (SELECT q_id, cand_id FROM ({EMB_SQ_TOPK_SQL}))
+    SELECT e.q_id,
+           CAST(count(s.cand_id) AS BIGINT) AS n_hits,
+           CAST(floor(10000.0 * count(s.cand_id) / {TOP_K}) AS BIGINT)
+               AS recall_bp
+    FROM exact e LEFT JOIN sq s
+      ON e.q_id = s.q_id AND e.cand_id = s.cand_id
+    GROUP BY e.q_id
+"""

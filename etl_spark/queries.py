@@ -221,6 +221,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mm_resize_plan": (multimodal.mm_resize_plan, multimodal.MM_RESIZE_PLAN_SQL),
     "emb_lsh_topk": (simsearch.emb_lsh_topk, simsearch.EMB_LSH_TOPK_SQL),
     "emb_sq_topk": (simsearch.emb_sq_topk, simsearch.EMB_SQ_TOPK_SQL),
+    "emb_sq_recall": (simsearch.emb_sq_recall, simsearch.EMB_SQ_RECALL_SQL),
     "emb_kmeans": (simsearch.emb_kmeans, simsearch.EMB_KMEANS_SQL),
     # --- multimodal plumbing (Arrow mapInPandas decode stub) ---
     "mm_decode_meta": (multimodal.mm_decode_meta, multimodal.MM_DECODE_META_SQL),

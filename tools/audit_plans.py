@@ -69,6 +69,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "emb_ivf_recall": {
         "BroadcastNestedLoopJoin": "build side = fixed probe window (N_CENTROIDS ids) for the exact-baseline leg",
     },
+    "emb_sq_recall": {
+        "BroadcastNestedLoopJoin": "build side = fixed probe set (N_PROBES ids) for the exact-baseline leg",
+    },
     "emb_sq_topk": {
         "BroadcastNestedLoopJoin": "build side = fixed probe set (N_PROBES=8 ids) against the 4-bit code table",
     },

@@ -374,7 +374,12 @@ def main() -> None:
     spark = get_spark(
         cores=cores,
         app_name="etl_spark_bench",
-        extra_conf={"spark.local.dir": local_dir},
+        extra_conf={
+            "spark.local.dir": local_dir,
+            # \r-progress frames share "lines" with the final JSON in some
+            # capture modes — keep the stream clean for the tail parser
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
 
     # query suite BEFORE the replay: the 1M-event replay leaves the JVM
@@ -416,27 +421,49 @@ def main() -> None:
     total = sum(q_secs.values())
     spark.stop()
     shutil.rmtree(local_dir, ignore_errors=True)
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_apply_throughput",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": q_secs,
-                "sf": sf,
-                "cores": cores,
-                "cdc_events": cdc["events"],
-                "cdc_events_per_sec": cdc["mor"]["events_per_sec"],
-                "cdc_cow_events_per_sec": cdc["cow"]["events_per_sec"],
-                "cdc_stream_events_per_sec": cdc["stream"]["events_per_sec"],
-                "cdc_patch_events_per_sec": cdc["patch"]["events_per_sec"],
-                "cdc_final_rows": cdc["final_rows"],
-                "cdc_batch_walls": cdc["mor"]["batch_walls"],
-                "cdc_gen_sec": cdc["gen_sec"],
-                "serving": cdc["serving"],
-            }
-        )
+    full = {
+        "metric": "cdc_apply_throughput",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": q_secs,
+        "sf": sf,
+        "cores": cores,
+        "cdc_events": cdc["events"],
+        "cdc_events_per_sec": cdc["mor"]["events_per_sec"],
+        "cdc_cow_events_per_sec": cdc["cow"]["events_per_sec"],
+        "cdc_stream_events_per_sec": cdc["stream"]["events_per_sec"],
+        "cdc_patch_events_per_sec": cdc["patch"]["events_per_sec"],
+        "cdc_final_rows": cdc["final_rows"],
+        "cdc_batch_walls": cdc["mor"]["batch_walls"],
+        "cdc_gen_sec": cdc["gen_sec"],
+        "serving": cdc["serving"],
+    }
+    # Full detail: committed artifact + one stdout line. The FINAL stdout
+    # line is a compact headline kept well under 2 KB — the round-2 driver
+    # captured only the last ~2000 chars and recorded "parsed": null when
+    # the single JSON line grew to ~3.6 KB with the full query map, so the
+    # last line must always fit whole in a 2000-char tail.
+    self_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
     )
+    with open(self_path, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))
+    compact = {k: v for k, v in full.items() if k not in ("queries", "serving")}
+    compact["queries"] = {}
+    compact["queries_full_in"] = "BENCH_SELF.json"
+    # replay legs first, then the slowest queries, until the line budget
+    order = [q for q in ("cdc_replay_mor", "cdc_replay_cow", "cdc_replay_patch") if q in q_secs]
+    order += sorted((q for q in q_secs if q not in order), key=lambda q: -q_secs[q])
+    for q in order:
+        compact["queries"][q] = q_secs[q]
+        if len(json.dumps(compact)) > 1700:
+            del compact["queries"][q]
+            break
+    compact["queries_omitted"] = len(q_secs) - len(compact["queries"])
+    line = json.dumps(compact)
+    assert len(line) < 1900, len(line)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -66,8 +66,17 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if "/" not in a]
+    import json
+    import os
+
+    argv = sys.argv[1:]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.01"
+    only = [a for a in argv if "/" not in a]
 
     from etl_spark.queries import REGISTRY
     from etl_spark.session import get_spark
@@ -80,33 +89,60 @@ def main() -> int:
         )
 
     failures = 0
+    results: dict[str, dict] = {}
     for name, (fn, sql) in REGISTRY.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        row = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        results[name] = row
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
+            row["err"] = f"spark error: {e}"
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        row["spark_rows"] = len(sdf)
         if sql is None:
+            row.update(rows_match=True, schema_match=True, hash_match=None,
+                       err="no oracle (rows-only check)")
             print(f"ok   {name}: (no oracle) rows={len(sdf)} [{time.time()-t0:.1f}s]")
             continue
         try:
             odf = con.sql(sql).df()
         except Exception as e:
+            row["err"] = f"oracle error: {e}"
             print(f"FAIL {name}: oracle error: {e}")
             failures += 1
             continue
+        row["oracle_rows"] = len(odf)
         errs = compare(sdf, odf)
+        row["schema_match"] = not any(e.startswith("columns differ") for e in errs)
+        row["rows_match"] = len(sdf) == len(odf)
+        row["hash_match"] = not errs
         if errs:
             failures += 1
+            row["err"] = "; ".join(errs[:4])
             print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)} [{time.time()-t0:.1f}s]")
             for e in errs[:4]:
                 print(f"     {e}")
         else:
             print(f"ok   {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+    if out_path is None and not only:
+        # full-registry sweeps default to writing the standing artifact —
+        # every registry query gets a machine-checkable row each round
+        out_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_SELF.json",
+        )
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {out_path} ({len(results)} queries)")
     print(f"\n{failures} failures")
     return 1 if failures else 0
 

@@ -651,6 +651,19 @@ def connected_components_labels(pairs: DataFrame, max_steps: int = 32) -> DataFr
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
+    else:
+        # min-label propagation converges in O(component diameter) steps;
+        # exhausting max_steps means some component's diameter exceeds it
+        # and the returned labels would silently split that component.
+        # At 100 TB a pathological dup chain (e.g. boilerplate pages each
+        # near-duplicating the next) can be deep — fail loud so the
+        # operator raises max_steps (or switches to large-star/small-star)
+        # instead of shipping wrong dup groups.
+        raise RuntimeError(
+            f"connected_components_labels: {changed} labels still changing "
+            f"after max_steps={max_steps}; component diameter exceeds the "
+            f"step budget — raise max_steps"
+        )
     return labels
 
 
@@ -1643,19 +1656,38 @@ DOC_DUP_CANONICAL_SQL = f"""
 # is `WHERE NOT drop_doc`, the audit is the two boolean columns. Plan:
 # both signal subplans are the registry queries themselves (shared
 # subtrees, bounded iterative CC + banded LSH), fused by two hash joins
-# on doc_id.
+# on doc_id. The two signals touch DISJOINT inputs (documents text vs
+# embeddings vectors), so they are materialized CONCURRENTLY from two
+# driver threads (Spark schedules jobs from separate threads in
+# parallel; neither saturates the cluster alone) — the gate's wall is
+# max(text leg, embedding leg) + two cheap hash joins, not their sum.
 
 def doc_multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from etl_spark.ops import simsearch
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    canon = doc_dup_canonical(spark, sf_dir).select("doc_id", "keep")
-    sem = (
-        simsearch.emb_neardup_pairs(spark, sf_dir)
-        .select(F.col("vec_b").alias("doc_id"))
-        .distinct()
-        .withColumn("__sem", F.lit(True))
-    )
+
+    def _canon() -> DataFrame:
+        return (
+            doc_dup_canonical(spark, sf_dir)
+            .select("doc_id", "keep")
+            .localCheckpoint(eager=True)
+        )
+
+    def _sem() -> DataFrame:
+        return (
+            simsearch.emb_neardup_pairs(spark, sf_dir)
+            .select(F.col("vec_b").alias("doc_id"))
+            .distinct()
+            .withColumn("__sem", F.lit(True))
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_canon, f_sem = pool.submit(_canon), pool.submit(_sem)
+        canon, sem = f_canon.result(), f_sem.result()
     return (
         docs.join(canon, "doc_id")
         .join(sem, "doc_id", "left")

@@ -34,3 +34,24 @@ def test_edge_order_and_direction_are_irrelevant(spark):
 def test_empty_pairs_yield_no_labels(spark):
     got = _labels(spark, [])
     assert got == {}
+
+
+def test_deep_chain_converges_within_budget(spark):
+    # a 20-hop path: min-label propagation moves the min one hop per
+    # step, so this needs ~19 steps — well inside the default 32 but deep
+    # enough to prove convergence isn't an artifact of tiny diameters
+    n = 20
+    got = _labels(spark, [(i, i + 1) for i in range(1, n)])
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_step_budget_exhaustion_fails_loud(spark):
+    # diameter > max_steps must raise, not silently return split
+    # components (the 100 TB dup-graph safety property)
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="max_steps"):
+        connected_components_labels(pairs, max_steps=3)

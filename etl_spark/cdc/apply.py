@@ -408,16 +408,23 @@ def requeue_quarantine(
     )
     if reasons:
         src = src.filter(F.col("reason").isin(*reasons))
-    # deterministic requeue identity from the quarantined row set
-    ident_rows = (
-        src.select("batch_id", "reason", "op_seq")
-        .orderBy("batch_id", "reason", "op_seq")
-        .collect()
-    )
-    h = hashlib.md5()
-    for r in ident_rows:
-        h.update(f"{r['batch_id']}|{r['reason']}|{r['op_seq']}".encode())
-    requeue_id = "requeue-" + h.hexdigest()[:16]
+    # deterministic requeue identity from the quarantined row set, computed
+    # DISTRIBUTED: the quarantine accumulates across every batch of a
+    # long-running pipeline, so collecting row identities to the driver is
+    # unbounded (a poisoned feed that dead-letters millions of rows would
+    # OOM the RECOVERY path). sum/bit_xor over per-row xxhash64 plus the
+    # count form an order-insensitive digest — same row set ⇒ same id
+    # regardless of partitioning, which is all idempotence needs.
+    d = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal sum: a long sum overflows under ANSI once ~billions of
+        # hash values accumulate (sum of decimal(28,0) widens to (38,0))
+        F.sum(F.xxhash64("batch_id", "reason", "op_seq").cast("decimal(28,0)")).alias("hsum"),
+        F.expr("bit_xor(xxhash64(batch_id, reason, op_seq))").alias("hxor"),
+    ).first()
+    requeue_id = "requeue-" + hashlib.md5(
+        f"{d['n']}|{d['hsum']}|{d['hxor']}".encode()
+    ).hexdigest()[:16]
     ts_type = table.user_schema()["ts"].dataType.simpleString()
     batch = src.select(
         *[

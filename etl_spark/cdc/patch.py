@@ -68,6 +68,8 @@ def resolve_events(
     payload_cols: list[str],
     virtual_col: str | None = None,
     carry_cols: list[str] | None = None,
+    patched_cols: set[str] | None = None,
+    cluster_col: str | None = None,
 ) -> DataFrame:
     """One row per key: the per-column-LWW final state of ``events``.
 
@@ -81,12 +83,34 @@ def resolve_events(
     event, and — when ``virtual_col`` is given — ``__disp`` with the
     whole-row merge's vocabulary (carried / inserted / updated / deleted /
     stale_skipped).
+
+    ``patched_cols``: the set of payload columns that any patch event in
+    ``events`` actually sets (None = unknown, treat all as patchable).
+    Columns OUTSIDE the set can only be written by full-image events —
+    which set every column from the same winning event — so they all
+    share ONE packed aggregate (``__p_full``) instead of one buffer per
+    column. A 50-column table whose batch patches 2 columns carries 3
+    payload aggregation buffers instead of 50.
+
+    ``cluster_col``: a column FUNCTIONAL IN THE KEY (e.g. the table
+    bucket's shuffle slot) that the input is already hash-partitioned
+    by. Added to the groupBy: HashPartitioning(cluster_col) satisfies
+    the aggregate's ClusteredDistribution(cluster_col, *KEY_COLS), so
+    Catalyst inserts NO exchange and the output keeps the bucket
+    clustering — the downstream bucket-partitioned write needs no
+    second exchange either (same one-shuffle shape as
+    cdc/dedup.lww_dedup_clustered). Not included in the output.
     """
     carry_cols = carry_cols or []
     has_virtual = virtual_col is not None
     virt = F.col(virtual_col) if has_virtual else F.lit(False)
     is_d = F.col("op") == "D"
     is_full = F.col("op").isin("I", "U")
+    patched = (
+        list(payload_cols) if patched_cols is None
+        else [c for c in payload_cols if c in patched_cols]
+    )
+    unpatched = [c for c in payload_cols if c not in set(patched)]
 
     def _packed(cols: list[Column]) -> Column:
         return F.struct(
@@ -98,10 +122,16 @@ def resolve_events(
         F.max(F.when(is_d, _packed(prov))).alias("__p_d"),
         F.max(F.when(~is_d, _packed(prov))).alias("__p_nd"),
     ]
-    for c in payload_cols:
+    for c in patched:
         setter = is_full | ((F.col("op") == PATCH_OP) & F.col(c).isNotNull())
         aggs.append(
             F.max(F.when(setter, _packed([F.col(c).alias("v")]))).alias(f"__s_{c}")
+        )
+    if unpatched:
+        aggs.append(
+            F.max(
+                F.when(is_full, _packed([F.col(c).alias(f"v_{c}") for c in unpatched]))
+            ).alias("__p_full")
         )
     if has_virtual:
         aggs += [
@@ -109,7 +139,8 @@ def resolve_events(
             F.max(F.when(~virt, F.lit(1)).otherwise(F.lit(0))).alias("__has_batch"),
         ]
 
-    g = events.groupBy(*KEY_COLS).agg(*aggs)
+    group_cols = ([cluster_col] if cluster_col else []) + list(KEY_COLS)
+    g = events.groupBy(*group_cols).agg(*aggs)
 
     # (ts, seq) prefixes order the packed structs: max __p_* is the packed
     # image of the max-ord event (op_seq is unique, so provenance fields
@@ -129,10 +160,17 @@ def resolve_events(
         F.col("__final.ts").alias("ts"),
         F.col("__final.seq").alias("op_seq"),
     ]
+    full_alive = (
+        F.col("__p_full").isNotNull() & (m_d.isNull() | (_sord("__p_full") > m_d))
+        if unpatched else None
+    )
     for c in payload_cols:
-        s = f"__s_{c}"
-        alive = F.col(s).isNotNull() & (m_d.isNull() | (_sord(s) > m_d))
-        out.append(F.when(ex & alive, F.col(f"{s}.v")).alias(c))
+        if c in set(patched):
+            s = f"__s_{c}"
+            alive = F.col(s).isNotNull() & (m_d.isNull() | (_sord(s) > m_d))
+            out.append(F.when(ex & alive, F.col(f"{s}.v")).alias(c))
+        else:
+            out.append(F.when(ex & full_alive, F.col(f"__p_full.v_{c}")).alias(c))
     out += [F.col(f"__final.{c}").alias(c) for c in carry_cols]
 
     if has_virtual:

@@ -622,7 +622,22 @@ def _merge_patch(
     to the in-batch patch combine (a patch on an absent key upserts its
     sparse fields) — an append with zero table reads.
     """
-    from etl_spark.cdc.patch import resolve_events
+    from etl_spark.cdc.patch import PATCH_OP, resolve_events
+
+    # Which payload columns does this batch actually PATCH? Observed on
+    # the same pass-1 scan the gate already runs (no extra job); the set
+    # prunes the per-column LWW aggregation buffers below — a batch that
+    # patches 2 of 50 columns carries 3 payload buffers, not 50.
+    p_aggs = [
+        F.max(
+            F.when((F.col("op") == PATCH_OP) & F.col(c).isNotNull(), 1).otherwise(0)
+        ).alias(f"p_{c}")
+        for c in payload_cols
+        if c in batch.columns
+    ]
+    patch_obs = Observation()
+    if p_aggs:
+        batch = batch.observe(patch_obs, *p_aggs)
 
     # MOR commits drop the bloom sidecar, so a missing seen-set must NOT
     # trigger a full-table rebuild here — it would recur on every
@@ -638,6 +653,10 @@ def _merge_patch(
         return stats
     new_bloom, any_seen, touched = gate["new_bloom"], gate["any_seen"], gate["touched"]
     watermark_us, bloom_known = gate["watermark_us"], gate["bloom_known"]
+    t_plan0 = time.time()
+    pc = patch_obs.get if p_aggs else {}
+    patched_cols = {c for c in payload_cols if int(pc.get(f"p_{c}") or 0) == 1}
+    stats.phase_sec["patch_obs"] = round(time.time() - t_plan0, 3)
 
     null_s = F.lit(None).cast("string")
     batch_ev = batch.select(
@@ -675,17 +694,24 @@ def _merge_patch(
             storage_cols, storage_schema,
         )
         if mode == "mor":
-            # append path: only BATCH keys can produce written rows, so
-            # the virtual side is semi-joined down to them before the
-            # resolution — aggregation input is O(batch keys), not
-            # O(touched-bucket rows). At 10^10 stored rows with small
-            # micro-batches this is the difference between a batch-sized
-            # and a table-sized sort-agg. (COW keeps every bucket row:
-            # the rewrite must carry untouched keys through.)
-            batch_keys = batch.select(
+            # append path: committed state only matters for keys that a
+            # PATCH event touches (a patch is read-modify-write by
+            # nature); keys carrying only full-image/delete events
+            # resolve from the batch alone and append as plain MOR
+            # deltas — the read-time LWW reduce settles them against the
+            # committed rows exactly as the non-patch MOR path does. So
+            # the virtual side is semi-joined down to the batch's PATCH
+            # keys: with a 15%-patch feed the read-modify-write input is
+            # ~6× smaller than joining on all batch keys, and at 10^10
+            # stored rows it stays O(patch keys), never O(table).
+            # Disposition note: full-image-only keys therefore report
+            # MOR append vocabulary (inserted/deleted — no stale/carried
+            # detection, same as the non-patch MOR path); patch keys keep
+            # exact read-modify-write dispositions.
+            patch_keys = batch.filter(F.col("op") == PATCH_OP).select(
                 *[F.col(k).cast(evolved[k].dataType).alias(k) for k in KEY_COLS]
             ).dropDuplicates(list(KEY_COLS))
-            tgt = tgt.join(batch_keys, list(KEY_COLS), "left_semi")
+            tgt = tgt.join(patch_keys, list(KEY_COLS), "left_semi")
         virt = tgt.select(
             *KEY_COLS,
             F.when(F.col("deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
@@ -699,9 +725,25 @@ def _merge_patch(
         )
         events = batch_ev.unionByName(virt)
 
+    # ONE exchange for resolve + write (the lww_dedup_clustered shape):
+    # cluster events on the bucket's balanced shuffle slot, group by
+    # (slot, key) — satisfied distribution, no agg exchange — and hand
+    # the still-bucket-clustered output to a pre_clustered write. The
+    # naive plan pays two full exchanges (key-hash for the aggregation,
+    # bucket-hash for the write) of every resolved row per micro-batch.
+    from etl_spark.cdc.dedup import _slot_magic
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    magic = _slot_magic(spark, n_part)
+    slot = F.element_at(
+        F.array(*[F.lit(m_) for m_ in magic]),
+        (F.pmod(table.bucket_expr(), F.lit(n_part)) + 1).cast("int"),
+    )
+    events = events.withColumn("__slot", slot).repartition(n_part, F.col("__slot"))
     resolved = resolve_events(
         events, payload_cols, virtual_col="__virtual",
         carry_cols=["batch_id", "source_file", "ingest_ts"],
+        patched_cols=patched_cols, cluster_col="__slot",
     )
     append_mode = fast_append or mode == "mor"
     is_del_f = F.col("op") == F.lit("D")
@@ -730,8 +772,10 @@ def _merge_patch(
         )
     to_write = observed.drop("__disp")
     t1 = time.time()
+    stats.phase_sec["plan"] = round(t1 - t_plan0, 3)
     files = table.write_bucket_files(
         to_write, version_tag=f"merge-v{batch_id[:12]}", schema_id=new_sid,
+        pre_clustered=True,  # slot exchange above IS the bucket clustering
     )
     stats.phase_sec["write"] = round(time.time() - t1, 3)
     t2 = time.time()

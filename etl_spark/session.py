@@ -106,6 +106,23 @@ def get_spark(
         # multi-executor runs whose map work is <1 s. Standard setting for
         # storage-disaggregated clusters.
         .config("spark.locality.wait", "0s")
+        # File-index listing: above this many paths Spark launches a
+        # whole Spark JOB just to stat the files (default threshold 32).
+        # MOR tables pass hundreds of explicit delta-file paths per read,
+        # and the listing job was measured at 0.5-1.2s of pure overhead
+        # per micro-batch (growing with table age). Driver-side listing
+        # of a few thousand paths is microseconds on a filesystem and one
+        # batched LIST on object storage — keep the job for truly huge
+        # file sets only.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
+        # PySpark 4 wraps every DataFrame/Column call to capture the
+        # Python call site for error enrichment: getActiveSession +
+        # conf.get + two extra py4j round-trips PER API CALL. Measured at
+        # ~1s of pure driver time per CDC micro-batch (≈2.8ms × ~400
+        # calls) — a fixed tax on every plan build. Ingest is a
+        # long-running service, not a notebook; trade the prettier
+        # tracebacks for per-batch latency.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

@@ -152,7 +152,9 @@ class LakeCatalog:
         except FileNotFoundError:
             return {}
 
-    def _swap_pins(self, updates: dict[str, int]) -> None:
+    def _swap_pins(
+        self, updates: dict[str, int], remove: list[str] | None = None
+    ) -> None:
         """ONE atomic write moving every updated pin together — the
         cross-table commit point of a transaction. The read-modify-write
         is flock-guarded: two transactions over DISJOINT table sets may
@@ -168,6 +170,11 @@ class LakeCatalog:
             try:
                 pins = self.pins()
                 pins.update(updates)
+                for ident in remove or []:
+                    # un-pin (txn rollback of a base pin the commit added):
+                    # the table reverts to the 'never written through a
+                    # transaction -> current head' visibility contract
+                    pins.pop(ident, None)
                 _atomic_write(self._pins_path, json.dumps(pins, sort_keys=True))
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)

@@ -320,6 +320,23 @@ def merge_into(
     from pyspark.sql import types as T
 
     evolved = evolve_schema(cur_user, T.StructType(batch_payload_fields))
+    # a batch field named like a rename-map SOURCE is almost always an
+    # old producer still emitting the pre-rename name — silently minting
+    # a new column under that name would both fork the lineage and make
+    # old-era reads ambiguous (the scan resolves historic names through
+    # the map). Refuse loudly; the producer must emit the renamed name.
+    ren_sources = set((table.manifest().renames or {}).keys())
+    cur_names = {f.name for f in cur_user.fields}
+    bad = [
+        f.name for f in evolved.fields
+        if f.name not in cur_names and f.name in ren_sources
+    ]
+    if bad:
+        raise BatchFailedError(
+            f"batch {batch_id}: fields {bad} use historic (renamed-away) "
+            f"column names — update the producer to the current schema "
+            f"({sorted(cur_names)})"
+        )
     user_cols = [f.name for f in evolved.fields]
     payload_cols = [c for c in user_cols if c not in KEY_COLS and c != "ts"]
     storage_schema = table.storage_schema(evolved)

@@ -549,13 +549,21 @@ class LakeTable:
             have = set(df.columns)
 
             def _src(n: str) -> str | None:
-                if n in have:
-                    return n
-                # rename resolution: an old era stores the column under a
-                # historic name — the cumulative map points it at n
+                # rename map FIRST: when the current name n was minted by a
+                # rename, an old era may also physically store a column
+                # NAMED n whose lineage is a different (renamed-away)
+                # column — e.g. rename b→c then a→b: old files' physical b
+                # is semantically c, and current-b must read old a. The map
+                # hit only fires when the historic source name is present,
+                # so new-era files (no historic names) still resolve via
+                # the direct match below. rename_column also refuses new
+                # names that shadow any historic era's physical column, so
+                # this ordering is belt-and-braces.
                 for old, cur in ren.items():
                     if cur == n and old in have:
                         return old
+                if n in have:
+                    return n
                 return None
 
             cols = [
@@ -1769,6 +1777,25 @@ class LakeTable:
             raise ValueError(f"no column {old!r} (have {names})")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
+        # a new name that any HISTORIC era physically stores (or that the
+        # rename map already uses as a source) would make old-era reads
+        # ambiguous: the era's physical column named `new` belongs to a
+        # different (renamed-away or dropped) lineage, and serving it
+        # under the new current name resurrects stale data — the same
+        # class of bug the drop_column alias-kill guards against
+        for sid, sj in (m.schemas or {}).items():
+            hist = [f.name for f in schema_from_json(sj).fields]
+            if new in hist and sid != m.current_schema_id:
+                raise ValueError(
+                    f"{new!r} was a column name in historic schema era "
+                    f"{sid}; reusing it would misattribute old files' "
+                    f"data — pick a fresh name"
+                )
+        if new in (m.renames or {}):
+            raise ValueError(
+                f"{new!r} is a historic source name in the rename map; "
+                f"reusing it would misattribute old files' data"
+            )
         new_schema = T.StructType(
             [
                 T.StructField(new, f.dataType, f.nullable, f.metadata)
@@ -1811,6 +1838,14 @@ class LakeTable:
         sch = schema_from_json(m.schema_json)
         if name in [f.name for f in sch.fields]:
             raise ValueError(f"column {name!r} already exists")
+        if name in (m.renames or {}):
+            # the rename map still resolves this name in old-era files to
+            # ANOTHER column's lineage; a new column with the same name
+            # would have its new-era data shadowed by that mapping
+            raise ValueError(
+                f"{name!r} is a historic source name in the rename map "
+                f"(renamed to {m.renames[name]!r}); pick a fresh name"
+            )
         scalar_types = {
             "string": T.StringType(), "int": T.IntegerType(),
             "integer": T.IntegerType(), "long": T.LongType(),

@@ -94,7 +94,12 @@ class CatalogTransaction:
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"{self.txn_id}.json")
 
-    def _write_wal(self, state: str, staged: dict[str, int] | None = None) -> None:
+    def _write_wal(
+        self,
+        state: str,
+        staged: dict[str, int] | None = None,
+        added_pins: list[str] | None = None,
+    ) -> None:
         _atomic_write(
             self._wal_path,
             json.dumps(
@@ -102,6 +107,7 @@ class CatalogTransaction:
                     "txn_id": self.txn_id,
                     "state": state,
                     "branch": self._branch,
+                    "added_pins": added_pins or [],
                     "tables": {
                         ident: {
                             "base": rec["base"],
@@ -132,6 +138,12 @@ class CatalogTransaction:
                 "base": published.current_version(),
                 "view": view,
             }
+            # WAL records the txn as OPEN from the first staged table on:
+            # a crash here leaves orphaned txn-* branches (and the staged
+            # files their heads reference) that recover_txns can only
+            # collect if it knows the transaction existed — commit()'s
+            # first WAL write would be too late
+            self._write_wal("open")
         return self._tables[ident]["view"]
 
     def abort(self) -> None:
@@ -163,19 +175,22 @@ class CatalogTransaction:
             ident: rec["view"].manifest().version
             for ident, rec in self._tables.items()
         }
-        self._write_wal("committing", staged)
         # pin-at-base first: a member table that was never pin-governed
         # would otherwise fall back to its CURRENT head in read_committed,
         # exposing partial state between the publishes and the pin swap
         # (or after a crash in that window). Pinning it at base is a
         # no-op for what readers see right now, and makes the final swap
-        # the only visibility change.
+        # the only visibility change. The WAL records which pins WE
+        # added, so both the abort path below and crash recovery can
+        # remove them (an aborted txn must not leave never-committed
+        # tables pin-governed forever).
         have = self.catalog.pins()
         base_pins = {
             ident: rec["base"]
             for ident, rec in self._tables.items()
             if ident not in have
         }
+        self._write_wal("committing", staged, added_pins=sorted(base_pins))
         if base_pins:
             self.catalog._swap_pins(base_pins)
         published: list[str] = []
@@ -199,6 +214,11 @@ class CatalogTransaction:
                             self.catalog.load_table(ident2).drop_branch(self._branch)
                         except ValueError:
                             pass
+                if base_pins:
+                    # restore the 'never transactionally written -> reads
+                    # follow current head' contract for tables this commit
+                    # pinned at base and then failed to publish
+                    self.catalog._swap_pins({}, remove=sorted(base_pins))
                 self.state = "aborted"
                 self._write_wal("aborted")
                 raise TxnAbortedError(
@@ -227,10 +247,25 @@ def recover_txns(catalog) -> dict[str, str]:
             continue
         with open(os.path.join(d, fn)) as f:
             wal = json.load(f)
-        if wal["state"] != "committing":
-            continue
         txn_id, branch = wal["txn_id"], wal["branch"]
         tables: dict[str, dict] = wal["tables"]
+        if wal["state"] == "open":
+            # crash while staging: drop the orphaned txn branches (each
+            # table's expire_snapshots collects the staged files). Only
+            # safe at startup — recover_txns' documented contract — when
+            # no transaction of this catalog can still be live.
+            for ident in tables:
+                t = catalog.load_table(ident)
+                try:
+                    t.drop_branch(branch)
+                except ValueError:
+                    pass
+            wal["state"] = "aborted"
+            out[txn_id] = "dropped_open"
+            _atomic_write(os.path.join(d, fn), json.dumps(wal, sort_keys=True))
+            continue
+        if wal["state"] != "committing":
+            continue
         # close the unpinned-member window first (see commit())
         have = catalog.pins()
         base_pins = {
@@ -269,6 +304,9 @@ def recover_txns(catalog) -> dict[str, str]:
                     t.drop_branch(branch)
                 elif t.current_version() != rec["base"]:
                     t.rollback(rec["base"])
+            added = wal.get("added_pins") or []
+            if added:
+                catalog._swap_pins({}, remove=added)
             wal["state"] = "aborted"
             out[txn_id] = "rolled_back"
         _atomic_write(os.path.join(d, fn), json.dumps(wal, sort_keys=True))

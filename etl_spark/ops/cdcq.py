@@ -113,7 +113,12 @@ CONSTRAINT_STATE_SQL = f"""
     WITH feed AS ({FEED_SQL}),
     gated AS (
         SELECT * FROM feed
-        WHERE NOT (op IN ('I','U') AND NOT (role <> 'system'))
+        -- coalesce(..., FALSE): a NULL role on an upsert makes the inner
+        -- predicate NULL, and bare WHERE NOT NULL would EXCLUDE the row —
+        -- while the engine's CHECK-constraint semantics (eqNullSafe on
+        -- FALSE) let NULL-evaluating rows PASS, per SQL CHECK. Pin the
+        -- oracle to the engine's (standard) behavior.
+        WHERE NOT coalesce(op IN ('I','U') AND NOT (role <> 'system'), FALSE)
     ),
     ranked AS (
         SELECT *, row_number() OVER (

@@ -171,3 +171,32 @@ def test_add_drop_column_cli(spark, tmpdir_path, capsys):
                  "--type", "string"]) == 0
     assert main(["drop-column", "--table", t.path, "--name", "lang"]) == 0
     assert "lang" not in [f.name for f in t.user_schema().fields]
+
+
+def test_rename_refuses_historic_and_mapped_names(spark, tmpdir_path):
+    """Name-reuse resurrection guards: a rename target (or re-added
+    column) must never collide with a name some historic era still
+    physically stores, or with a rename-map source — old-era reads would
+    serve the wrong lineage's bytes under the new name."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    apply_batch(spark, t, _mk(spark, [_insert("c1", 0, 1, "v1")]), "b1")
+    t.rename_column(spark, "text", "body")
+    # swap pattern: rename another column INTO the historic name 'text'
+    with pytest.raises(ValueError, match="historic"):
+        t.rename_column(spark, "tool", "text")
+    # re-adding the renamed-away source name forks the lineage
+    with pytest.raises(ValueError, match="rename map"):
+        t.add_column("text", "string")
+
+
+def test_batch_with_renamed_away_field_fails_loud(spark, tmpdir_path):
+    """An old producer still emitting the pre-rename field name must be
+    refused, not silently forked into a new column."""
+    from etl_spark.lake.merge import BatchFailedError
+
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    apply_batch(spark, t, _mk(spark, [_insert("c1", 0, 1, "v1")]), "b1")
+    t.rename_column(spark, "text", "body")
+    stale_producer = _mk(spark, [_insert("c1", 1, 2, "v2")])  # still 'text'
+    with pytest.raises(BatchFailedError, match="renamed-away"):
+        apply_batch(spark, t, stale_producer, "b2")

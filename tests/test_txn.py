@@ -171,3 +171,49 @@ def test_cli_catalog_ops(spark, cat, capsys):
     assert "rolled_forward" in out
     assert main(["catalog", "--root", cat.root, "pins"]) == 0
     assert "raw.a" in capsys.readouterr().out
+
+
+def test_aborted_commit_removes_base_pins_it_added(spark, cat, monkeypatch):
+    """A commit that pinned never-pinned members at base and then rolled
+    back must REMOVE those pins: tables never transactionally written go
+    back to 'read_committed follows current head', so later direct
+    (non-txn) writes stay visible."""
+    from etl_spark.lake import CommitConflictError
+    from etl_spark.lake.table import LakeTable
+
+    txn = cat.begin()
+    apply_batch(spark, txn.table("raw.a"), _batch(spark, "a"), "b1")
+    apply_batch(spark, txn.table("raw.b"), _batch(spark, "b"), "b1")
+    orig = LakeTable.publish_branch
+
+    def failing(self, name):
+        if self.path.endswith("raw/b") or self.path.endswith("raw\\b"):
+            raise CommitConflictError("simulated repair moved CURRENT")
+        return orig(self, name)
+
+    monkeypatch.setattr(LakeTable, "publish_branch", failing)
+    with pytest.raises(TxnAbortedError):
+        txn.commit()
+    monkeypatch.undo()
+    assert cat.pins() == {}  # base pins removed on rollback
+    # direct (non-transactional) write is visible to catalog readers again
+    apply_batch(spark, cat.load_table("raw.a"), _batch(spark, "d", n=3), "b2")
+    assert cat.read_committed(spark, "raw.a").count() == 3
+
+
+def test_crash_while_open_is_recovered(spark, cat):
+    """A crash while the txn is OPEN (staged but never committed) leaves
+    an 'open' WAL; recover_txns drops the orphaned branches."""
+    from etl_spark.lake.txn import recover_txns
+
+    txn = cat.begin()
+    apply_batch(spark, txn.table("raw.a"), _batch(spark, "a"), "b1")
+    # simulate crash: the txn object is simply abandoned (no abort/commit)
+    branch = txn._branch
+    assert branch in cat.load_table("raw.a").list_branches()
+    out = recover_txns(cat)
+    assert out == {txn.txn_id: "dropped_open"}
+    assert branch not in cat.load_table("raw.a").list_branches()
+    assert cat.read_committed(spark, "raw.a").count() == 0
+    # idempotent: a second recovery pass does nothing
+    assert recover_txns(cat) == {}

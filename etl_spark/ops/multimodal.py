@@ -12,6 +12,11 @@ The mm_decode_meta query is oracle-checked: the stub's arithmetic
 (md5-derived width/height/format) is replicated in DuckDB SQL, proving the
 Spark-side plumbing (schema, batching, UDF signature) delivers exactly the
 declared transform.
+
+A TRUE BinaryType decode — header-declared offsets over fixed-stride
+little-endian records, the web100 snaplog shape — lives in
+ops/binparse.py (``bin_snaplog_decode``), vectorized with numpy struct
+views; this module keeps only the media-codec integration stub.
 """
 
 from __future__ import annotations

@@ -12,7 +12,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_spark.ops import cdcq, multimodal, refops, simsearch, textops, tpch, tpch2
+from etl_spark.ops import (
+    binparse,
+    cdcq,
+    multimodal,
+    refops,
+    simsearch,
+    textops,
+    tpch,
+    tpch2,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -227,6 +236,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mm_decode_meta": (multimodal.mm_decode_meta, multimodal.MM_DECODE_META_SQL),
     "mm_frame_sample": (multimodal.mm_frame_sample, multimodal.MM_FRAME_SAMPLE_SQL),
     "mm_audio_chunks": (multimodal.mm_audio_chunks, multimodal.MM_AUDIO_CHUNKS_SQL),
+    # --- reference parser shapes: binary snaplog + multi-line text record ---
+    "bin_snaplog_decode": (binparse.bin_snaplog_decode, binparse.BIN_SNAPLOG_DECODE_SQL),
+    "txt_hoplog_parse": (binparse.txt_hoplog_parse, binparse.TXT_HOPLOG_PARSE_SQL),
 }
 
 

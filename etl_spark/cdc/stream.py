@@ -39,6 +39,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from etl_spark.cdc.apply import _segment_relative, apply_batch, batch_fingerprint
 from etl_spark.lake.table import LakeTable
 
+# Default per-bucket data-file bound for the streaming loop. A MOR
+# stream appends one delta file per touched bucket per trigger, so an
+# UNBOUNDED stream grows read amplification linearly with uptime until
+# an operator intervenes — the wrong default for a service. 16 keeps
+# point-read fan-in small while amortizing the rewrite to ~1/16 extra
+# write volume per trigger (compact_small_files rewrites only offending
+# buckets). Pass None to opt OUT (operator-scheduled maintenance).
+DEFAULT_COMPACT_FILES = 16
+
 
 def detect_feed_schema(spark: SparkSession, feed_dir: str) -> T.StructType:
     """Union-of-eras feed schema from parquet footers (mergeSchema reads
@@ -61,7 +70,7 @@ def run_stream(
     late_watermark_sec: float | None = None,
     mode: str = "cow",
     mv_path: str | None = None,
-    auto_compact_files: int | None = None,
+    auto_compact_files: int | None = DEFAULT_COMPACT_FILES,
     replica_path: str | None = None,
     allow_patches: bool = False,
     quarantine_dir: str | None = None,

@@ -150,3 +150,39 @@ def test_bloom_sidecars_unique_per_writer_and_garbage_collected(spark, tmpdir_pa
     t.expire_snapshots(keep_last=2)
     assert not os.path.exists(stray)
     assert t.load_bloom() is not None  # the live sidecar survived
+
+
+def test_stream_default_bounds_files_without_operator(spark, tmpdir_path):
+    """A long MOR stream with NO maintenance flags must keep per-bucket
+    file counts (hence point-read fan-in) bounded: run_stream's default
+    auto_compact_files policy fires compact_small_files from inside the
+    streaming loop itself."""
+    import os
+
+    from etl_spark.cdc.gen import change_feed_df, write_feed
+    from etl_spark.cdc.stream import DEFAULT_COMPACT_FILES, run_stream
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.schema import TRANSCRIPT_SCHEMA
+
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    # many small segments, each touching most buckets of a tiny table —
+    # unbounded MOR appends would pile ~n_batches files per bucket
+    write_feed(
+        change_feed_df(
+            spark, n_events=6000, n_convs=40, max_turns=8, seed=33,
+            n_batches=24,
+        ),
+        feed_dir,
+    )
+    t = LakeTable.create(
+        os.path.join(tmpdir_path, "lake"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    run_stream(
+        spark, t, feed_dir, os.path.join(tmpdir_path, "ckpt"),
+        max_files_per_trigger=1, available_now=True, mode="mor",
+    )
+    m = t.manifest()
+    worst = max(len(fl) for fl in m.files.values())
+    assert worst <= DEFAULT_COMPACT_FILES
+    # and the stream really was micro-batched enough to have piled files
+    assert len(t.commit_log()) >= 20

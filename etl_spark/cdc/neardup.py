@@ -86,12 +86,15 @@ class _SegmentedIndex:
         m["n_docs"] += n
         _atomic_write(os.path.join(self.path, _PTR), json.dumps(m))
 
-    def _read_committed(self, spark: SparkSession, sub: str) -> DataFrame | None:
+    def _read_committed(
+        self, spark: SparkSession, sub: str, exclude: str | None = None
+    ) -> DataFrame | None:
         m = self._meta()
-        if not m["segments"]:
+        segs = [s for s in m["segments"] if s != exclude]
+        if not segs:
             return None
         return spark.read.parquet(
-            *[os.path.join(self.path, s, sub) for s in m["segments"]]
+            *[os.path.join(self.path, s, sub) for s in segs]
         )
 
     # ---------------------------------------------------- subclass hooks
@@ -108,7 +111,11 @@ class _SegmentedIndex:
 
     # ------------------------------------------------------------ engine
     def _write_segment(
-        self, spark: SparkSession, batch: DataFrame, base_dir: str
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        base_dir: str,
+        seg_name: str | None = None,
     ) -> tuple[str, int]:
         """Materialize the batch's signatures AND band rows under one
         segment dir — the single execution of the hash stage per batch;
@@ -116,7 +123,7 @@ class _SegmentedIndex:
         probe) reads these files back."""
         import pyarrow.parquet as pq
 
-        seg = f"seg-{uuid.uuid4().hex[:12]}"
+        seg = seg_name or f"seg-{uuid.uuid4().hex[:12]}"
         sig_dir = os.path.join(base_dir, seg, "sig")
         self._sigs_of(batch).write.mode("overwrite").parquet(sig_dir)
         sigs = spark.read.parquet(sig_dir)
@@ -131,14 +138,26 @@ class _SegmentedIndex:
         return seg, n
 
     def _dups_for_segment(
-        self, spark: SparkSession, base_dir: str, seg: str, threshold: float
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        seg: str,
+        threshold: float,
+        exclude_seg: str | None = None,
+        with_origin: bool = False,
     ) -> DataFrame:
+        """``with_origin``: add a ``dup_src`` column ('index' = the pair's
+        dup_of side is corpus content, 'batch' = both sides arrived in
+        this segment) — consumers that DROP rows need the provenance,
+        because a key can legitimately appear on both sides (its own
+        earlier version in the index) and set-membership cannot
+        distinguish the cases."""
         sigs = spark.read.parquet(os.path.join(base_dir, seg, "sig"))
         nb = spark.read.parquet(os.path.join(base_dir, seg, "bands"))
-        idx_sigs = self._read_committed(spark, "sig")
+        idx_sigs = self._read_committed(spark, "sig", exclude=exclude_seg)
         parts = []
         if idx_sigs is not None:
-            ib = self._read_committed(spark, "bands")
+            ib = self._read_committed(spark, "bands", exclude=exclude_seg)
             cand = (
                 nb.alias("x")
                 .join(
@@ -152,7 +171,11 @@ class _SegmentedIndex:
                 )
                 .distinct()
             )
-            parts.append(self._score(cand, sigs, idx_sigs))
+            parts.append(
+                self._score(cand, sigs, idx_sigs).withColumn(
+                    "dup_src", F.lit("index")
+                )
+            )
         cand_in = (
             nb.alias("x")
             .join(
@@ -167,11 +190,14 @@ class _SegmentedIndex:
             )
             .distinct()
         )
-        parts.append(self._score(cand_in, sigs, sigs))
+        parts.append(
+            self._score(cand_in, sigs, sigs).withColumn("dup_src", F.lit("batch"))
+        )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out.filter(F.col(self.SCORE_COL) >= threshold)
+        out = out.filter(F.col(self.SCORE_COL) >= threshold)
+        return out if with_origin else out.drop("dup_src")
 
     # ------------------------------------------------------------- API
     def find_dups(
@@ -205,6 +231,26 @@ class _SegmentedIndex:
         dups = self._dups_for_segment(spark, self.path, seg, threshold)
         self._commit_segment(seg, n)
         return dups
+
+    def gate_and_admit(
+        self, spark: SparkSession, batch: DataFrame, seg_name: str,
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """Crash-idempotent ingest gate for exactly-once pipelines: admit
+        the batch under the DETERMINISTIC segment name ``seg_name`` (a
+        redelivered batch finds its segment committed and skips the
+        write), then return near-dup pairs probed against the index
+        EXCLUDING the batch's own segment (so redelivery computes the
+        same drop set it computed the first time, instead of self-duping
+        every row). One hash pass per batch — the admitted segment's
+        persisted sig/band files serve as the probe side too."""
+        seg = f"seg-{seg_name}"
+        if seg not in self._meta()["segments"]:
+            _, n = self._write_segment(spark, batch, self.path, seg_name=seg)
+            self._commit_segment(seg, n)
+        return self._dups_for_segment(
+            spark, self.path, seg, threshold, exclude_seg=seg, with_origin=True
+        )
 
 
 class NearDupIndex(_SegmentedIndex):

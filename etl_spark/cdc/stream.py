@@ -59,6 +59,62 @@ def detect_feed_schema(spark: SparkSession, feed_dir: str) -> T.StructType:
     )
 
 
+def _neardup_gate(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    threshold: float,
+    bid: str,
+) -> DataFrame:
+    """Drop upsert rows whose text near-duplicates already-admitted
+    content (or a lower-keyed row of the same batch); admit the rest.
+
+    Document identity is the KEY hash (conv_id, turn_idx): a turn
+    re-editing its OWN text (self-similar versions — normal CDC churn)
+    is never a duplicate, only cross-key content collisions are. The
+    batch's latest version per key (in-batch LWW) is what gets probed
+    and admitted."""
+    from etl_spark.cdc.dedup import lww_dedup
+    from etl_spark.cdc.neardup import NearDupIndex
+
+    idx = NearDupIndex(index_path)
+    key_id = F.xxhash64("conv_id", "turn_idx")
+    upserts = batch.filter(F.col("op").isin("I", "U") & F.col("text").isNotNull())
+    docs = lww_dedup(upserts).select(key_id.alias("doc_id"), "text")
+    dups = idx.gate_and_admit(spark, docs, bid, threshold).filter(
+        # a key matching ITS OWN earlier version in the index is an edit
+        # (normal CDC churn), never a duplicate
+        ~((F.col("doc_id") == F.col("dup_of")) & (F.col("dup_src") == "index"))
+    ).localCheckpoint(eager=False)
+    # priority dropping: corpus duplicates go first; then in-batch pairs
+    # apply only among corpus-SURVIVORS (keep the smaller key) — a row
+    # whose only duplicate witness was itself corpus-dropped survives
+    # (e.g. an edit of key A near-duped by arriving copycat C: C drops
+    # against the corpus, A keeps its edit)
+    corpus_drops = dups.filter(F.col("dup_src") == "index").select("doc_id")
+    in_batch = (
+        dups.filter(F.col("dup_src") == "batch")
+        .join(corpus_drops.withColumnRenamed("doc_id", "dup_of"), "dup_of", "left_anti")
+        .join(corpus_drops, "doc_id", "left_anti")
+        .select(F.col("dup_of").alias("doc_id"))
+    )
+    drops = corpus_drops.unionByName(in_batch).distinct()
+    # deletes/patches/null-text rows always pass (not new content); all
+    # events of a dropped KEY are dropped together
+    keep_if = ~(F.col("op").isin("I", "U") & F.col("text").isNotNull())
+    return (
+        batch.withColumn("__ndid", key_id)
+        .withColumn("__ndkeep", keep_if)
+        .join(
+            drops.withColumnRenamed("doc_id", "__nddrop"),
+            F.col("__ndid") == F.col("__nddrop"),
+            "left",
+        )
+        .filter(F.col("__ndkeep") | F.col("__nddrop").isNull())
+        .drop("__ndid", "__ndkeep", "__nddrop")
+    )
+
+
 def run_stream(
     spark: SparkSession,
     table: LakeTable,
@@ -74,6 +130,8 @@ def run_stream(
     replica_path: str | None = None,
     allow_patches: bool = False,
     quarantine_dir: str | None = None,
+    neardup_index_path: str | None = None,
+    neardup_threshold: float = 0.5,
 ):
     """Start (and by default drain) the streaming apply loop. Returns the
     StreamingQuery when available_now=False (caller stops it).
@@ -90,6 +148,16 @@ def run_stream(
     ``auto_compact_files``: per-trigger maintenance bound — see
     ``replay_feed``; under an endless MOR stream this caps read
     amplification at a constant number of files per bucket.
+
+    ``neardup_index_path``: content-level admission gate (the Bloom
+    seen-set lifted to near-duplicate TEXT, cdc/neardup.py). Per
+    micro-batch, upsert rows whose text near-dups an already-admitted
+    document (or an earlier row of the same batch) are DROPPED before
+    the merge; the retained batch is admitted into the persisted index.
+    Crash-idempotent: the index segment is named by the batch id
+    (redelivery skips the write) and the probe excludes the batch's own
+    segment, so a redelivered trigger computes the identical drop set.
+    Deletes/patches always pass (they are not new content).
 
     ``replica_path``: follow the table with a changelog replica
     (lake/replicate.py) inside the same foreachBatch — each trigger syncs
@@ -186,6 +254,10 @@ def run_stream(
                 complete_segs[sname] = batch_fingerprint(sorted(allf))
         bid = batch_fingerprint(new_files)
         batch_df = df.filter(F.col("__file").isin(new_files)).drop("__file")
+        if neardup_index_path is not None:
+            batch_df = _neardup_gate(
+                spark, batch_df, neardup_index_path, neardup_threshold, bid
+            )
         apply_batch(
             spark,
             table,

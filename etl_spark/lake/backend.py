@@ -21,6 +21,7 @@ nothing else:
 | committed_segments     | snapshot property map / marker table               |
 | committed_inputs       | snapshot property map (partial-segment ledger)     |
 | user_schema/next_schema_id | table schema + schema-id evolution             |
+| column_renames         | name mapping / field-ID rename history             |
 | storage_schema         | schema + engine system columns                     |
 | bucket_expr            | bucket[N] partition transform                      |
 | load_bloom             | puffin sidecar / statistics file                   |
@@ -57,6 +58,7 @@ class LakeBackend(Protocol):
     def user_schema(self): ...
     def storage_schema(self, user_schema=None): ...
     def next_schema_id(self, user_schema) -> str: ...
+    def column_renames(self) -> dict[str, str]: ...
 
     # ---- layout
     def bucket_expr(self, conv_col: str = "conv_id") -> Column: ...

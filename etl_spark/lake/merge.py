@@ -325,7 +325,7 @@ def merge_into(
     # a new column under that name would both fork the lineage and make
     # old-era reads ambiguous (the scan resolves historic names through
     # the map). Refuse loudly; the producer must emit the renamed name.
-    ren_sources = set((table.manifest().renames or {}).keys())
+    ren_sources = set(table.column_renames())
     cur_names = {f.name for f in cur_user.fields}
     bad = [
         f.name for f in evolved.fields

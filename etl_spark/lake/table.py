@@ -492,6 +492,11 @@ class LakeTable:
     def user_schema(self) -> T.StructType:
         return schema_from_json(self.manifest().schema_json)
 
+    def column_renames(self) -> dict[str, str]:
+        """Cumulative historic->current column name map (LakeBackend
+        surface; Iceberg analog: the name-mapping / field-ID history)."""
+        return dict(self.manifest().renames or {})
+
     def storage_schema(self, user_schema: T.StructType | None = None) -> T.StructType:
         us = user_schema or self.user_schema()
         return T.StructType(list(us.fields) + list(_SYSTEM_FIELDS))

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Composition stress: the full production surface enabled AT ONCE.
+
+One streaming drain at >=16M events with, simultaneously:
+  * CHECK constraint (policy=drop) enforced per micro-batch,
+  * dead-letter quarantine capturing the dropped/failed rows,
+  * materialized-view maintenance (ConvSummaryMV) per trigger,
+  * content near-dup admission gate (persisted MinHash index),
+  * default MOR delta compaction (run_stream's auto policy),
+vs a plain-MOR control drain of the SAME feed on the same session.
+
+Prints one JSON line: events/sec for both runs, the composed/plain
+ratio, and state sanity (final rows, MV rows, quarantined rows, index
+docs, max files/bucket). The point is the RATIO: composition must cost
+a bounded constant factor, not a pathology that grows with state.
+
+Usage: python tools/bench_stress.py [--events 16000000] [--segments 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=16_000_000)
+    ap.add_argument("--segments", type=int, default=16)
+    ap.add_argument("--cores", type=int, default=0)
+    ap.add_argument(
+        "--workdir", default="/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.gen import change_feed_df, write_feed
+    from etl_spark.cdc.stream import run_stream
+    from etl_spark.lake.mv import ConvSummaryMV
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.schema import TRANSCRIPT_SCHEMA
+    from etl_spark.session import get_spark
+
+    work = os.path.join(args.workdir or "/tmp", f"etl_stress_{os.getpid()}")
+    os.makedirs(work, exist_ok=True)
+    cores = args.cores or (os.cpu_count() or 8)
+    spark = get_spark(
+        cores=cores,
+        app_name="bench_stress",
+        extra_conf={
+            "spark.local.dir": os.path.join(work, "local"),
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    try:
+        feed = os.path.join(work, "feed")
+        # word-ify the generator's single-token text so the near-dup
+        # gate's shingles see real tokens (production transcripts are
+        # prose); everything else is the standard skewed CDC feed
+        df = change_feed_df(
+            spark, n_events=args.events, n_convs=max(2000, args.events // 90),
+            max_turns=40, seed=11, skew=2.0, dup_ratio=0.05, ooo_ratio=0.10,
+            n_batches=args.segments,
+        ).withColumn("text", F.regexp_replace(F.col("text"), "(.{5})", "$1 "))
+        t0 = time.time()
+        write_feed(df, feed)
+        gen_sec = round(time.time() - t0, 1)
+
+        # warmup: identical code paths at small scale (codegen/JIT)
+        warm_feed = os.path.join(work, "wfeed")
+        write_feed(
+            change_feed_df(spark, n_events=100_000, n_convs=1000, max_turns=12,
+                           seed=3, n_batches=2)
+            .withColumn("text", F.regexp_replace(F.col("text"), "(.{5})", "$1 ")),
+            warm_feed,
+        )
+        for tag in ("wp", "wc"):
+            wt = LakeTable.create(
+                os.path.join(work, f"lake_{tag}"), TRANSCRIPT_SCHEMA, n_buckets=16
+            )
+            kw = {}
+            if tag == "wc":
+                wt.add_constraint(spark, "no-system", "role <> 'system'",
+                                  policy="drop")
+                kw = dict(
+                    mv_path=os.path.join(work, f"mv_{tag}"),
+                    quarantine_dir=os.path.join(work, f"q_{tag}"),
+                    neardup_index_path=os.path.join(work, f"ndi_{tag}"),
+                    fail_threshold=0.9,
+                )
+            run_stream(spark, wt, warm_feed, os.path.join(work, f"ckpt_{tag}"),
+                       available_now=True, mode="mor", **kw)
+
+        # ---- run A: plain MOR drain
+        ta = LakeTable.create(os.path.join(work, "lake_a"), TRANSCRIPT_SCHEMA,
+                              n_buckets=64)
+        t0 = time.time()
+        run_stream(spark, ta, feed, os.path.join(work, "ckpt_a"),
+                   available_now=True, mode="mor")
+        plain_sec = time.time() - t0
+        plain_eps = args.events / plain_sec
+
+        # ---- run B: everything on
+        tb = LakeTable.create(os.path.join(work, "lake_b"), TRANSCRIPT_SCHEMA,
+                              n_buckets=64)
+        tb.add_constraint(spark, "no-system", "role <> 'system'", policy="drop")
+        qdir = os.path.join(work, "q_b")
+        t0 = time.time()
+        run_stream(
+            spark, tb, feed, os.path.join(work, "ckpt_b"),
+            available_now=True, mode="mor",
+            mv_path=os.path.join(work, "mv_b"),
+            quarantine_dir=qdir,
+            neardup_index_path=os.path.join(work, "ndi_b"),
+            fail_threshold=0.9,  # the drop-policy constraint consumes budget
+        )
+        comp_sec = time.time() - t0
+        comp_eps = args.events / comp_sec
+
+        from etl_spark.cdc.neardup import NearDupIndex
+
+        m = tb.manifest()
+        quarantined = (
+            spark.read.parquet(os.path.join(qdir, "*")).count()
+            if os.path.isdir(qdir) and os.listdir(qdir) else 0
+        )
+        out = {
+            "metric": "composition_stress",
+            "events": args.events,
+            "gen_sec": gen_sec,
+            "plain_events_per_sec": round(plain_eps),
+            "composed_events_per_sec": round(comp_eps),
+            "composed_over_plain": round(comp_eps / plain_eps, 3),
+            "plain_sec": round(plain_sec, 1),
+            "composed_sec": round(comp_sec, 1),
+            "final_rows_plain": ta.read(spark).count(),
+            "final_rows_composed": tb.read(spark).count(),
+            "mv_rows": ConvSummaryMV(os.path.join(work, "mv_b")).read(spark).count(),
+            "quarantined_rows": quarantined,
+            "neardup_index_docs": NearDupIndex(os.path.join(work, "ndi_b")).n_docs,
+            "max_files_per_bucket": max(
+                (len(fl) for fl in m.files.values()), default=0
+            ),
+        }
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

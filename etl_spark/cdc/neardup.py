@@ -145,19 +145,43 @@ class _SegmentedIndex:
         threshold: float,
         exclude_seg: str | None = None,
         with_origin: bool = False,
+        max_band_bucket: int | None = None,
     ) -> DataFrame:
         """``with_origin``: add a ``dup_src`` column ('index' = the pair's
         dup_of side is corpus content, 'batch' = both sides arrived in
         this segment) — consumers that DROP rows need the provenance,
         because a key can legitimately appear on both sides (its own
         earlier version in the index) and set-membership cannot
-        distinguish the cases."""
+        distinguish the cases.
+
+        ``max_band_bucket``: skew guard — band buckets holding more than
+        this many members ON EITHER SIDE are excluded from candidate
+        generation. A degenerate corpus (thousands of near-identical
+        documents landing in one LSH bucket) otherwise makes the band
+        join QUADRATIC in the bucket size. Recall degrades gracefully:
+        members of an over-full bucket almost always share other,
+        smaller buckets, and byte-identical floods are caught by the
+        exact-hash layer (gate_and_admit) which is linear by
+        construction."""
         sigs = spark.read.parquet(os.path.join(base_dir, seg, "sig"))
         nb = spark.read.parquet(os.path.join(base_dir, seg, "bands"))
         idx_sigs = self._read_committed(spark, "sig", exclude=exclude_seg)
+
+        def _cap(bands: DataFrame) -> DataFrame:
+            if max_band_bucket is None:
+                return bands
+            ok = (
+                bands.groupBy("bi", "bk")
+                .count()
+                .filter(F.col("count") <= max_band_bucket)
+                .drop("count")
+            )
+            return bands.join(ok, ["bi", "bk"], "left_semi")
+
+        nb = _cap(nb)
         parts = []
         if idx_sigs is not None:
-            ib = self._read_committed(spark, "bands", exclude=exclude_seg)
+            ib = _cap(self._read_committed(spark, "bands", exclude=exclude_seg))
             cand = (
                 nb.alias("x")
                 .join(
@@ -234,7 +258,7 @@ class _SegmentedIndex:
 
     def gate_and_admit(
         self, spark: SparkSession, batch: DataFrame, seg_name: str,
-        threshold: float = 0.5,
+        threshold: float = 0.5, max_band_bucket: int | None = 128,
     ) -> DataFrame:
         """Crash-idempotent ingest gate for exactly-once pipelines: admit
         the batch under the DETERMINISTIC segment name ``seg_name`` (a
@@ -243,14 +267,53 @@ class _SegmentedIndex:
         EXCLUDING the batch's own segment (so redelivery computes the
         same drop set it computed the first time, instead of self-duping
         every row). One hash pass per batch — the admitted segment's
-        persisted sig/band files serve as the probe side too."""
+        persisted sig/band files serve as the probe side too.
+
+        Two-layer skew defense (the streaming gate must survive a flood
+        of identical content without going quadratic): byte-EQUAL
+        duplicates are found by grouping on the stored text hash ``th``
+        — min-id per group in batch, min-id per hash on the index side —
+        which is linear at any duplicate multiplicity; the LSH band join
+        handles only NEAR (non-equal) duplicates and caps its buckets at
+        ``max_band_bucket`` members."""
         seg = f"seg-{seg_name}"
         if seg not in self._meta()["segments"]:
             _, n = self._write_segment(spark, batch, self.path, seg_name=seg)
             self._commit_segment(seg, n)
-        return self._dups_for_segment(
-            spark, self.path, seg, threshold, exclude_seg=seg, with_origin=True
+        dups = self._dups_for_segment(
+            spark, self.path, seg, threshold, exclude_seg=seg,
+            with_origin=True, max_band_bucket=max_band_bucket,
         )
+        sigs = spark.read.parquet(os.path.join(self.path, seg, "sig"))
+        if "th" not in sigs.columns:
+            return dups
+        one = F.lit(1.0).alias(self.SCORE_COL)
+        mine = sigs.select(self.ID_COL, "th")
+        keep = mine.groupBy("th").agg(F.min(self.ID_COL).alias("__keep"))
+        exact_in = (
+            mine.join(keep, "th")
+            .filter(F.col(self.ID_COL) != F.col("__keep"))
+            .select(
+                F.col("__keep").alias(self.ID_COL),
+                F.col(self.ID_COL).alias("dup_of"),
+                one, F.lit("batch").alias("dup_src"),
+            )
+        )
+        parts = [exact_in]
+        idx_sigs = self._read_committed(spark, "sig", exclude=seg)
+        if idx_sigs is not None and "th" in idx_sigs.columns:
+            idx_min = idx_sigs.groupBy("th").agg(
+                F.min(self.ID_COL).alias("dup_of")
+            )
+            parts.append(
+                mine.join(idx_min, "th").select(
+                    self.ID_COL, "dup_of", one, F.lit("index").alias("dup_src")
+                )
+            )
+        out = dups
+        for p in parts:
+            out = out.unionByName(p)
+        return out
 
 
 class NearDupIndex(_SegmentedIndex):
@@ -267,11 +330,15 @@ class NearDupIndex(_SegmentedIndex):
 
     def _sigs_of(self, batch: DataFrame) -> DataFrame:
         """Docs without signatures (fewer than 3 words) are dropped — they
-        cannot near-dup by shingles and pass the gate."""
+        cannot near-dup by shingles and pass the gate. ``th`` (md5 of the
+        text) rides along for the EXACT-duplicate fast layer: byte-equal
+        floods resolve by hash grouping (linear), never by LSH pair
+        enumeration (quadratic inside a degenerate band bucket)."""
         from etl_spark.ops.textops import _signatures, _with_shingles
 
         sigs = _signatures(_with_shingles(batch)).drop("__sh")
-        return sigs.filter(F.col("s0").isNotNull())
+        th = batch.select("doc_id", F.md5(F.col("text")).alias("th"))
+        return sigs.filter(F.col("s0").isNotNull()).join(th, "doc_id")
 
     def _bands_of(self, sigs: DataFrame) -> DataFrame:
         from etl_spark.ops.textops import _sig_bands

@@ -24,7 +24,7 @@ OTHER = (
 
 def _row(op, seq, cid, text):
     return (
-        op, dt.datetime(2024, 1, 1, 0, 0, seq), seq, cid, 0, "user", text,
+        op, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=seq), seq, cid, 0, "user", text,
         None, "f",
     )
 
@@ -92,3 +92,23 @@ def test_stream_neardup_gate_in_batch(spark, tmpdir_path):
     rows = t.read(spark).collect()
     assert len(rows) == 1
     assert rows[0]["conv_id"] in ("conv-X", "conv-Y")
+
+
+def test_exact_flood_is_deduped_linearly(spark, tmpdir_path):
+    """A flood of byte-identical documents across many keys must collapse
+    to ONE survivor via the exact-hash layer (linear grouping) — the LSH
+    band join alone would be quadratic in the flood size (its buckets are
+    capped, so it contributes nothing here)."""
+    feed = os.path.join(tmpdir_path, "feed")
+    _write_seg(spark, feed, "seg-00000", [
+        _row("I", i, f"conv-{i:04d}", LOREM) for i in range(1, 301)
+    ])
+    t = LakeTable.create(
+        os.path.join(tmpdir_path, "lake"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    run_stream(
+        spark, t, feed, os.path.join(tmpdir_path, "ckpt"),
+        available_now=True, mode="mor",
+        neardup_index_path=os.path.join(tmpdir_path, "ndi"),
+    )
+    assert t.read(spark).count() == 1

@@ -61,14 +61,29 @@ def main() -> None:
     )
     try:
         feed = os.path.join(work, "feed")
-        # word-ify the generator's single-token text so the near-dup
-        # gate's shingles see real tokens (production transcripts are
-        # prose); everything else is the standard skewed CDC feed
+        # realistic prose-shaped text for the near-dup gate: 24 hash-
+        # derived words per event, mostly unique; ~2% of events draw from
+        # 97 shared content streams (true cross-key duplicates the gate
+        # must catch). The generator's own text is a single x-padded
+        # token — degenerate for shingling (every doc near-dups every
+        # other), which is a skew TEST, not a throughput baseline.
+        seed = (
+            F.when(
+                F.pmod(F.col("op_seq"), F.lit(50)) == 0,
+                F.pmod(F.col("op_seq"), F.lit(97)),
+            )
+            .otherwise(F.col("op_seq"))
+            .cast("string")
+        )
+        words = [
+            F.substring(F.md5(F.concat_ws("-", seed, F.lit(str(i)))), 1, 8)
+            for i in range(24)
+        ]
         df = change_feed_df(
             spark, n_events=args.events, n_convs=max(2000, args.events // 90),
             max_turns=40, seed=11, skew=2.0, dup_ratio=0.05, ooo_ratio=0.10,
             n_batches=args.segments,
-        ).withColumn("text", F.regexp_replace(F.col("text"), "(.{5})", "$1 "))
+        ).withColumn("text", F.concat_ws(" ", *words))
         t0 = time.time()
         write_feed(df, feed)
         gen_sec = round(time.time() - t0, 1)
@@ -78,7 +93,7 @@ def main() -> None:
         write_feed(
             change_feed_df(spark, n_events=100_000, n_convs=1000, max_turns=12,
                            seed=3, n_batches=2)
-            .withColumn("text", F.regexp_replace(F.col("text"), "(.{5})", "$1 ")),
+            .withColumn("text", F.concat_ws(" ", *words)),
             warm_feed,
         )
         for tag in ("wp", "wc"):
@@ -98,12 +113,22 @@ def main() -> None:
             run_stream(spark, wt, warm_feed, os.path.join(work, f"ckpt_{tag}"),
                        available_now=True, mode="mor", **kw)
 
+        # one trigger ≈ one binlog segment (the production trigger-cap
+        # shape); an unbounded available-now trigger would swallow the
+        # whole feed as a single giant batch and thrash executor memory
+        seg0 = next(
+            d for d in sorted(os.listdir(feed))
+            if os.path.isdir(os.path.join(feed, d))
+        )
+        files_per_seg = len(os.listdir(os.path.join(feed, seg0)))
+
         # ---- run A: plain MOR drain
         ta = LakeTable.create(os.path.join(work, "lake_a"), TRANSCRIPT_SCHEMA,
                               n_buckets=64)
         t0 = time.time()
         run_stream(spark, ta, feed, os.path.join(work, "ckpt_a"),
-                   available_now=True, mode="mor")
+                   available_now=True, mode="mor",
+                   max_files_per_trigger=files_per_seg)
         plain_sec = time.time() - t0
         plain_eps = args.events / plain_sec
 
@@ -116,6 +141,7 @@ def main() -> None:
         run_stream(
             spark, tb, feed, os.path.join(work, "ckpt_b"),
             available_now=True, mode="mor",
+            max_files_per_trigger=files_per_seg,
             mv_path=os.path.join(work, "mv_b"),
             quarantine_dir=qdir,
             neardup_index_path=os.path.join(work, "ndi_b"),

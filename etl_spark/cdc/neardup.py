@@ -269,64 +269,49 @@ class _SegmentedIndex:
         every row). One hash pass per batch — the admitted segment's
         persisted sig/band files serve as the probe side too.
 
-        Two-layer skew defense (the streaming gate must survive a flood
-        of identical content without going quadratic): byte-EQUAL
-        duplicates are found by grouping on the stored text hash ``th``
-        — min-id per group in batch, min-id per hash on the index side —
-        which is linear at any duplicate multiplicity; the LSH band join
-        handles only NEAR (non-equal) duplicates and caps its buckets at
-        ``max_band_bucket`` members."""
+        Subclasses layer cheaper exact paths on top (NearDupIndex adds a
+        text-hash layer and MinHashes only novel content)."""
         seg = f"seg-{seg_name}"
         if seg not in self._meta()["segments"]:
             _, n = self._write_segment(spark, batch, self.path, seg_name=seg)
             self._commit_segment(seg, n)
-        dups = self._dups_for_segment(
+        return self._dups_for_segment(
             spark, self.path, seg, threshold, exclude_seg=seg,
             with_origin=True, max_band_bucket=max_band_bucket,
         )
-        sigs = spark.read.parquet(os.path.join(self.path, seg, "sig"))
-        if "th" not in sigs.columns:
-            return dups
-        one = F.lit(1.0).alias(self.SCORE_COL)
-        mine = sigs.select(self.ID_COL, "th")
-        keep = mine.groupBy("th").agg(F.min(self.ID_COL).alias("__keep"))
-        exact_in = (
-            mine.join(keep, "th")
-            .filter(F.col(self.ID_COL) != F.col("__keep"))
-            .select(
-                F.col("__keep").alias(self.ID_COL),
-                F.col(self.ID_COL).alias("dup_of"),
-                one, F.lit("batch").alias("dup_src"),
-            )
-        )
-        parts = [exact_in]
-        idx_sigs = self._read_committed(spark, "sig", exclude=seg)
-        if idx_sigs is not None and "th" in idx_sigs.columns:
-            idx_min = idx_sigs.groupBy("th").agg(
-                F.min(self.ID_COL).alias("dup_of")
-            )
-            parts.append(
-                mine.join(idx_min, "th").select(
-                    self.ID_COL, "dup_of", one, F.lit("index").alias("dup_src")
-                )
-            )
-        out = dups
-        for p in parts:
-            out = out.unionByName(p)
-        return out
 
 
 class NearDupIndex(_SegmentedIndex):
     """Text near-dup index over (doc_id, text) batches; score column
-    ``est_jaccard`` (signature-agreement Jaccard estimate)."""
+    ``est_jaccard`` (signature-agreement Jaccard estimate).
+
+    ``n_minhash`` sizes the signatures (bands = n_minhash/2, 2 hashes per
+    band — the repo-wide geometry). An EXISTING index's stored width
+    always wins (its sig files are that wide). The 64-hash default is
+    corpus-analysis grade (σ≈0.06 at j=0.5); an INGEST GATE can run 16
+    (σ≈0.125, detection ≥90% at j=0.5, ≥99.5% at j=0.7) for ~4× less
+    hashing per event — the gate is an admission filter, and offline
+    compaction dedup catches the tail with the full-width machinery."""
 
     ID_COL = "doc_id"
     SCORE_COL = "est_jaccard"
 
-    def _params(self) -> dict:
-        from etl_spark.ops.textops import N_BANDS, N_MINHASH
+    def __init__(self, path: str, n_minhash: int | None = None):
+        super().__init__(path)
+        stored = None
+        p = os.path.join(path, _PTR)
+        if os.path.exists(p):
+            with open(p) as f:
+                stored = (json.load(f).get("params") or {}).get("n_minhash")
+        if stored is None:
+            from etl_spark.ops.textops import N_MINHASH
 
-        return {"n_minhash": N_MINHASH, "n_bands": N_BANDS}
+            self.n_minhash = int(n_minhash or N_MINHASH)
+        else:
+            self.n_minhash = int(stored)
+
+    def _params(self) -> dict:
+        return {"n_minhash": self.n_minhash, "n_bands": self.n_minhash // 2}
 
     def _sigs_of(self, batch: DataFrame) -> DataFrame:
         """Docs without signatures (fewer than 3 words) are dropped — they
@@ -336,28 +321,95 @@ class NearDupIndex(_SegmentedIndex):
         enumeration (quadratic inside a degenerate band bucket)."""
         from etl_spark.ops.textops import _signatures, _with_shingles
 
-        sigs = _signatures(_with_shingles(batch)).drop("__sh")
+        sigs = _signatures(_with_shingles(batch), self.n_minhash).drop("__sh")
         th = batch.select("doc_id", F.md5(F.col("text")).alias("th"))
         return sigs.filter(F.col("s0").isNotNull()).join(th, "doc_id")
 
     def _bands_of(self, sigs: DataFrame) -> DataFrame:
         from etl_spark.ops.textops import _sig_bands
 
-        return _sig_bands(sigs)
+        return _sig_bands(sigs, self.n_minhash // 2)
 
     def _score(self, cand: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
-        from etl_spark.ops.textops import N_MINHASH
-
         matches = sum(
             F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0)
-            for i in range(N_MINHASH)
+            for i in range(self.n_minhash)
         )
-        est = (matches / F.lit(float(N_MINHASH))).alias(self.SCORE_COL)
+        est = (matches / F.lit(float(self.n_minhash))).alias(self.SCORE_COL)
         return (
             cand.join(left.alias("a"), cand.doc_id == F.col("a.doc_id"))
             .join(right.alias("b"), cand.dup_of == F.col("b.doc_id"))
             .select(cand.doc_id, cand.dup_of, est)
         )
+
+    def gate_and_admit(
+        self, spark: SparkSession, batch: DataFrame, seg_name: str,
+        threshold: float = 0.5, max_band_bucket: int | None = 128,
+    ) -> DataFrame:
+        """Text-specialized gate: MinHash ONLY new unique content.
+
+        Layering (each linear in the batch):
+          1. th = md5(text) for every batch doc — 1 hash/doc, ~20× cheaper
+             than a signature.
+          2. exact layer: in-batch keep-min-per-th + th-join against the
+             index — resolves byte-equal duplicates at ANY multiplicity
+             by grouping, never pair enumeration.
+          3. only th-representatives whose content the index has NOT seen
+             get shingled+minhashed and admitted — the index stores each
+             distinct content exactly once, so a dup-heavy stream (the
+             case a gate exists for) pays signature cost only on its
+             NOVEL bytes, and index band buckets cannot accumulate
+             identical members.
+          4. banded near-dup probe over those representatives, buckets
+             capped at ``max_band_bucket``.
+
+        Crash-idempotent like the base version: the segment is named by
+        the batch id; exact-layer pairs are recomputed from the batch
+        itself (pure function) and the probe excludes the own segment.
+        """
+        seg = f"seg-{seg_name}"
+        one = F.lit(1.0).alias(self.SCORE_COL)
+        th_docs = batch.select("doc_id", "text").withColumn(
+            "th", F.md5(F.col("text"))
+        )
+        keep = th_docs.groupBy("th").agg(F.min("doc_id").alias("__keep"))
+        with_keep = th_docs.join(keep, "th")
+        exact_in = (
+            with_keep.filter(F.col("doc_id") != F.col("__keep"))
+            .select(
+                F.col("__keep").alias("doc_id"),
+                F.col("doc_id").alias("dup_of"),
+                one, F.lit("batch").alias("dup_src"),
+            )
+        )
+        parts = [exact_in]
+        idx_sigs = self._read_committed(spark, "sig", exclude=seg)
+        known_th = None
+        if idx_sigs is not None and "th" in idx_sigs.columns:
+            idx_min = idx_sigs.groupBy("th").agg(
+                F.min("doc_id").alias("dup_of")
+            )
+            parts.append(
+                th_docs.join(idx_min, "th").select(
+                    "doc_id", "dup_of", one, F.lit("index").alias("dup_src")
+                )
+            )
+            known_th = idx_min.select("th")
+        if seg not in self._meta()["segments"]:
+            reps = with_keep.filter(F.col("doc_id") == F.col("__keep"))
+            if known_th is not None:
+                reps = reps.join(known_th, "th", "left_anti")
+            _, n = self._write_segment(
+                spark, reps.select("doc_id", "text"), self.path, seg_name=seg
+            )
+            self._commit_segment(seg, n)
+        out = self._dups_for_segment(
+            spark, self.path, seg, threshold, exclude_seg=seg,
+            with_origin=True, max_band_bucket=max_band_bucket,
+        )
+        for p in parts:
+            out = out.unionByName(p)
+        return out
 
 
 class EmbNearDupIndex(_SegmentedIndex):

@@ -283,7 +283,7 @@ DOC_SHINGLE_JACCARD_SQL = f"""
 # only shuffle in the pairs query is the band-key equi-join, which is the
 # 100 TB plan you want (shuffle keyed and bounded by band buckets).
 
-def _signatures(docs_shingled: DataFrame) -> DataFrame:
+def _signatures(docs_shingled: DataFrame, n_minhash: int = N_MINHASH) -> DataFrame:
     """doc_id → s0..s63 minhash signature via explode + hash-aggregate.
 
     Explode-then-groupBy keeps everything in whole-stage codegen (array
@@ -308,7 +308,7 @@ def _signatures(docs_shingled: DataFrame) -> DataFrame:
     )
     aggs = [
         F.min((F.col("h1") + i * F.col("h2")) % MERSENNE_P).alias(f"s{i}")
-        for i in range(N_MINHASH)
+        for i in range(n_minhash)
     ]
     return docs_shingled.select("doc_id", "__sh").join(
         hashed.groupBy("doc_id").agg(*aggs), "doc_id", "left"
@@ -816,8 +816,8 @@ DOC_REPETITION_SQL = f"""
 NEW_DOC_PRED = "doc_id % 7 = 0"  # deterministic "this batch" split
 
 
-def _sig_bands(sigs: DataFrame) -> DataFrame:
-    """signature columns s0..s63 → (doc_id, bi, bk) band rows
+def _sig_bands(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """signature columns s0..s{2*n_bands-1} → (doc_id, bi, bk) band rows
     (shared by the pair queries and cdc/neardup.NearDupIndex)."""
     return sigs.select(
         "doc_id",
@@ -828,7 +828,7 @@ def _sig_bands(sigs: DataFrame) -> DataFrame:
                         F.lit(j).alias("bi"),
                         (F.col(f"s{2*j}") * MERSENNE_P + F.col(f"s{2*j+1}")).alias("bk"),
                     )
-                    for j in range(N_BANDS)
+                    for j in range(n_bands)
                 ]
             )
         ).alias("band"),

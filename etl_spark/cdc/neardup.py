@@ -321,9 +321,11 @@ class NearDupIndex(_SegmentedIndex):
         enumeration (quadratic inside a degenerate band bucket)."""
         from etl_spark.ops.textops import _signatures, _with_shingles
 
-        sigs = _signatures(_with_shingles(batch), self.n_minhash).drop("__sh")
+        sigs = _signatures(
+            _with_shingles(batch), self.n_minhash, carry_shingles=False
+        )
         th = batch.select("doc_id", F.md5(F.col("text")).alias("th"))
-        return sigs.filter(F.col("s0").isNotNull()).join(th, "doc_id")
+        return sigs.join(th, "doc_id")
 
     def _bands_of(self, sigs: DataFrame) -> DataFrame:
         from etl_spark.ops.textops import _sig_bands

@@ -283,7 +283,11 @@ DOC_SHINGLE_JACCARD_SQL = f"""
 # only shuffle in the pairs query is the band-key equi-join, which is the
 # 100 TB plan you want (shuffle keyed and bounded by band buckets).
 
-def _signatures(docs_shingled: DataFrame, n_minhash: int = N_MINHASH) -> DataFrame:
+def _signatures(
+    docs_shingled: DataFrame,
+    n_minhash: int = N_MINHASH,
+    carry_shingles: bool = True,
+) -> DataFrame:
     """doc_id → s0..s63 minhash signature via explode + hash-aggregate.
 
     Explode-then-groupBy keeps everything in whole-stage codegen (array
@@ -310,9 +314,15 @@ def _signatures(docs_shingled: DataFrame, n_minhash: int = N_MINHASH) -> DataFra
         F.min((F.col("h1") + i * F.col("h2")) % MERSENNE_P).alias(f"s{i}")
         for i in range(n_minhash)
     ]
-    return docs_shingled.select("doc_id", "__sh").join(
-        hashed.groupBy("doc_id").agg(*aggs), "doc_id", "left"
-    )
+    agg = hashed.groupBy("doc_id").agg(*aggs)
+    if not carry_shingles:
+        # no join back: the left side would RE-derive the shingle arrays
+        # (norm+split+shingling a second time — measured at ~half the
+        # whole signature job). Shingle-less docs are simply absent,
+        # which is what signature-only consumers (cdc/neardup) filter
+        # for anyway.
+        return agg
+    return docs_shingled.select("doc_id", "__sh").join(agg, "doc_id", "left")
 
 
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -105,8 +105,14 @@ class _SegmentedIndex:
         """sigs → (id, bi, bk) band rows (persisted at write time)."""
         raise NotImplementedError
 
-    def _score(self, cand: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
-        """(id, dup_of) candidates + sig rows → scored pairs."""
+    def _score(
+        self, cand: DataFrame, left: DataFrame, right: DataFrame,
+        broadcast_cand: bool = False,
+    ) -> DataFrame:
+        """(id, dup_of) candidates + sig rows → scored pairs.
+        ``broadcast_cand``: the (cand ⋈ left) side is batch-bounded —
+        broadcast it so the index-side ``right`` is scanned, not
+        shuffled (streaming-gate mode)."""
         raise NotImplementedError
 
     # ------------------------------------------------------------ engine
@@ -146,6 +152,7 @@ class _SegmentedIndex:
         exclude_seg: str | None = None,
         with_origin: bool = False,
         max_band_bucket: int | None = None,
+        broadcast_probe: bool = False,
     ) -> DataFrame:
         """``with_origin``: add a ``dup_src`` column ('index' = the pair's
         dup_of side is corpus content, 'batch' = both sides arrived in
@@ -162,7 +169,18 @@ class _SegmentedIndex:
         members of an over-full bucket almost always share other,
         smaller buckets, and byte-identical floods are caught by the
         exact-hash layer (gate_and_admit) which is linear by
-        construction."""
+        construction.
+
+        ``broadcast_probe``: streaming-gate mode — the BATCH side of the
+        index join (bands, then scored candidates) is broadcast so the
+        persisted index is only ever SCANNED, never shuffled. A shuffle
+        of the index side is O(corpus) network per micro-batch and makes
+        gate throughput decay linearly with index age (measured: 16
+        batches into a 12M-doc index, per-batch wall tripled). In this
+        mode the index side also skips the bucket-size cap (counting its
+        buckets would itself re-shuffle the corpus each batch); content-
+        unique admission makes byte-equal index floods structurally
+        impossible, and the batch side stays capped."""
         sigs = spark.read.parquet(os.path.join(base_dir, seg, "sig"))
         nb = spark.read.parquet(os.path.join(base_dir, seg, "bands"))
         idx_sigs = self._read_committed(spark, "sig", exclude=exclude_seg)
@@ -181,9 +199,12 @@ class _SegmentedIndex:
         nb = _cap(nb)
         parts = []
         if idx_sigs is not None:
-            ib = _cap(self._read_committed(spark, "bands", exclude=exclude_seg))
+            ib = self._read_committed(spark, "bands", exclude=exclude_seg)
+            if not broadcast_probe:
+                ib = _cap(ib)
+            probe_nb = F.broadcast(nb) if broadcast_probe else nb
             cand = (
-                nb.alias("x")
+                probe_nb.alias("x")
                 .join(
                     ib.alias("y"),
                     (F.col("x.bi") == F.col("y.bi"))
@@ -196,9 +217,9 @@ class _SegmentedIndex:
                 .distinct()
             )
             parts.append(
-                self._score(cand, sigs, idx_sigs).withColumn(
-                    "dup_src", F.lit("index")
-                )
+                self._score(
+                    cand, sigs, idx_sigs, broadcast_cand=broadcast_probe
+                ).withColumn("dup_src", F.lit("index"))
             )
         cand_in = (
             nb.alias("x")
@@ -332,15 +353,20 @@ class NearDupIndex(_SegmentedIndex):
 
         return _sig_bands(sigs, self.n_minhash // 2)
 
-    def _score(self, cand: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
+    def _score(
+        self, cand: DataFrame, left: DataFrame, right: DataFrame,
+        broadcast_cand: bool = False,
+    ) -> DataFrame:
         matches = sum(
             F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0)
             for i in range(self.n_minhash)
         )
         est = (matches / F.lit(float(self.n_minhash))).alias(self.SCORE_COL)
+        small = cand.join(left.alias("a"), cand.doc_id == F.col("a.doc_id"))
+        if broadcast_cand:
+            small = F.broadcast(small)
         return (
-            cand.join(left.alias("a"), cand.doc_id == F.col("a.doc_id"))
-            .join(right.alias("b"), cand.dup_of == F.col("b.doc_id"))
+            small.join(right.alias("b"), cand.dup_of == F.col("b.doc_id"))
             .select(cand.doc_id, cand.dup_of, est)
         )
 
@@ -386,21 +412,34 @@ class NearDupIndex(_SegmentedIndex):
         )
         parts = [exact_in]
         idx_sigs = self._read_committed(spark, "sig", exclude=seg)
-        known_th = None
+        vs_idx = None
         if idx_sigs is not None and "th" in idx_sigs.columns:
-            idx_min = idx_sigs.groupBy("th").agg(
-                F.min("doc_id").alias("dup_of")
-            )
-            parts.append(
-                th_docs.join(idx_min, "th").select(
+            # BROADCAST the batch th set and STREAM the index scan — a
+            # shuffle (or groupBy) of the index side here is O(corpus)
+            # per micro-batch and makes gate cost grow with index age.
+            # gate-admitted segments store each content once, so the
+            # plain join yields ≤1 index row per batch th from them
+            # (dups from legacy add() segments just produce extra pairs,
+            # which the consumer's drop-set union absorbs).
+            vs_idx = (
+                F.broadcast(th_docs.select("doc_id", "th"))
+                .join(idx_sigs.select(F.col("doc_id").alias("dup_of"), "th"), "th")
+                .select(
                     "doc_id", "dup_of", one, F.lit("index").alias("dup_src")
                 )
+                .localCheckpoint(eager=True)  # one index scan, reused below
             )
-            known_th = idx_min.select("th")
+            parts.append(vs_idx)
         if seg not in self._meta()["segments"]:
             reps = with_keep.filter(F.col("doc_id") == F.col("__keep"))
-            if known_th is not None:
-                reps = reps.join(known_th, "th", "left_anti")
+            if vs_idx is not None:
+                # content the index already has is not re-admitted; the
+                # known set comes from the (already materialized) th join
+                # — batch-sized, broadcast into the anti join
+                reps = reps.join(
+                    F.broadcast(vs_idx.select("doc_id").distinct()),
+                    "doc_id", "left_anti",
+                )
             _, n = self._write_segment(
                 spark, reps.select("doc_id", "text"), self.path, seg_name=seg
             )
@@ -408,6 +447,7 @@ class NearDupIndex(_SegmentedIndex):
         out = self._dups_for_segment(
             spark, self.path, seg, threshold, exclude_seg=seg,
             with_origin=True, max_band_bucket=max_band_bucket,
+            broadcast_probe=True,
         )
         for p in parts:
             out = out.unionByName(p)
@@ -448,7 +488,10 @@ class EmbNearDupIndex(_SegmentedIndex):
             F.explode(_band_cols_spark(NEARDUP_BANDS, NEARDUP_BITS)).alias("bb"),
         ).select("vec_id", F.col("bb.band").alias("bi"), F.col("bb.bucket").alias("bk"))
 
-    def _score(self, cand: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
+    def _score(
+        self, cand: DataFrame, left: DataFrame, right: DataFrame,
+        broadcast_cand: bool = False,
+    ) -> DataFrame:
         from etl_spark.ops.simsearch import _cos, _dot
 
         a = left.select(
@@ -460,7 +503,10 @@ class EmbNearDupIndex(_SegmentedIndex):
             F.col("nsq").alias("nb"),
         )
         cos = _cos(_dot("qa", "qb"), "na", "nb")
+        small = cand.join(a, "vec_id")
+        if broadcast_cand:
+            small = F.broadcast(small)
         return (
-            cand.join(a, "vec_id").join(b, "dup_of")
+            small.join(b, "dup_of")
             .select("vec_id", "dup_of", F.round(cos, 4).alias(self.SCORE_COL))
         )

@@ -172,17 +172,17 @@ class _SegmentedIndex:
         construction.
 
         ``broadcast_probe``: streaming-gate mode — the BATCH side of the
-        index join (bands, then scored candidates) is broadcast so the
-        persisted index is only ever SCANNED, never shuffled. A shuffle
-        of the index side is O(corpus) network per micro-batch and makes
-        gate throughput decay linearly with index age (measured: 16
-        batches into a 12M-doc index, per-batch wall tripled). In this
-        mode the index side also skips the bucket-size cap (counting its
-        buckets would itself re-shuffle the corpus each batch); content-
-        unique admission makes byte-equal index floods structurally
-        impossible, and the batch side stays capped."""
+        index join is the SHUFFLE_HASH build side (per-partition parallel
+        hash maps; a broadcast here pays a single-threaded driver-side
+        relation build, measured 5× the whole join at 8M batch band
+        rows), the scored-candidate legs stay broadcast (candidates are
+        tiny). The index leg ships only its 3 slim band columns through
+        the exchange; an index-side groupBy for the bucket-size cap is
+        still avoided (counting its buckets would aggregate the corpus
+        each batch) — content-unique admission makes byte-equal index
+        floods structurally impossible, and the batch side stays capped."""
         sigs = spark.read.parquet(os.path.join(base_dir, seg, "sig"))
-        nb = spark.read.parquet(os.path.join(base_dir, seg, "bands"))
+        raw_nb = spark.read.parquet(os.path.join(base_dir, seg, "bands"))
         idx_sigs = self._read_committed(spark, "sig", exclude=exclude_seg)
 
         def _cap(bands: DataFrame) -> DataFrame:
@@ -196,13 +196,34 @@ class _SegmentedIndex:
             )
             return bands.join(ok, ["bi", "bk"], "left_semi")
 
-        nb = _cap(nb)
+        # ONE shuffle serves both the bucket-size cap and in-batch pair
+        # enumeration: group the batch's band rows once, drop over-full
+        # buckets by list size, and read capped band rows / member pairs
+        # straight off the grouped lists (the join formulation costs two
+        # more exchanges of the same rows). Checkpointed: the probe and
+        # the in-batch leg both consume it.
+        grouped = raw_nb.groupBy("bi", "bk").agg(
+            F.collect_list(self.ID_COL).alias("ids")
+        )
+        if max_band_bucket is not None:
+            grouped = grouped.filter(F.size("ids") <= max_band_bucket)
+        grouped = grouped.localCheckpoint(eager=False)
+        nb = grouped.select(
+            "bi", "bk", F.explode("ids").alias(self.ID_COL)
+        )
         parts = []
         if idx_sigs is not None:
             ib = self._read_committed(spark, "bands", exclude=exclude_seg)
             if not broadcast_probe:
                 ib = _cap(ib)
-            probe_nb = F.broadcast(nb) if broadcast_probe else nb
+            # batch side as the SHUFFLE_HASH build side. Measured at 8M
+            # batch vs 16M index band rows: broadcast(batch) 6.2 s (the
+            # relation build is single-threaded on the driver), plain AQE
+            # join 2.5 s, SHUFFLE_HASH 1.2 s (per-partition parallel hash
+            # maps, no sort). The index side shuffles only its 3 slim
+            # columns; at cluster scale, flip the band store to a bucketed
+            # catalog table to make the index leg shuffle-free entirely.
+            probe_nb = nb.hint("SHUFFLE_HASH") if broadcast_probe else nb
             cand = (
                 probe_nb.alias("x")
                 .join(
@@ -221,17 +242,25 @@ class _SegmentedIndex:
                     cand, sigs, idx_sigs, broadcast_cand=broadcast_probe
                 ).withColumn("dup_src", F.lit("index"))
             )
+        # in-batch pairs straight off the grouped member lists (no self-
+        # join): each bucket of k members yields its k(k-1)/2 ordered
+        # pairs. The higher-order functions are interpreted, but they run
+        # per BUCKET (almost all size ≤ 2 after the cap), not per corpus
+        # row — the shuffle they replace dominated.
         cand_in = (
-            nb.alias("x")
-            .join(
-                nb.alias("y"),
-                (F.col("x.bi") == F.col("y.bi"))
-                & (F.col("x.bk") == F.col("y.bk"))
-                & (F.col(f"x.{self.ID_COL}") < F.col(f"y.{self.ID_COL}")),
+            grouped.filter(F.size("ids") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids)), y -> "
+                        "named_struct('a', least(x, y), 'b', greatest(x, y)))))"
+                    )
+                ).alias("p")
             )
             .select(
-                F.col(f"x.{self.ID_COL}").alias(self.ID_COL),
-                F.col(f"y.{self.ID_COL}").alias("dup_of"),
+                F.col("p.a").alias(self.ID_COL),
+                F.col("p.b").alias("dup_of"),
             )
             .distinct()
         )
@@ -317,36 +346,60 @@ class NearDupIndex(_SegmentedIndex):
     ID_COL = "doc_id"
     SCORE_COL = "est_jaccard"
 
-    def __init__(self, path: str, n_minhash: int | None = None):
+    def __init__(
+        self,
+        path: str,
+        n_minhash: int | None = None,
+        hash_fn: str | None = None,
+    ):
         super().__init__(path)
-        stored = None
+        stored: dict = {}
         p = os.path.join(path, _PTR)
         if os.path.exists(p):
             with open(p) as f:
-                stored = (json.load(f).get("params") or {}).get("n_minhash")
-        if stored is None:
+                stored = json.load(f).get("params") or {}
+        if stored.get("n_minhash") is None:
             from etl_spark.ops.textops import N_MINHASH
 
             self.n_minhash = int(n_minhash or N_MINHASH)
         else:
-            self.n_minhash = int(stored)
+            self.n_minhash = int(stored["n_minhash"])
+        # an existing index's stored hash family always wins (its sig/th
+        # files were computed with it); md5 is the DuckDB-oracle-matched
+        # default, "xxh64" the cheap family for oracle-less consumers
+        self.hash_fn = stored.get("hash") or hash_fn or "md5"
 
     def _params(self) -> dict:
-        return {"n_minhash": self.n_minhash, "n_bands": self.n_minhash // 2}
+        return {
+            "n_minhash": self.n_minhash,
+            "n_bands": self.n_minhash // 2,
+            "hash": self.hash_fn,
+        }
+
+    def _th_col(self) -> F.Column:
+        """Exact-layer text hash under the index's hash family (md5 string
+        vs xxhash64 long — comparisons only ever happen within one index)."""
+        if self.hash_fn == "xxh64":
+            return F.xxhash64(F.col("text"))
+        return F.md5(F.col("text"))
 
     def _sigs_of(self, batch: DataFrame) -> DataFrame:
         """Docs without signatures (fewer than 3 words) are dropped — they
-        cannot near-dup by shingles and pass the gate. ``th`` (md5 of the
-        text) rides along for the EXACT-duplicate fast layer: byte-equal
-        floods resolve by hash grouping (linear), never by LSH pair
-        enumeration (quadratic inside a degenerate band bucket)."""
+        cannot near-dup by shingles and pass the gate. ``th`` (text hash)
+        rides along for the EXACT-duplicate fast layer: byte-equal floods
+        resolve by hash grouping (linear), never by LSH pair enumeration
+        (quadratic inside a degenerate band bucket). th is carried THROUGH
+        the signature aggregate (F.first) — a join back against the batch
+        would re-derive the batch upstream a second time."""
         from etl_spark.ops.textops import _signatures, _with_shingles
 
-        sigs = _signatures(
-            _with_shingles(batch), self.n_minhash, carry_shingles=False
+        return _signatures(
+            _with_shingles(batch.withColumn("th", self._th_col())),
+            self.n_minhash,
+            carry_shingles=False,
+            hash_fn=self.hash_fn,
+            carry=("th",),
         )
-        th = batch.select("doc_id", F.md5(F.col("text")).alias("th"))
-        return sigs.join(th, "doc_id")
 
     def _bands_of(self, sigs: DataFrame) -> DataFrame:
         from etl_spark.ops.textops import _sig_bands
@@ -397,18 +450,28 @@ class NearDupIndex(_SegmentedIndex):
         """
         seg = f"seg-{seg_name}"
         one = F.lit(1.0).alias(self.SCORE_COL)
-        th_docs = batch.select("doc_id", "text").withColumn(
-            "th", F.md5(F.col("text"))
-        )
-        keep = th_docs.groupBy("th").agg(F.min("doc_id").alias("__keep"))
-        with_keep = th_docs.join(keep, "th")
-        exact_in = (
-            with_keep.filter(F.col("doc_id") != F.col("__keep"))
-            .select(
-                F.col("__keep").alias("doc_id"),
-                F.col("doc_id").alias("dup_of"),
-                one, F.lit("batch").alias("dup_src"),
+        # ONE shuffle for the whole exact layer: per-th keeper row (min_by
+        # carries the text, so no join back) + member list (pairs and the
+        # index probe explode it). Checkpointed once — three consumers
+        # (exact pairs, index probe, segment write) would otherwise each
+        # re-execute the batch upstream.
+        th_groups = (
+            batch.select("doc_id", "text")
+            .withColumn("th", self._th_col())
+            .groupBy("th")
+            .agg(
+                F.min_by(F.struct("doc_id", "text"), "doc_id").alias("k"),
+                F.collect_list("doc_id").alias("ids"),
             )
+            .localCheckpoint(eager=True)
+        )
+        exact_in = (
+            th_groups.select(
+                F.col("k.doc_id").alias("doc_id"),
+                F.explode("ids").alias("dup_of"),
+            )
+            .filter(F.col("doc_id") != F.col("dup_of"))
+            .select("doc_id", "dup_of", one, F.lit("batch").alias("dup_src"))
         )
         parts = [exact_in]
         idx_sigs = self._read_committed(spark, "sig", exclude=seg)
@@ -420,18 +483,22 @@ class NearDupIndex(_SegmentedIndex):
             # gate-admitted segments store each content once, so the
             # plain join yields ≤1 index row per batch th from them
             # (dups from legacy add() segments just produce extra pairs,
-            # which the consumer's drop-set union absorbs).
+            # which the consumer's drop-set union absorbs). Every member
+            # of a matched th group is a dup of the index row.
             vs_idx = (
-                F.broadcast(th_docs.select("doc_id", "th"))
+                F.broadcast(th_groups.select("th", "ids"))
                 .join(idx_sigs.select(F.col("doc_id").alias("dup_of"), "th"), "th")
                 .select(
-                    "doc_id", "dup_of", one, F.lit("index").alias("dup_src")
+                    F.explode("ids").alias("doc_id"),
+                    "dup_of", one, F.lit("index").alias("dup_src"),
                 )
                 .localCheckpoint(eager=True)  # one index scan, reused below
             )
             parts.append(vs_idx)
         if seg not in self._meta()["segments"]:
-            reps = with_keep.filter(F.col("doc_id") == F.col("__keep"))
+            reps = th_groups.select(
+                F.col("k.doc_id").alias("doc_id"), F.col("k.text").alias("text")
+            )
             if vs_idx is not None:
                 # content the index already has is not re-admitted; the
                 # known set comes from the (already materialized) th join
@@ -440,9 +507,7 @@ class NearDupIndex(_SegmentedIndex):
                     F.broadcast(vs_idx.select("doc_id").distinct()),
                     "doc_id", "left_anti",
                 )
-            _, n = self._write_segment(
-                spark, reps.select("doc_id", "text"), self.path, seg_name=seg
-            )
+            _, n = self._write_segment(spark, reps, self.path, seg_name=seg)
             self._commit_segment(seg, n)
         out = self._dups_for_segment(
             spark, self.path, seg, threshold, exclude_seg=seg,

@@ -78,11 +78,21 @@ def _neardup_gate(
     from etl_spark.cdc.neardup import NearDupIndex
 
     # 16-hash gate grade (detection ≥90% at j=0.5, ≥99.5% at j=0.7 — see
-    # NearDupIndex docstring); an existing index's stored width wins
-    idx = NearDupIndex(index_path, n_minhash=16)
+    # NearDupIndex docstring) on the xxh64 family (codegen'd, ~10× less
+    # per-shingle CPU than the oracle-matched md5 family — the gate has
+    # no SQL oracle; its correctness is final-state equality). An
+    # existing index's stored width/family win.
+    idx = NearDupIndex(index_path, n_minhash=16, hash_fn="xxh64")
     key_id = F.xxhash64("conv_id", "turn_idx")
     upserts = batch.filter(F.col("op").isin("I", "U") & F.col("text").isNotNull())
-    docs = lww_dedup(upserts).select(key_id.alias("doc_id"), "text")
+    # the gate consumes docs in several actions (th grouping, segment
+    # write, probe); without the checkpoint each would re-read the feed
+    # and re-run the LWW shuffle
+    docs = (
+        lww_dedup(upserts)
+        .select(key_id.alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
     dups = idx.gate_and_admit(spark, docs, bid, threshold).filter(
         # a key matching ITS OWN earlier version in the index is an edit
         # (normal CDC churn), never a duplicate

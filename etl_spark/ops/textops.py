@@ -287,6 +287,8 @@ def _signatures(
     docs_shingled: DataFrame,
     n_minhash: int = N_MINHASH,
     carry_shingles: bool = True,
+    hash_fn: str = "md5",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """doc_id → s0..s63 minhash signature via explode + hash-aggregate.
 
@@ -298,22 +300,37 @@ def _signatures(
     the shuffle carries only per-partition per-doc minima (docs are
     contiguous in their input split, so partials collapse to ~1 row/doc).
     Shingle-less docs get NULL signatures via the left join, matching the
-    oracle's min-over-empty-list."""
-    ex = docs_shingled.select("doc_id", F.explode("__sh").alias("s"))
-    h = _let(
-        F.md5(F.col("s")),
-        lambda d: F.struct(
-            (F.conv(F.substring(d, 1, 15), 16, 10).cast("long") % MERSENNE_P).alias("h1"),
-            (F.conv(F.substring(d, 17, 15), 16, 10).cast("long") % MERSENNE_P).alias("h2"),
-        ),
-    )
-    hashed = ex.select("doc_id", F.explode(F.array(h)).alias("__h")).select(
-        "doc_id", "__h.h1", "__h.h2"
-    )
+    oracle's min-over-empty-list.
+
+    ``hash_fn``: "md5" (DuckDB-oracle-matched, the registry default) or
+    "xxh64" (two codegen'd xxhash64 streams — ~an order of magnitude less
+    per-shingle CPU; for consumers with no SQL oracle, e.g. the streaming
+    admission gate, whose correctness is carried by final-state equality).
+    ``carry``: per-doc columns of ``docs_shingled`` to ride through the
+    aggregate (F.first) instead of a separate join back."""
+    ex = docs_shingled.select("doc_id", *carry, F.explode("__sh").alias("s"))
+    if hash_fn == "xxh64":
+        hashed = ex.select(
+            "doc_id",
+            *carry,
+            F.pmod(F.xxhash64("s"), F.lit(MERSENNE_P)).alias("h1"),
+            F.pmod(F.xxhash64("s", F.lit(1)), F.lit(MERSENNE_P)).alias("h2"),
+        )
+    else:
+        h = _let(
+            F.md5(F.col("s")),
+            lambda d: F.struct(
+                (F.conv(F.substring(d, 1, 15), 16, 10).cast("long") % MERSENNE_P).alias("h1"),
+                (F.conv(F.substring(d, 17, 15), 16, 10).cast("long") % MERSENNE_P).alias("h2"),
+            ),
+        )
+        hashed = ex.select(
+            "doc_id", *carry, F.explode(F.array(h)).alias("__h")
+        ).select("doc_id", *carry, "__h.h1", "__h.h2")
     aggs = [
         F.min((F.col("h1") + i * F.col("h2")) % MERSENNE_P).alias(f"s{i}")
         for i in range(n_minhash)
-    ]
+    ] + [F.first(c).alias(c) for c in carry]
     agg = hashed.groupBy("doc_id").agg(*aggs)
     if not carry_shingles:
         # no join back: the left side would RE-derive the shingle arrays

@@ -122,6 +122,32 @@ def main() -> None:
         )
         files_per_seg = len(os.listdir(os.path.join(feed, seg0)))
 
+        # per-trigger walls + phase attribution: the "bounded constant
+        # factor" claim is really a FLATNESS claim — per-batch wall must
+        # not grow with index/table age. Wrap the phase entry points.
+        import etl_spark.cdc.stream as stream_mod
+        from etl_spark.cdc import apply as apply_mod
+        from etl_spark.lake.mv import ConvSummaryMV
+
+        phases: dict[str, list[float]] = {}
+
+        def timed(name, fn):
+            def wrap(*a, **k):
+                t0 = time.time()
+                try:
+                    return fn(*a, **k)
+                finally:
+                    phases.setdefault(name, []).append(
+                        round(time.time() - t0, 2)
+                    )
+            return wrap
+
+        orig = (stream_mod._neardup_gate, stream_mod.apply_batch,
+                ConvSummaryMV.refresh)
+        stream_mod._neardup_gate = timed("gate", orig[0])
+        stream_mod.apply_batch = timed("apply", orig[1])
+        ConvSummaryMV.refresh = timed("mv", orig[2])
+
         # ---- run A: plain MOR drain
         ta = LakeTable.create(os.path.join(work, "lake_a"), TRANSCRIPT_SCHEMA,
                               n_buckets=64)
@@ -131,6 +157,8 @@ def main() -> None:
                    max_files_per_trigger=files_per_seg)
         plain_sec = time.time() - t0
         plain_eps = args.events / plain_sec
+        plain_walls = list(phases.get("apply", []))
+        phases.clear()
 
         # ---- run B: everything on
         tb = LakeTable.create(os.path.join(work, "lake_b"), TRANSCRIPT_SCHEMA,
@@ -174,6 +202,8 @@ def main() -> None:
             "max_files_per_bucket": max(
                 (len(fl) for fl in m.files.values()), default=0
             ),
+            "plain_apply_walls": plain_walls,
+            "composed_phase_walls": {k: v for k, v in phases.items()},
         }
         print(json.dumps(out))
     finally:

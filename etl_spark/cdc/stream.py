@@ -138,6 +138,7 @@ def run_stream(
     late_watermark_sec: float | None = None,
     mode: str = "cow",
     mv_path: str | None = None,
+    mv_refresh_every: int = 1,
     auto_compact_files: int | None = DEFAULT_COMPACT_FILES,
     replica_path: str | None = None,
     allow_patches: bool = False,
@@ -153,9 +154,14 @@ def run_stream(
     does a changelog-scoped incremental refresh, so derived-table freshness
     tracks the stream with O(batch keys) extra work per trigger. The MV's
     own table_version pointer makes the refresh idempotent across replays,
-    and it runs on every trigger (not only ones that applied new files), so
-    a crash between the table commit and the MV refresh is healed by the
-    re-delivered trigger even though the merge itself no-ops.
+    and it runs on a trigger cadence (``mv_refresh_every``, default every
+    trigger) regardless of whether new files were applied, so a crash
+    between the table commit and the MV refresh is healed by a later
+    trigger even though the merge itself no-ops. A cadence > 1 amortizes
+    maintenance — the changelog diff SPANS the skipped triggers, so the
+    work is paid once instead of per trigger — at the price of bounded
+    freshness lag, never correctness; an availableNow drain always ends
+    with a catch-up refresh so the drained MV is current.
 
     ``auto_compact_files``: per-trigger maintenance bound — see
     ``replay_feed``; under an endless MOR stream this caps read
@@ -184,14 +190,21 @@ def run_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     src = reader.parquet(f"{feed_dir}/*").withColumn("__file", F.input_file_name())
 
+    trigger_no = [0]
+
     def _apply(df: DataFrame, epoch_id: int) -> None:
         _apply_new_files(df)
-        # MV catch-up runs on EVERY trigger, outside the new-files early
-        # returns: after a crash between the table commit and the MV
-        # refresh, the re-delivered batch no-ops the merge (per-file
-        # ledger) but the MV must still be brought up to the table's
-        # current snapshot. refresh() itself no-ops when already current.
-        if mv_path is not None:
+        trigger_no[0] += 1
+        # MV catch-up runs on a trigger CADENCE (default: every trigger),
+        # outside the new-files early returns: after a crash between the
+        # table commit and the MV refresh, the re-delivered batch no-ops
+        # the merge (per-file ledger) but the MV must still be brought up
+        # to the table's current snapshot. refresh() itself no-ops when
+        # already current, and diffs SPAN the skipped triggers, so a
+        # cadence > 1 trades freshness lag for amortized maintenance —
+        # never correctness. A final catch-up runs after an availableNow
+        # drain (below) so the drained MV is always current.
+        if mv_path is not None and trigger_no[0] % max(1, mv_refresh_every) == 0:
             from etl_spark.lake.mv import ConvSummaryMV
 
             ConvSummaryMV(mv_path).refresh(spark, table)
@@ -294,5 +307,9 @@ def run_stream(
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
+        if mv_path is not None:
+            from etl_spark.lake.mv import ConvSummaryMV
+
+            ConvSummaryMV(mv_path).refresh(spark, table)
         return q
     return writer.start()

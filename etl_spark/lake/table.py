@@ -520,6 +520,7 @@ class LakeTable:
         m: Manifest,
         buckets: list[int] | None,
         entries: list[dict[str, Any]] | None = None,
+        tag: tuple[str, set[str]] | None = None,
     ) -> DataFrame:
         """Scan data files aligned to the CURRENT schema.
 
@@ -530,10 +531,17 @@ class LakeTable:
 
         ``entries``: scan exactly this file-entry list (stats-pruned reads)
         instead of whole buckets.
+
+        ``tag``: ``(col_name, rel_paths)`` — additionally split each era
+        group by membership in ``rel_paths`` and append a literal boolean
+        column, so a consumer can tell which rows came from a designated
+        file subset WITHOUT input_file_name() (a literal folds into the
+        scan; the per-row function does not). The append-only changelog
+        fast path uses this to read two snapshots in one scan.
         """
         cur_storage = self.storage_schema(schema_from_json(m.schema_json))
         want = [f.name for f in cur_storage.fields]
-        groups: dict[str, list[str]] = {}
+        groups: dict[tuple[str, bool], list[str]] = {}
         if entries is not None:
             sel: dict[str, list[dict[str, Any]]] = {"_": entries}
         elif buckets is None:
@@ -542,12 +550,13 @@ class LakeTable:
             sel = {str(b): m.files.get(str(b), []) for b in buckets}
         for flist in sel.values():
             for fe in flist:
-                groups.setdefault(fe["schema_id"], []).append(
+                flag = tag is not None and fe["path"] in tag[1]
+                groups.setdefault((fe["schema_id"], flag), []).append(
                     os.path.join(self.path, fe["path"])
                 )
         ren = m.renames or {}
         parts: list[DataFrame] = []
-        for sid, paths in groups.items():
+        for (sid, flag), paths in groups.items():
             era_user = schema_from_json(m.schemas[sid])
             era_storage = self.storage_schema(era_user)
             df = spark.read.schema(era_storage).parquet(*paths)
@@ -577,9 +586,17 @@ class LakeTable:
                  else F.lit(None).cast(cur_storage[n].dataType)).alias(n)
                 for n in want
             ]
+            if tag is not None:
+                cols.append(F.lit(flag).alias(tag[0]))
             parts.append(df.select(*cols))
         if not parts:
-            return spark.createDataFrame([], cur_storage)
+            out_schema = cur_storage
+            if tag is not None:
+                out_schema = T.StructType(
+                    list(cur_storage.fields)
+                    + [T.StructField(tag[0], T.BooleanType(), False)]
+                )
+            return spark.createDataFrame([], out_schema)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -644,6 +661,7 @@ class LakeTable:
         v_from: int,
         v_to: int | None = None,
         emit_meta: bool = False,
+        emit_pre: bool = False,
     ) -> DataFrame:
         """Changelog read between two retained snapshots — the read-side CDC
         surface (Iceberg changelog scan / Delta CDF analog; the reference
@@ -670,6 +688,14 @@ class LakeTable:
         expired in ``v_to`` emits NULL ``op_seq``/``ts`` — downstream
         validation rejects it (the changelog-horizon contract, same as
         Delta CDF after VACUUM).
+
+        ``emit_pre=True`` additionally emits ``_pre``, a struct of the
+        OLD snapshot's value columns for the key (NULL for inserts; a
+        column the old era did not store is NULL inside the struct) —
+        what Delta CDF calls ``update_preimage``, flattened onto the
+        post-image row. Pre-images are what make downstream aggregates
+        delta-maintainable (new = old + f(post) − f(pre)) instead of
+        re-aggregated (see lake/mv.py ConvSummaryMV.refresh).
         """
         ma, mb = self.manifest(v_from), self.manifest(v_to)
         # manifest-level pruning: data files are immutable, so a bucket
@@ -692,20 +718,93 @@ class LakeTable:
             # read_storage); the join below shuffles on the key anyway
             return self._reduce_lww(df) if m.needs_reduce else df
 
-        a = _state(ma).select(
-            *KEY_COLS,
-            F.col("op_seq").alias("__a_seq"),
-            F.coalesce(F.col("deleted"), F.lit(False)).alias("__a_del"),
-        )
         user_fields = schema_from_json(mb.schema_json).fields
         val_fields = [f for f in user_fields if f.name not in KEY_COLS]
-        b = _state(mb).select(
-            *KEY_COLS,
-            *[F.col(f.name) for f in val_fields],
-            F.col("op_seq").alias("__b_seq"),
-            F.coalesce(F.col("deleted"), F.lit(False)).alias("__b_del"),
+        # append-only interval (the MOR streaming shape: every old file is
+        # still part of the new snapshot): BOTH states come out of ONE
+        # scan — files carry an era-level "was in v_from" literal, one
+        # key-hash exchange computes the old winner (max_by over flagged
+        # rows only) and the new winner (max_by over all) side by side.
+        # The two-scan + full-outer-join path below costs two scans and
+        # two reduces for the same answer; compaction/rewrite/rebucket
+        # intervals fall back to it because file identity no longer
+        # implies row-set containment.
+        append_only = buckets is not None and all(
+            {fe["path"] for fe in ma.files.get(k, [])}
+            <= {fe["path"] for fe in mb.files.get(k, [])}
+            for k in ma.files
         )
-        j = a.join(b, list(KEY_COLS), "full_outer")
+        if append_only:
+            a_paths = {fe["path"] for fl in ma.files.values() for fe in fl}
+            scan = self._aligned_scan(
+                spark, mb, buckets, tag=("__in_a", a_paths)
+            )
+            vals = [
+                c for c in scan.columns if c not in KEY_COLS and c != "__in_a"
+            ]
+            packed = F.struct(*[F.col(c) for c in vals])
+            order = F.struct(F.col("ts"), F.col("op_seq"))
+            in_a = F.col("__in_a")
+            j = (
+                scan.groupBy(*KEY_COLS)
+                .agg(
+                    F.max_by(packed, order).alias("__bw"),
+                    F.max_by(
+                        F.when(in_a, packed), F.when(in_a, order)
+                    ).alias("__aw"),
+                )
+                .select(
+                    *KEY_COLS,
+                    *[F.col(f"__bw.{f.name}").alias(f.name) for f in val_fields],
+                    F.col("__aw.op_seq").alias("__a_seq"),
+                    F.coalesce(F.col("__aw.deleted"), F.lit(False)).alias("__a_del"),
+                    F.col("__bw.op_seq").alias("__b_seq"),
+                    F.coalesce(F.col("__bw.deleted"), F.lit(False)).alias("__b_del"),
+                    *(
+                        [
+                            F.struct(
+                                *[
+                                    F.col(f"__aw.{f.name}").alias(f.name)
+                                    for f in val_fields
+                                ]
+                            ).alias("__pre")
+                        ]
+                        if emit_pre
+                        else []
+                    ),
+                )
+            )
+        else:
+            a_extra: list = []
+            if emit_pre:
+                a_names = {
+                    f.name for f in schema_from_json(ma.schema_json).fields
+                }
+                a_extra = [
+                    F.struct(
+                        *[
+                            (
+                                F.col(f.name)
+                                if f.name in a_names
+                                else F.lit(None).cast(f.dataType)
+                            ).alias(f.name)
+                            for f in val_fields
+                        ]
+                    ).alias("__pre")
+                ]
+            a = _state(ma).select(
+                *KEY_COLS,
+                *a_extra,
+                F.col("op_seq").alias("__a_seq"),
+                F.coalesce(F.col("deleted"), F.lit(False)).alias("__a_del"),
+            )
+            b = _state(mb).select(
+                *KEY_COLS,
+                *[F.col(f.name) for f in val_fields],
+                F.col("op_seq").alias("__b_seq"),
+                F.coalesce(F.col("deleted"), F.lit(False)).alias("__b_del"),
+            )
+            j = a.join(b, list(KEY_COLS), "full_outer")
         a_live = F.col("__a_seq").isNotNull() & ~F.coalesce(
             F.col("__a_del"), F.lit(True)
         )
@@ -745,6 +844,10 @@ class LakeTable:
                 .alias("op"),
                 F.col("__b_seq").alias("op_seq"),
             ]
+        if emit_pre:
+            # pre-image exists iff the key was LIVE at v_from (inserts
+            # and resurrection-after-expiry emit NULL)
+            out_cols.append(F.when(a_live, F.col("__pre")).alias("_pre"))
         return (
             j.withColumn("_change_type", change)
             .filter(F.col("_change_type").isNotNull())

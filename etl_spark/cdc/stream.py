@@ -97,7 +97,7 @@ def _neardup_gate(
         # a key matching ITS OWN earlier version in the index is an edit
         # (normal CDC churn), never a duplicate
         ~((F.col("doc_id") == F.col("dup_of")) & (F.col("dup_src") == "index"))
-    ).localCheckpoint(eager=False)
+    )
     # priority dropping: corpus duplicates go first; then in-batch pairs
     # apply only among corpus-SURVIVORS (keep the smaller key) — a row
     # whose only duplicate witness was itself corpus-dropped survives
@@ -110,7 +110,15 @@ def _neardup_gate(
         .join(corpus_drops, "doc_id", "left_anti")
         .select(F.col("dup_of").alias("doc_id"))
     )
-    drops = corpus_drops.unionByName(in_batch).distinct()
+    # the DROP SET is what every downstream action joins against — it is
+    # tiny (dup keys only), so materialize IT once; checkpointing the
+    # pair stream instead leaves the priority-filter joins above to
+    # re-execute for every action apply_batch runs on the gated batch
+    drops = (
+        corpus_drops.unionByName(in_batch)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # deletes/patches/null-text rows always pass (not new content); all
     # events of a dropped KEY are dropped together
     keep_if = ~(F.col("op").isin("I", "U") & F.col("text").isNotNull())

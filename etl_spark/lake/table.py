@@ -183,6 +183,12 @@ class Manifest:
     # resolves a missing current name through this map. Key columns,
     # ts, and system columns are never renamable (merge keys + stats).
     renames: dict[str, str] | None = None
+    # True when this snapshot's diff vs its parent is KEY-NEUTRAL: a pure
+    # file-layout rewrite (compaction, z-order/time-slice clustering,
+    # delta resolve, rebucket) that changes neither key state nor schema.
+    # The Iceberg 'replace'-snapshot marker: changelog readers skip over
+    # such commits instead of diffing rewritten buckets row by row.
+    key_neutral: bool = False
 
     def __post_init__(self):
         if self.segments is None:
@@ -203,6 +209,7 @@ class Manifest:
         d.setdefault("needs_reduce", False)
         d.setdefault("constraints", None)
         d.setdefault("renames", None)
+        d.setdefault("key_neutral", False)
         return Manifest(**d)
 
 
@@ -698,6 +705,31 @@ class LakeTable:
         re-aggregated (see lake/mv.py ConvSummaryMV.refresh).
         """
         ma, mb = self.manifest(v_from), self.manifest(v_to)
+        # Key-neutral maintenance snapshots (compaction, clustering,
+        # resolve, rebucket — marked at commit time) change file layout,
+        # never the key→winner state or the schema. Shrink the interval
+        # across them from BOTH ends: a leading neutral commit means
+        # state(v_from) == state(child), a trailing one means
+        # state(v_to) == state(parent). This keeps the append-only
+        # one-scan fast path alive under interleaved maintenance (the
+        # streaming loop compacts every trigger) and makes a maintenance-
+        # only interval diff nothing at all — the Iceberg 'replace'-
+        # snapshot rule for changelog readers.
+        try:
+            chain = [mb]
+            while chain[-1].version > ma.version and chain[-1].parent is not None:
+                chain.append(self.manifest(chain[-1].parent))
+            if chain[-1].version == ma.version:
+                seq = list(reversed(chain))  # ma .. mb, parent order
+                hi = len(seq) - 1
+                while hi > 0 and seq[hi].key_neutral:
+                    hi -= 1
+                lo = 0
+                while lo < hi and seq[lo + 1].key_neutral:
+                    lo += 1
+                ma, mb = seq[lo], seq[hi]
+        except (FileNotFoundError, OSError):
+            pass  # expired intermediate snapshot: diff the full interval
         # manifest-level pruning: data files are immutable, so a bucket
         # whose file list is IDENTICAL in both manifests cannot contain a
         # change — skip scanning it on either side. At scale this turns the
@@ -1057,6 +1089,7 @@ class LakeTable:
         drop_bloom: bool = False,
         new_n_buckets: int | None = None,
         expected_version: int | None = None,
+        key_neutral: bool = False,
     ) -> Manifest:
         """Swap in a new snapshot: touched buckets get their file lists
         REPLACED (copy-on-write) — or APPENDED when the merge proved the
@@ -1164,6 +1197,7 @@ class LakeTable:
             needs_reduce=nr,
             constraints=m.constraints,
             renames=m.renames,
+            key_neutral=key_neutral,
         )
         self._write_manifest(nm)
         return nm
@@ -1484,7 +1518,7 @@ class LakeTable:
         clear = m.needs_reduce and all_data_buckets.issubset(set(buckets))
         self.commit_version(
             files, buckets, None, None, needs_reduce=False if clear else None,
-            expected_version=m.version,
+            expected_version=m.version, key_neutral=True,
         )
         return len(buckets)
 
@@ -1506,7 +1540,7 @@ class LakeTable:
         if not buckets:
             self.commit_version(
                 {}, [], None, None, needs_reduce=False,
-                expected_version=m.version,
+                expected_version=m.version, key_neutral=True,
             )
             return 0
         rows = self.read_storage(spark, buckets, reduced=True)
@@ -1520,7 +1554,7 @@ class LakeTable:
         )
         self.commit_version(
             files, buckets, None, None, needs_reduce=False,
-            expected_version=m.version, new_bloom=new_bloom,
+            expected_version=m.version, new_bloom=new_bloom, key_neutral=True,
         )
         return len(buckets)
 
@@ -1572,7 +1606,7 @@ class LakeTable:
         )
         self.commit_version(
             files, buckets, None, None, needs_reduce=False,
-            expected_version=m.version, new_bloom=new_bloom,
+            expected_version=m.version, new_bloom=new_bloom, key_neutral=True,
         )
         return len(buckets)
 
@@ -1695,7 +1729,7 @@ class LakeTable:
         )
         self.commit_version(
             files, buckets, None, None, needs_reduce=False,
-            expected_version=m.version, new_bloom=new_bloom,
+            expected_version=m.version, new_bloom=new_bloom, key_neutral=True,
         )
         return len(buckets)
 
@@ -1738,6 +1772,7 @@ class LakeTable:
             needs_reduce=False,
             new_n_buckets=new_n_buckets,
             expected_version=m.version,
+            key_neutral=True,
         )
         return len([b for b, fl in files.items() if fl])
 

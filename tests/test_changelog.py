@@ -98,3 +98,41 @@ def test_changes_between_prunes_untouched_buckets(spark, tmpdir_path):
     assert scanned, "expected at least the touched bucket to be scanned"
     buckets_scanned = {p.split("__bucket=")[1].split("/")[0] for p in scanned}
     assert len(buckets_scanned) == 1, buckets_scanned
+
+
+def test_changelog_skips_key_neutral_maintenance(spark, tmpdir_path):
+    """Compaction/z-order/rebucket snapshots are key-neutral: an interval
+    holding only maintenance diffs to NOTHING, and an interval mixing
+    appends with maintenance equals the same interval without it."""
+    import datetime as dt
+
+    from etl_spark.cdc.apply import apply_batch
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.schema import CHANGE_SCHEMA, TRANSCRIPT_SCHEMA
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    apply_batch(spark, t, spark.createDataFrame([
+        ("I", ts("2024-01-01T00:00:01"), 1, "c1", 0, "user", "a", None, "f"),
+        ("I", ts("2024-01-01T00:00:02"), 2, "c2", 0, "user", "b", None, "f"),
+    ], CHANGE_SCHEMA), "b1", mode="mor")
+    v1 = t.current_version()
+    assert t.compact_small_files(spark, 0) > 0  # force a rewrite
+    v2 = t.current_version()
+    assert t.manifest(v2).key_neutral
+    # maintenance-only interval: nothing to report
+    assert t.changes_between(spark, v1, v2).count() == 0
+    # mixed interval: append then compact == just the append
+    apply_batch(spark, t, spark.createDataFrame([
+        ("U", ts("2024-01-01T00:01:00"), 3, "c1", 0, "user", "a2", None, "f"),
+    ], CHANGE_SCHEMA), "b2", mode="mor")
+    t.compact_small_files(spark, 0)
+    v3 = t.current_version()
+    rows = t.changes_between(spark, v1, v3).collect()
+    assert len(rows) == 1 and rows[0]["_change_type"] == "update_postimage"
+    assert rows[0]["text"] == "a2"
+    # pre-image rides through the shrunk interval too
+    pr = t.changes_between(spark, v1, v3, emit_pre=True).collect()[0]
+    assert pr["_pre"]["text"] == "a"

@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=16_000_000)
     ap.add_argument("--segments", type=int, default=16)
     ap.add_argument("--cores", type=int, default=0)
+    ap.add_argument("--mv-every", type=int, default=1,
+                    help="MV refresh cadence for the composed run")
     ap.add_argument(
         "--workdir", default="/dev/shm" if os.path.isdir("/dev/shm") else None
     )
@@ -171,6 +173,7 @@ def main() -> None:
             available_now=True, mode="mor",
             max_files_per_trigger=files_per_seg,
             mv_path=os.path.join(work, "mv_b"),
+            mv_refresh_every=args.mv_every,
             quarantine_dir=qdir,
             neardup_index_path=os.path.join(work, "ndi_b"),
             fail_threshold=0.9,  # the drop-policy constraint consumes budget
@@ -188,6 +191,7 @@ def main() -> None:
         out = {
             "metric": "composition_stress",
             "events": args.events,
+            "mv_every": args.mv_every,
             "gen_sec": gen_sec,
             "plain_events_per_sec": round(plain_eps),
             "composed_events_per_sec": round(comp_eps),

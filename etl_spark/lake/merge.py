@@ -65,7 +65,7 @@ from typing import Any
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from etl_spark.schema import KEY_COLS, evolve_schema
-from etl_spark.lake.table import LakeTable
+from etl_spark.lake.table import CommitConflictError, LakeTable
 
 ENGINE_VERSION = "etl_spark-0.1.0"
 
@@ -252,6 +252,7 @@ def _fused_scan_gate(
             {"events_in": events_in, "failed": failed, "late_dropped": late_dropped},
             segments=segments, new_watermark_us=watermark_us,
             input_files=input_files, expected_version=base_version,
+            on_conflict="rebase",
             new_bloom=bloom if bloom_rebuilt else None,
         )
         return None
@@ -265,6 +266,53 @@ def _fused_scan_gate(
 
 
 def merge_into(
+    spark: SparkSession,
+    table: LakeTable,
+    valid: DataFrame,
+    batch_id: str,
+    counters: Observation,
+    fail_threshold: float = 0.10,
+    source_files: list[str] | None = None,
+    segments: list[str] | None = None,
+    input_files: list[str] | None = None,
+    mode: str = "cow",
+    allow_patches: bool = False,
+    conflict_retries: int = 2,
+) -> MergeStats:
+    """Apply one validated CDC batch, surviving concurrent writers.
+
+    Optimistic-concurrency outer loop (Iceberg commit-retry, operation
+    level): the commit itself REBASES cheaply when the conflicting writer
+    touched disjoint state (``LakeTable.commit_version(on_conflict=
+    "rebase")``); when the conflict invalidates this merge's reads (a
+    concurrent rewrite of the same buckets, a rebucket, a schema era),
+    the whole merge is RECOMPUTED against the fresh snapshot — every scan
+    inside ``_merge_into_once`` re-reads the current manifest, and the
+    first attempt's written-but-uncommitted files stay invisible orphans
+    (removed by expire_snapshots). A batch the concurrent writer already
+    applied short-circuits idempotent. Validation counters are safe to
+    re-read across attempts: the Observation filled on attempt 1 keeps
+    its values, and both attempts observe the same input batch.
+    """
+    last: CommitConflictError | None = None
+    for _ in range(max(0, conflict_retries) + 1):
+        if table.is_committed(batch_id):
+            stats = MergeStats(batch_id=batch_id)
+            stats.skipped_idempotent = True
+            return stats
+        try:
+            return _merge_into_once(
+                spark, table, valid, batch_id, counters,
+                fail_threshold=fail_threshold, source_files=source_files,
+                segments=segments, input_files=input_files, mode=mode,
+                allow_patches=allow_patches,
+            )
+        except CommitConflictError as e:
+            last = e
+    raise last
+
+
+def _merge_into_once(
     spark: SparkSession,
     table: LakeTable,
     valid: DataFrame,
@@ -509,6 +557,7 @@ def merge_into(
         new_watermark_us=watermark_us,
         needs_reduce=None,
         expected_version=base_version,
+        on_conflict="rebase",
     )
     stats.phase_sec["commit"] = round(time.time() - t2, 3)
     return stats
@@ -577,6 +626,7 @@ def _merge_mor_fused(
             {"events_in": events_in, "failed": failed, "late_dropped": late_dropped},
             segments=segments, new_watermark_us=watermark_us,
             input_files=input_files, expected_version=base_version,
+            on_conflict="rebase",
         )
         return stats
 
@@ -600,6 +650,7 @@ def _merge_mor_fused(
         needs_reduce=None if empty_before else True,
         drop_bloom=True,
         expected_version=base_version,
+        on_conflict="rebase",
     )
     stats.phase_sec["commit"] = round(time.time() - t2, 3)
     return stats
@@ -832,6 +883,7 @@ def _merge_patch(
             True if (mode == "mor" and not fast_append and files) else None
         ),
         expected_version=base_version,
+        on_conflict="rebase",
     )
     stats.phase_sec["commit"] = round(time.time() - t2, 3)
     return stats

@@ -1090,6 +1090,8 @@ class LakeTable:
         new_n_buckets: int | None = None,
         expected_version: int | None = None,
         key_neutral: bool = False,
+        on_conflict: str = "error",
+        max_rebase_retries: int = 5,
     ) -> Manifest:
         """Swap in a new snapshot: touched buckets get their file lists
         REPLACED (copy-on-write) — or APPENDED when the merge proved the
@@ -1100,21 +1102,179 @@ class LakeTable:
         seen-set reference instead: the fused merge-on-read path appends
         without scanning for membership, so the stored bloom no longer
         covers the table's keys — dropping it makes the staleness explicit
-        (the next copy-on-write merge or compaction rebuilds it)."""
-        m = self.manifest()
-        # optimistic concurrency, check half: the caller states which
-        # version its computation READ (scan, dedup, file writes). If
-        # another writer committed since, the file lists computed here are
-        # stale — replacing buckets would silently drop the other writer's
-        # rows. The exclusive manifest create below closes the residual
-        # check-to-link window (two writers that both pass this check race
-        # to create the same v{N+1}; exactly one wins).
-        if expected_version is not None and m.version != expected_version:
-            raise CommitConflictError(
-                f"table advanced to v{m.version} since this writer read "
-                f"v{expected_version}; recompute against the current "
-                "snapshot and retry"
+        (the next copy-on-write merge or compaction rebuilds it).
+
+        ``on_conflict="rebase"`` (Iceberg commit-retry analog): when a
+        CONCURRENT writer advanced the table past ``expected_version``,
+        re-apply this commit's manifest EDIT on the new head instead of
+        failing — valid only when the edit still holds there, checked by
+        ``_validate_rebase``: appends commute with anything short of a
+        rebucket/era change (MOR read-time LWW makes overlapping-key delta
+        appends order-independent); bucket REPLACEMENTS rebase only if no
+        intervening commit touched the same buckets (else the replacement
+        was computed from stale reads and the caller must RECOMPUTE — the
+        wrapper re-raises CommitConflictError for that case). An
+        already-present ``batch_id`` short-circuits to the head manifest
+        (a concurrent writer applied the same batch; exactly-once holds).
+        The seen-set sidecar is rebased too: ours = base ∪ batch keys, so
+        it is UNIONed with the head's (if compatible) or dropped (stale by
+        construction) — never committed missing the intervening keys."""
+        base_v = expected_version
+        bloom_eff, drop_bloom_eff = new_bloom, drop_bloom
+        attempts = 0
+        while True:
+            m = self.manifest()
+            if batch_id is not None and batch_id in m.commits:
+                # a concurrent writer (or a redelivered trigger racing a
+                # slow one) already applied this very batch — idempotent
+                return m
+            conflict: CommitConflictError | None = None
+            if base_v is not None and m.version != base_v:
+                # optimistic concurrency, check half: the caller states
+                # which version its computation READ (scan, dedup, file
+                # writes). If another writer committed since, the file
+                # lists computed here are stale — replacing buckets would
+                # silently drop the other writer's rows. The exclusive
+                # manifest create in _write_manifest closes the residual
+                # check-to-link window (two writers that both pass this
+                # check race to create the same v{N+1}; exactly one wins).
+                conflict = CommitConflictError(
+                    f"table advanced to v{m.version} since this writer "
+                    f"read v{base_v}; recompute against the current "
+                    "snapshot and retry"
+                )
+            else:
+                try:
+                    return self._commit_version_once(
+                        m, new_files_by_bucket, touched_buckets, batch_id,
+                        commit_record, new_user_schema, segments, bloom_eff,
+                        append_files, new_watermark_us, needs_reduce,
+                        input_files, drop_bloom_eff, new_n_buckets,
+                        key_neutral,
+                    )
+                except CommitConflictError as e:
+                    conflict = e
+            if on_conflict != "rebase" or base_v is None:
+                raise conflict
+            attempts += 1
+            if attempts > max_rebase_retries:
+                raise CommitConflictError(
+                    f"gave up after {max_rebase_retries} rebase attempts "
+                    f"(sustained concurrent commit pressure): {conflict}"
+                ) from conflict
+            head = self.manifest()
+            bloom_eff, drop_bloom_eff = self._validate_rebase(
+                base_v, head, touched_buckets, append_files,
+                bool(new_files_by_bucket), bloom_eff, drop_bloom_eff,
+                new_n_buckets, key_neutral,
             )
+            if append_files and new_files_by_bucket and not key_neutral:
+                # the append was planned against the BASE (e.g. "table was
+                # empty → rows are one-per-key already"); on the winner's
+                # snapshot our delta may overlap its keys — readers must
+                # apply the LWW reduction until the next resolve/compaction
+                needs_reduce = True
+            base_v = head.version
+            time.sleep(0.005 * attempts)  # decorrelate the CAS re-race
+
+    def _validate_rebase(
+        self,
+        base_version: int,
+        head: Manifest,
+        touched_buckets: list[int],
+        append_files: bool,
+        adds_files: bool,
+        bloom_eff,
+        drop_bloom_eff: bool,
+        new_n_buckets: int | None,
+        key_neutral: bool,
+    ):
+        """Decide whether this commit's edit can be replayed on ``head``
+        (committed after the edit was computed against ``base_version``),
+        and rebase the seen-set sidecar. Returns the (possibly unioned or
+        dropped) (new_bloom, drop_bloom) pair; raises CommitConflictError
+        when the edit must be RECOMPUTED instead. Only the base and head
+        manifests are compared — file names are uuid-unique, so per-bucket
+        list equality between the two proves no intervening commit touched
+        that bucket, without walking the chain."""
+        try:
+            base = self.manifest(base_version)
+        except (ValueError, FileNotFoundError):
+            raise CommitConflictError(
+                f"cannot rebase: base snapshot v{base_version} is no "
+                "longer retained (expired mid-commit) — recompute"
+            ) from None
+        if new_n_buckets is not None or head.n_buckets != base.n_buckets:
+            raise CommitConflictError(
+                "cannot rebase across a bucket-layout change "
+                f"(base n_buckets={base.n_buckets}, head="
+                f"{head.n_buckets}, commit sets {new_n_buckets}): file→"
+                "bucket assignment is stale — recompute"
+            )
+        if (head.current_schema_id != base.current_schema_id
+                or len(head.schemas) != len(base.schemas)):
+            # our data files were written with era ids allocated against
+            # the BASE manifest's schema registry; an intervening era
+            # would make those ids point at the wrong schema
+            raise CommitConflictError(
+                "cannot rebase across a concurrent schema-era change — "
+                "recompute (file entries carry era ids allocated against "
+                "the base snapshot)"
+            )
+        if not append_files:
+            stale = [
+                b for b in touched_buckets
+                if head.files.get(str(b), []) != base.files.get(str(b), [])
+            ]
+            if stale:
+                raise CommitConflictError(
+                    f"cannot rebase bucket replacement: buckets {stale} "
+                    "were modified by a concurrent commit — this rewrite "
+                    "was computed from stale reads, recompute"
+                )
+        # seen-set rebase: ours covers base-keys ∪ batch-keys; the head may
+        # hold keys we never saw. Union when compatible, else drop (stale
+        # is explicit; the next COW merge rebuilds) — never publish a
+        # bloom that silently misses the intervening writer's keys.
+        if drop_bloom_eff:
+            return bloom_eff, drop_bloom_eff
+        if bloom_eff is not None:
+            from etl_spark.cdc.bloom import BLOOM_ALGO, BloomFilter
+
+            hb = head.bloom
+            if (hb is None or hb.get("m_bits") != bloom_eff.m_bits
+                    or hb.get("k") != bloom_eff.k
+                    or hb.get("algo") != BLOOM_ALGO):
+                return None, True
+            with open(os.path.join(self.path, hb["path"]), "rb") as f:
+                other = BloomFilter.from_bytes(f.read(), hb["m_bits"], hb["k"])
+            return bloom_eff.union(other), False
+        if adds_files and not key_neutral and head.bloom is not None:
+            # we add key-bearing files but carry no bloom of our own:
+            # carrying the head's sidecar would claim coverage it lacks
+            return None, True
+        return bloom_eff, drop_bloom_eff
+
+    def _commit_version_once(
+        self,
+        m: Manifest,
+        new_files_by_bucket: dict[int, list[dict[str, Any]]],
+        touched_buckets: list[int],
+        batch_id: str | None,
+        commit_record: dict[str, Any] | None,
+        new_user_schema: T.StructType | None,
+        segments,
+        new_bloom,
+        append_files: bool,
+        new_watermark_us: int | None,
+        needs_reduce: bool | None,
+        input_files: list[str] | None,
+        drop_bloom: bool,
+        new_n_buckets: int | None,
+        key_neutral: bool,
+    ) -> Manifest:
+        """Build and CAS-publish one snapshot on top of base manifest
+        ``m`` (already conflict-checked by commit_version)."""
         files = dict(m.files)
         for b in touched_buckets:
             add = new_files_by_bucket.get(b, [])
@@ -1374,7 +1534,7 @@ class LakeTable:
             keep, version_tag=f"compact{m.version + 1}", cluster_sort=True
         )
         self.commit_version(
-            files, buckets, None, None, expected_version=m.version
+            files, buckets, None, None, expected_version=m.version, on_conflict="rebase"
         )
         return n
 
@@ -1443,7 +1603,7 @@ class LakeTable:
         # (now file-less) entry so the manifest still covers the bucket
         for b in buckets:
             files.setdefault(b, [])
-        self.commit_version(files, buckets, None, None, expected_version=m.version)
+        self.commit_version(files, buckets, None, None, expected_version=m.version, on_conflict="rebase")
         return n
 
     def update_where(
@@ -1490,7 +1650,7 @@ class LakeTable:
         files = self.write_bucket_files(
             out, version_tag=f"update{m.version + 1}", cluster_sort=True
         )
-        self.commit_version(files, buckets, None, None, expected_version=m.version)
+        self.commit_version(files, buckets, None, None, expected_version=m.version, on_conflict="rebase")
         return n
 
     def compact_small_files(
@@ -1518,7 +1678,7 @@ class LakeTable:
         clear = m.needs_reduce and all_data_buckets.issubset(set(buckets))
         self.commit_version(
             files, buckets, None, None, needs_reduce=False if clear else None,
-            expected_version=m.version, key_neutral=True,
+            expected_version=m.version, on_conflict="rebase", key_neutral=True,
         )
         return len(buckets)
 
@@ -1540,7 +1700,7 @@ class LakeTable:
         if not buckets:
             self.commit_version(
                 {}, [], None, None, needs_reduce=False,
-                expected_version=m.version, key_neutral=True,
+                expected_version=m.version, on_conflict="rebase", key_neutral=True,
             )
             return 0
         rows = self.read_storage(spark, buckets, reduced=True)
@@ -1554,7 +1714,7 @@ class LakeTable:
         )
         self.commit_version(
             files, buckets, None, None, needs_reduce=False,
-            expected_version=m.version, new_bloom=new_bloom, key_neutral=True,
+            expected_version=m.version, on_conflict="rebase", new_bloom=new_bloom, key_neutral=True,
         )
         return len(buckets)
 
@@ -1606,7 +1766,7 @@ class LakeTable:
         )
         self.commit_version(
             files, buckets, None, None, needs_reduce=False,
-            expected_version=m.version, new_bloom=new_bloom, key_neutral=True,
+            expected_version=m.version, on_conflict="rebase", new_bloom=new_bloom, key_neutral=True,
         )
         return len(buckets)
 
@@ -1729,7 +1889,7 @@ class LakeTable:
         )
         self.commit_version(
             files, buckets, None, None, needs_reduce=False,
-            expected_version=m.version, new_bloom=new_bloom, key_neutral=True,
+            expected_version=m.version, on_conflict="rebase", new_bloom=new_bloom, key_neutral=True,
         )
         return len(buckets)
 

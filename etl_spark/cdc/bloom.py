@@ -279,3 +279,62 @@ def any_possibly_seen(
         .collect()
     )
     return len(hits) > 0
+
+
+# --------------------------------------------------------------------------
+# Per-data-file VALUE blooms (non-key column data skipping)
+#
+# Iceberg stores per-file bloom/ndv sketches in puffin sidecars so planners
+# can skip data files on equality predicates over NON-partition columns —
+# the manifest min/max stats only help for clustered columns (conv_id, ts).
+# Same idea here: the write path summarizes each new data file's declared
+# skip columns into a tiny bloom sidecar next to the file; point lookups on
+# those columns prune to the files that might contain the probe value.
+# Files written before the column was declared carry no sidecar and are
+# simply never pruned — absent means "cannot skip", never wrong.
+#
+# Hashing is the driver-side md5 double-hash (_hash_pair) over a CANONICAL
+# string rendering: integral values always hash as their decimal string so
+# an int->long widening never changes a value's hash (same invariant the
+# key seen-set enforces JVM-side via _canonical). Write and probe both go
+# through canonical_value_strs — one rendering, two call sites.
+
+VALUE_BLOOM_ALGO = "md5km-str1"
+VALUE_BLOOM_K = 4
+_VB_MIN_BITS = 1 << 12   # 512 B floor — micro-batch delta files are small
+_VB_MAX_BITS = 1 << 20   # 128 KiB cap — compacted files degrade to a
+                         # higher false-positive rate, never to wrongness
+
+
+def canonical_value_strs(s: pd.Series) -> pd.Series:
+    """NULL-dropped canonical strings of a value column. Integral dtypes
+    (including pandas nullable Int*) render as plain decimal; everything
+    else as str()."""
+    s = s.dropna()
+    if pd.api.types.is_integer_dtype(s.dtype):
+        return s.astype("int64").astype(str)
+    if pd.api.types.is_bool_dtype(s.dtype):
+        return s.astype(bool).map({True: "true", False: "false"})
+    return s.astype(str)
+
+
+def canonical_value_str(v) -> str:
+    """Probe-side rendering of one literal — must match
+    canonical_value_strs element-wise."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    return str(v)
+
+
+def build_value_bloom(s: pd.Series, k: int = VALUE_BLOOM_K) -> BloomFilter:
+    """Bloom over one file's column values, sized ~16 bits per distinct
+    value (k=4 → ~0.2% false-positive rate), power-of-two clamped to
+    [512 B, 128 KiB]."""
+    vals = canonical_value_strs(s)
+    n = max(1, int(vals.nunique()))
+    m_bits = 1 << int(np.ceil(np.log2(max(_VB_MIN_BITS, 16 * n))))
+    bf = BloomFilter(min(m_bits, _VB_MAX_BITS), k)
+    bf.add(vals)
+    return bf

@@ -189,6 +189,12 @@ class Manifest:
     # The Iceberg 'replace'-snapshot marker: changelog readers skip over
     # such commits instead of diffing rewritten buckets row by row.
     key_neutral: bool = False
+    # columns summarized into per-data-file value-bloom sidecars at write
+    # time (Iceberg puffin analog) — equality lookups on these NON-key
+    # columns skip files whose bloom excludes the probe value. Declared via
+    # set_skip_blooms(); files written earlier have no sidecar and are
+    # simply never pruned.
+    skip_blooms: list[str] | None = None
 
     def __post_init__(self):
         if self.segments is None:
@@ -210,6 +216,7 @@ class Manifest:
         d.setdefault("constraints", None)
         d.setdefault("renames", None)
         d.setdefault("key_neutral", False)
+        d.setdefault("skip_blooms", None)
         return Manifest(**d)
 
 
@@ -1061,6 +1068,118 @@ class LakeTable:
         user_cols = [f.name for f in schema_from_json(m.schema_json).fields]
         return df.select(*user_cols)
 
+    # --------------------------------------- value-bloom file skipping
+    def set_skip_blooms(self, cols: list[str]) -> Manifest:
+        """Declare NON-key columns to summarize into per-data-file bloom
+        sidecars from now on (Iceberg: adding a bloom/ndv metric to the
+        write spec). Applies to files written AFTER this commit; existing
+        files carry no sidecar and equality lookups simply never prune
+        them (rewrite via compact/cluster to backfill). Key/ts columns are
+        refused — manifest min/max stats already skip on those."""
+        m = self.manifest()
+        user = {f.name for f in schema_from_json(m.schema_json).fields}
+        bad = [c for c in cols if c not in user]
+        if bad:
+            raise ValueError(f"skip-bloom columns not in schema: {bad}")
+        covered = [c for c in cols if c in (*KEY_COLS, "ts")]
+        if covered:
+            raise ValueError(
+                f"{covered} are stats-pruned already (key/ts min-max); "
+                "value blooms are for unclustered columns"
+            )
+        from dataclasses import replace as _dc_replace
+
+        nm = _dc_replace(
+            m, version=m.version + 1, parent=m.version,
+            created_unix=time.time(), skip_blooms=sorted(set(cols)),
+            key_neutral=True,
+        )
+        self._write_manifest(nm)
+        return nm
+
+    def _vb_probe(
+        self, fe: dict[str, Any], col: str, probe: str,
+        renames: dict[str, str] | None,
+    ) -> bool:
+        """May file ``fe`` contain a row whose ``col`` equals the probe's
+        canonical rendering? True when unprovable (no sidecar, older algo,
+        historic-era column absent) — absent means cannot skip."""
+        from etl_spark.cdc.bloom import VALUE_BLOOM_ALGO, BloomFilter
+
+        vb = fe.get("vb")
+        if not vb or vb.get("algo") != VALUE_BLOOM_ALGO:
+            return True
+        # a file written before a rename stores the HISTORIC column name;
+        # resolve the current name through the manifest rename map
+        meta = vb["cols"].get(col)
+        if meta is None:
+            for old, new in (renames or {}).items():
+                if new == col and old in vb["cols"]:
+                    meta = vb["cols"][old]
+                    break
+        if meta is None:
+            return True
+        with open(os.path.join(self.path, vb["path"]), "rb") as f:
+            f.seek(meta["off"])
+            raw = f.read(meta["m_bits"] // 8)
+        bf = BloomFilter.from_bytes(raw, meta["m_bits"], meta["k"])
+        import pandas as pd
+
+        return bool(bf.might_contain(pd.Series([probe]))[0])
+
+    def plan_value_lookup(
+        self, col: str, value, version: int | None = None,
+        m: Manifest | None = None,
+    ) -> dict[str, Any]:
+        """File-skipping plan for an equality lookup on a value-bloom
+        column: drop every data file whose sidecar proves the value absent
+        (~0.2% false-positive rate keeps a few extra files, never loses
+        one). Returns {files, buckets, files_total, files_pruned} so
+        callers and tests can assert the scan set."""
+        from etl_spark.cdc.bloom import canonical_value_str
+
+        if m is None:
+            m = self.manifest(version)
+        probe = canonical_value_str(value)
+        sel: list[dict[str, Any]] = []
+        buckets: set[int] = set()
+        total = 0
+        for b, fl in m.files.items():
+            for fe in fl:
+                total += 1
+                if self._vb_probe(fe, col, probe, m.renames):
+                    sel.append(fe)
+                    buckets.add(int(b))
+        return {
+            "files": sel,
+            "buckets": sorted(buckets),
+            "files_total": total,
+            "files_pruned": total - len(sel),
+        }
+
+    def read_where_equal(
+        self, spark: SparkSession, col: str, value, version: int | None = None
+    ) -> DataFrame:
+        """Live rows with ``col = value``, scanning only bloom-selected
+        files. Same MOR guard as read_between: while deltas are unresolved
+        the LWW winner of a key may sit in a file the bloom excludes (the
+        key's OLD row holds the value, its newest does not) — so pruning
+        falls back to BUCKET granularity (a bucket with no candidate file
+        cannot produce a result row: all of a key's versions share its
+        bucket). Delta-free tables prune per FILE, the exact scan set."""
+        m = self.manifest(version)
+        plan = self.plan_value_lookup(col, value, m=m)
+        if m.needs_reduce:
+            df = self._aligned_scan(spark, m, plan["buckets"])
+            df = self._reduce_lww(df)
+        else:
+            df = self._aligned_scan(spark, m, None, entries=plan["files"])
+        df = df.filter(~F.coalesce(F.col("deleted"), F.lit(False))).filter(
+            F.col(col) == F.lit(value)
+        )
+        user_cols = [f.name for f in schema_from_json(m.schema_json).fields]
+        return df.select(*user_cols)
+
     # ------------------------------------------------------------ commit API
     def load_bloom(self):
         """The persisted key seen-set. None for pre-bloom tables or sidecars
@@ -1358,6 +1477,7 @@ class LakeTable:
             constraints=m.constraints,
             renames=m.renames,
             key_neutral=key_neutral,
+            skip_blooms=m.skip_blooms,
         )
         self._write_manifest(nm)
         return nm
@@ -2282,7 +2402,12 @@ class LakeTable:
         keep_v.update(self.list_tags().values())  # tags pin their snapshot
 
         def refs(m: Manifest) -> set[str]:
-            out = {fe["path"] for fl in m.files.values() for fe in fl}
+            out = set()
+            for fl in m.files.values():
+                for fe in fl:
+                    out.add(fe["path"])
+                    if fe.get("vb"):
+                        out.add(fe["vb"]["path"])
             if m.bloom:
                 out.add(m.bloom["path"])
             return out
@@ -2399,13 +2524,55 @@ class LakeTable:
                 if fn.endswith(".parquet"):
                     rel = os.path.join(vdir_rel, d, fn)
                     st = self._file_stats(rel)
-                    entries.append(
-                        {
-                            "path": rel,
-                            "schema_id": sid,
-                            "rows": st.pop("rows"),
-                            "stats": st,
-                        }
-                    )
+                    entry = {
+                        "path": rel,
+                        "schema_id": sid,
+                        "rows": st.pop("rows"),
+                        "stats": st,
+                    }
+                    vb = self._write_value_bloom_sidecar(rel, m.skip_blooms)
+                    if vb:
+                        entry["vb"] = vb
+                    entries.append(entry)
             out[b] = entries
         return out
+
+    def _write_value_bloom_sidecar(
+        self, rel_path: str, cols: list[str] | None
+    ) -> dict[str, Any] | None:
+        """Summarize one new data file's declared skip columns into a
+        bloom sidecar (<file>.vb.bin — all columns in one blob, offsets in
+        the manifest entry). Runs where _file_stats runs: once per NEW
+        file per commit, cost O(this batch's data), never O(table). On a
+        real cluster this folds into the writer task; the format is the
+        same either way. Sidecar bytes are invisible until the manifest
+        commit references them — identical lifecycle to data files."""
+        if not cols:
+            return None
+        import pyarrow.parquet as pq
+
+        from etl_spark.cdc.bloom import (
+            VALUE_BLOOM_ALGO, build_value_bloom,
+        )
+
+        abs_path = os.path.join(self.path, rel_path)
+        have = pq.read_schema(abs_path).names
+        present = [c for c in cols if c in have]
+        if not present:
+            return None  # old-era write lacking the column: never pruned
+        tbl = pq.read_table(abs_path, columns=present)
+        blobs: list[bytes] = []
+        meta: dict[str, Any] = {}
+        off = 0
+        for c in present:
+            bf = build_value_bloom(tbl.column(c).to_pandas())
+            raw = bf.to_bytes()
+            meta[c] = {"off": off, "m_bits": bf.m_bits, "k": bf.k}
+            blobs.append(raw)
+            off += len(raw)
+        vb_rel = rel_path + ".vb.bin"
+        tmp = os.path.join(self.path, vb_rel) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(b"".join(blobs))
+        os.replace(tmp, os.path.join(self.path, vb_rel))
+        return {"path": vb_rel, "algo": VALUE_BLOOM_ALGO, "cols": meta}

@@ -634,7 +634,7 @@ def cdc_rebucket_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _replayed_table(
     spark: SparkSession, sf_dir: str, prefix: str, n_buckets: int = 16,
-    mode: str = "cow",
+    mode: str = "cow", skip_blooms: list[str] | None = None,
 ):
     """Shared scaffold for replay-backed queries: derive the feed, split it
     into 4 binlog segments, replay through the full engine, return the
@@ -665,6 +665,8 @@ def _replayed_table(
     table = LakeTable.create(
         os.path.join(work, "lake"), user_schema, n_buckets=n_buckets
     )
+    if skip_blooms:
+        table.set_skip_blooms(skip_blooms)
     replay_feed(spark, table, feed_dir, mode=mode)
     return table
 
@@ -693,6 +695,35 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in POINT_LOOKUP_CONVS[1:]:
         out = out.unionByName(table.point_read(spark, c))
     return out.select(*FINAL_COLS)
+
+
+# --- value-bloom file skipping: equality lookup on a NON-key column -----------
+# The secondary-lookup serving pattern the manifest min/max stats cannot
+# help with: "find the turns whose text equals this exact string". Every
+# data file written after set_skip_blooms carries a per-column bloom
+# sidecar (Iceberg puffin analog, lake/table.py); the lookup scans only
+# files whose bloom admits the probe. The probe is data-derived (the
+# lexicographic max text of the final state) so the query is deterministic
+# at any scale factor without a hardcoded literal; equality with the
+# filtered global LWW oracle proves the pruned scan set loses no row.
+
+VALUE_LOOKUP_SQL = f"""
+    WITH state AS ({LWW_STATE_SQL})
+    SELECT * FROM state
+    WHERE text = (SELECT max(text) FROM state)
+"""
+
+
+def cdc_value_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay with text value-blooms declared, then an exact-match lookup
+    on the non-key text column via the bloom-pruned read path. MOR mode —
+    the read must hold LWW correctness at bucket granularity while deltas
+    are unresolved (see LakeTable.read_where_equal)."""
+    table = _replayed_table(
+        spark, sf_dir, "etl_spark_vlookup_", mode="mor", skip_blooms=["text"]
+    )
+    probe = table.read(spark).agg(F.max("text")).first()[0]
+    return table.read_where_equal(spark, "text", probe).select(*FINAL_COLS)
 
 
 # --- incremental materialized-view maintenance --------------------------------

@@ -41,6 +41,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_evolution_replay": (cdcq.cdc_evolution_replay, cdcq.EVOLUTION_SQL),
     "cdc_rebucket_replay": (cdcq.cdc_rebucket_replay, cdcq.LWW_STATE_SQL),
     "cdc_point_lookup": (cdcq.cdc_point_lookup, cdcq.POINT_LOOKUP_SQL),
+    "cdc_value_lookup": (cdcq.cdc_value_lookup, cdcq.VALUE_LOOKUP_SQL),
     "cdc_mv_conv_stats": (cdcq.cdc_mv_conv_stats, cdcq.CONV_STATS_SQL),
     "conv_transcript_nested": (cdcq.conv_transcript_nested, cdcq.CONV_TRANSCRIPT_SQL),
     "cdc_time_window": (cdcq.cdc_time_window, cdcq.TIME_WINDOW_SQL),

@@ -86,6 +86,31 @@ class CommitConflictError(RuntimeError):
     and retry its commit against the new current version."""
 
 
+def _retry_on_conflict(fn):
+    """Maintenance-op wrapper: a read-modify-write rewrite whose commit
+    could not be REBASED (the concurrent writer touched the same buckets)
+    is simply recomputed — every wrapped method re-reads the current
+    manifest on entry, so re-invoking IS the recompute. Bounded: sustained
+    conflict pressure (a stream outrunning maintenance for
+    ``conflict_retries+1`` consecutive rewrites) surfaces the conflict to
+    the operator instead of spinning. Attempt-local files written by a
+    losing attempt stay invisible orphans (expire_snapshots collects
+    them). Callers override via ``conflict_retries=`` kwarg."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(self, *a, **k):
+        retries = k.pop("conflict_retries", 2)
+        for i in range(retries + 1):
+            try:
+                return fn(self, *a, **k)
+            except CommitConflictError:
+                if i == retries:
+                    raise
+                time.sleep(0.01 * (i + 1))
+    return wrap
+
+
 def _iso_to_utc(s: str) -> tuple[int, str]:
     """ISO-8601 timestamp (offset-aware, or naive = UTC per the engine's
     pinned-UTC session) → (µs since epoch, canonical naive-UTC string for
@@ -1282,10 +1307,10 @@ class LakeTable:
                     f"(sustained concurrent commit pressure): {conflict}"
                 ) from conflict
             head = self.manifest()
-            bloom_eff, drop_bloom_eff = self._validate_rebase(
+            bloom_eff, drop_bloom_eff, needs_reduce = self._validate_rebase(
                 base_v, head, touched_buckets, append_files,
                 bool(new_files_by_bucket), bloom_eff, drop_bloom_eff,
-                new_n_buckets, key_neutral,
+                new_n_buckets, key_neutral, needs_reduce,
             )
             if append_files and new_files_by_bucket and not key_neutral:
                 # the append was planned against the BASE (e.g. "table was
@@ -1307,15 +1332,17 @@ class LakeTable:
         drop_bloom_eff: bool,
         new_n_buckets: int | None,
         key_neutral: bool,
+        needs_reduce: bool | None,
     ):
         """Decide whether this commit's edit can be replayed on ``head``
         (committed after the edit was computed against ``base_version``),
-        and rebase the seen-set sidecar. Returns the (possibly unioned or
-        dropped) (new_bloom, drop_bloom) pair; raises CommitConflictError
-        when the edit must be RECOMPUTED instead. Only the base and head
-        manifests are compared — file names are uuid-unique, so per-bucket
-        list equality between the two proves no intervening commit touched
-        that bucket, without walking the chain."""
+        and rebase the seen-set sidecar plus the reduction marker. Returns
+        the (possibly unioned or dropped) (new_bloom, drop_bloom,
+        needs_reduce) triple; raises CommitConflictError when the edit
+        must be RECOMPUTED instead. Only the base and head manifests are
+        compared — file names are uuid-unique, so per-bucket list equality
+        between the two proves no intervening commit touched that bucket,
+        without walking the chain."""
         try:
             base = self.manifest(base_version)
         except (ValueError, FileNotFoundError):
@@ -1351,12 +1378,27 @@ class LakeTable:
                     "were modified by a concurrent commit — this rewrite "
                     "was computed from stale reads, recompute"
                 )
+        if needs_reduce is False:
+            # this commit CLEARS the merge-on-read marker — a claim proved
+            # against the BASE ("I rewrote every delta-holding bucket
+            # reduced"). If ANY bucket outside our rewrite changed since
+            # (e.g. a stream appended deltas into a bucket that was empty
+            # at base — disjoint, so the rebase itself is fine), the claim
+            # no longer covers the table: demote to None (carry the head's
+            # marker, which the intervening MOR commit set True).
+            ours = {str(b) for b in touched_buckets}
+            for b in set(head.files) | set(base.files):
+                if b not in ours and (
+                    head.files.get(b, []) != base.files.get(b, [])
+                ):
+                    needs_reduce = None
+                    break
         # seen-set rebase: ours covers base-keys ∪ batch-keys; the head may
         # hold keys we never saw. Union when compatible, else drop (stale
         # is explicit; the next COW merge rebuilds) — never publish a
         # bloom that silently misses the intervening writer's keys.
         if drop_bloom_eff:
-            return bloom_eff, drop_bloom_eff
+            return bloom_eff, drop_bloom_eff, needs_reduce
         if bloom_eff is not None:
             from etl_spark.cdc.bloom import BLOOM_ALGO, BloomFilter
 
@@ -1364,15 +1406,15 @@ class LakeTable:
             if (hb is None or hb.get("m_bits") != bloom_eff.m_bits
                     or hb.get("k") != bloom_eff.k
                     or hb.get("algo") != BLOOM_ALGO):
-                return None, True
+                return None, True, needs_reduce
             with open(os.path.join(self.path, hb["path"]), "rb") as f:
                 other = BloomFilter.from_bytes(f.read(), hb["m_bits"], hb["k"])
-            return bloom_eff.union(other), False
+            return bloom_eff.union(other), False, needs_reduce
         if adds_files and not key_neutral and head.bloom is not None:
             # we add key-bearing files but carry no bloom of our own:
             # carrying the head's sidecar would claim coverage it lacks
-            return None, True
-        return bloom_eff, drop_bloom_eff
+            return None, True, needs_reduce
+        return bloom_eff, drop_bloom_eff, needs_reduce
 
     def _commit_version_once(
         self,
@@ -1615,6 +1657,7 @@ class LakeTable:
         )
         return spark.createDataFrame(rows, schema=schema)
 
+    @_retry_on_conflict
     def expire_tombstones(self, spark: SparkSession, older_than_ts: str) -> int:
         """Compaction: physically drop tombstones with ts < older_than_ts
         (safe once no change older than that can still arrive — the batch
@@ -1665,6 +1708,7 @@ class LakeTable:
             if f.name not in KEY_COLS and f.name != "ts"
         ]
 
+    @_retry_on_conflict
     def delete_where(
         self, spark: SparkSession, predicate: str, purge: bool = False
     ) -> int:
@@ -1726,6 +1770,7 @@ class LakeTable:
         self.commit_version(files, buckets, None, None, expected_version=m.version, on_conflict="rebase")
         return n
 
+    @_retry_on_conflict
     def update_where(
         self, spark: SparkSession, predicate: str, assignments: dict[str, str]
     ) -> int:
@@ -1773,6 +1818,7 @@ class LakeTable:
         self.commit_version(files, buckets, None, None, expected_version=m.version, on_conflict="rebase")
         return n
 
+    @_retry_on_conflict
     def compact_small_files(
         self, spark: SparkSession, max_files_per_bucket: int = 4
     ) -> int:
@@ -1802,6 +1848,7 @@ class LakeTable:
         )
         return len(buckets)
 
+    @_retry_on_conflict
     def resolve_deltas(self, spark: SparkSession) -> int:
         """Rewrite EVERY data-holding bucket with the LWW reduction applied,
         clearing the merge-on-read marker — the Iceberg "major compaction"
@@ -1838,6 +1885,7 @@ class LakeTable:
         )
         return len(buckets)
 
+    @_retry_on_conflict
     def cluster_time_slices(self, spark: SparkSession, slices: int = 8) -> int:
         """Time-sliced maintenance rewrite: re-layout every data bucket
         into ~``slices`` files of CONTIGUOUS event-time range — the
@@ -1890,6 +1938,7 @@ class LakeTable:
         )
         return len(buckets)
 
+    @_retry_on_conflict
     def cluster_zorder(
         self,
         spark: SparkSession,
@@ -2013,6 +2062,7 @@ class LakeTable:
         )
         return len(buckets)
 
+    @_retry_on_conflict
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
         """Bucket-count evolution (Iceberg partition-spec-evolution analog):
         rewrite the whole table into a ``bucket(new_n_buckets, conv_id)``

@@ -2410,13 +2410,22 @@ class LakeTable:
         self._write_manifest(nm)
         return nm
 
-    def expire_snapshots(self, keep_last: int = 2) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 2, orphan_grace_sec: float = 3600.0
+    ) -> int:
         """Drop all but the newest ``keep_last`` manifest versions and
         physically delete data/bloom files referenced ONLY by expired
         versions. Returns the number of data files deleted. Iceberg analog:
         expire_snapshots. Time travel remains valid for retained versions;
         tagged snapshots and snapshots staged on live branches are never
-        expired."""
+        expired.
+
+        ``orphan_grace_sec``: never-referenced version dirs (crashed
+        commits, failfast aborts, OCC-losing recompute attempts) are swept
+        only once older than this — an IN-FLIGHT concurrent writer's
+        files-written-but-not-yet-committed dir looks identical to an
+        orphan (Iceberg remove_orphan_files has the same age guard). Pass
+        0 in single-writer maintenance windows to collect everything."""
         self._require_published_view("expire_snapshots")
         cur = self.manifest().version
         # snapshots staged on LIVE branches sit above the published version
@@ -2494,9 +2503,16 @@ class LakeTable:
 
         live_dirs = {rel.split("/")[1] for rel in live if rel.startswith("data/")}
         data_dir = os.path.join(self.path, "data")
+        now = time.time()
         for d in list(os.listdir(data_dir)) if os.path.isdir(data_dir) else []:
             full = os.path.join(data_dir, d)
             if d not in live_dirs and os.path.isdir(full):
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age < orphan_grace_sec:
+                    continue  # possibly an in-flight writer's staging dir
                 n_deleted += sum(len(fs) for _, _, fs in os.walk(full))
                 shutil.rmtree(full, ignore_errors=True)
         # bloom sidecars of crashed/OCC-losing writers: referenced by no

@@ -258,6 +258,10 @@ class LakeTable:
     def __init__(self, path: str, ref: str = CURRENT_PTR):
         self.path = path
         self._ref = ref
+        # value-bloom sidecar byte cache: sidecars are immutable once
+        # committed (uuid-unique names), so repeated lookups on one handle
+        # reuse the bytes instead of re-opening every candidate file
+        self._vb_cache: dict[str, bytes] = {}
 
     # ---------------------------------------------------------------- setup
     @classmethod
@@ -1144,9 +1148,14 @@ class LakeTable:
                     break
         if meta is None:
             return True
-        with open(os.path.join(self.path, vb["path"]), "rb") as f:
-            f.seek(meta["off"])
-            raw = f.read(meta["m_bits"] // 8)
+        blob = self._vb_cache.get(vb["path"])
+        if blob is None:
+            with open(os.path.join(self.path, vb["path"]), "rb") as f:
+                blob = f.read()
+            if len(self._vb_cache) > 4096:  # bound driver memory
+                self._vb_cache.clear()
+            self._vb_cache[vb["path"]] = blob
+        raw = blob[meta["off"]: meta["off"] + meta["m_bits"] // 8]
         bf = BloomFilter.from_bytes(raw, meta["m_bits"], meta["k"])
         import pandas as pd
 

@@ -162,6 +162,59 @@ def main() -> None:
         plain_walls = list(phases.get("apply", []))
         phases.clear()
 
+        # ---- run C: same drain with a CONCURRENT maintenance thread —
+        # the optimistic-concurrency deployment shape (streaming driver +
+        # independent table service racing one lake path). The stream's
+        # append commits rebase over maintenance rewrites; maintenance
+        # recomputes when the stream invalidates its reads. Cost of the
+        # race and convergence to the single-writer state are both
+        # reported (state checksum vs run A).
+        import threading
+
+        from etl_spark.lake.table import CommitConflictError
+
+        tc = LakeTable.create(os.path.join(work, "lake_c"), TRANSCRIPT_SCHEMA,
+                              n_buckets=64)
+        stop_ev = threading.Event()
+        maint = {"commits": 0, "conflicts": 0}
+
+        def maintenance():
+            h = LakeTable(tc.path)
+            while not stop_ev.is_set():
+                try:
+                    if h.resolve_deltas(spark):
+                        maint["commits"] += 1
+                except CommitConflictError:
+                    maint["conflicts"] += 1
+                except Exception:
+                    pass  # table mid-create / transient — next round
+                stop_ev.wait(0.5)
+
+        th = threading.Thread(target=maintenance, daemon=True)
+        th.start()
+        t0 = time.time()
+        run_stream(spark, tc, feed, os.path.join(work, "ckpt_c"),
+                   available_now=True, mode="mor",
+                   max_files_per_trigger=files_per_seg)
+        occ_sec = time.time() - t0
+        stop_ev.set()
+        th.join(timeout=300)
+        occ_eps = args.events / occ_sec
+        occ_walls = list(phases.get("apply", []))
+        phases.clear()
+
+        def state_sum(t):
+            df = t.read(spark)
+            h = F.xxhash64(*[F.col(c) for c in df.columns])
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            r = df.select(h.alias("h")).agg(
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            return (str(r["s"]), r["n"])
+
+        state_equal = state_sum(ta) == state_sum(tc)
+
         # ---- run B: everything on
         tb = LakeTable.create(os.path.join(work, "lake_b"), TRANSCRIPT_SCHEMA,
                               n_buckets=64)
@@ -208,6 +261,12 @@ def main() -> None:
             ),
             "plain_apply_walls": plain_walls,
             "composed_phase_walls": {k: v for k, v in phases.items()},
+            "occ_events_per_sec": round(occ_eps),
+            "occ_over_plain": round(occ_eps / plain_eps, 3),
+            "occ_apply_walls": occ_walls,
+            "occ_maintenance_commits": maint["commits"],
+            "occ_maintenance_conflicts": maint["conflicts"],
+            "occ_state_equals_plain": state_equal,
         }
         print(json.dumps(out))
     finally:

@@ -219,6 +219,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--limit", type=int, default=20)
 
     p = sub.add_parser(
+        "where-equal",
+        help="bloom-pruned equality lookup on a non-key column "
+             "(declare columns first with skip-blooms)",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--col", required=True)
+    p.add_argument("--value", required=True)
+    p.add_argument("--limit", type=int, default=20)
+
+    p = sub.add_parser(
+        "skip-blooms",
+        help="declare columns to summarize into per-file bloom sidecars "
+             "for where-equal pruning (applies to files written after)",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("cols", nargs="+")
+
+    p = sub.add_parser(
         "wap-replay",
         help="write-audit-publish replay: stage on a branch, audit, publish",
     )
@@ -492,6 +510,21 @@ def main(argv: list[str] | None = None) -> int:
         table.read_between(spark, args.ts_from, args.ts_to).orderBy(
             "ts", "conv_id", "turn_idx"
         ).show(args.limit, truncate=60)
+    elif args.cmd == "where-equal":
+        plan = table.plan_value_lookup(args.col, args.value)
+        df = table.read_where_equal(spark, args.col, args.value)
+        rows = df.orderBy("conv_id", "turn_idx").limit(args.limit).collect()
+        print(json.dumps({
+            "col": args.col,
+            "value": args.value,
+            "files_scanned": len(plan["files"]),
+            "files_pruned": plan["files_pruned"],
+            "files_total": plan["files_total"],
+            "rows": [r.asDict(recursive=True) for r in rows],
+        }, default=str))
+    elif args.cmd == "skip-blooms":
+        m = table.set_skip_blooms(args.cols)
+        print(json.dumps({"skip_blooms": m.skip_blooms, "version": m.version}))
     elif args.cmd == "wap-replay":
         from etl_spark.cdc.apply import AuditFailedError, wap_replay
 

@@ -1858,41 +1858,67 @@ class LakeTable:
         return len(buckets)
 
     @_retry_on_conflict
-    def resolve_deltas(self, spark: SparkSession) -> int:
-        """Rewrite EVERY data-holding bucket with the LWW reduction applied,
-        clearing the merge-on-read marker — the Iceberg "major compaction"
-        that converts a delta-heavy table back to one-row-per-key layout.
-        Returns the number of buckets rewritten.
+    def resolve_deltas(
+        self, spark: SparkSession, max_buckets: int | None = None
+    ) -> int:
+        """Rewrite delta-holding buckets with the LWW reduction applied —
+        the Iceberg "major compaction" that converts a delta-heavy table
+        back to one-row-per-key layout. Returns the number of buckets
+        rewritten. Single-file buckets are skipped: every committed file
+        is one-row-per-key BY CONSTRUCTION (merge outputs are in-batch
+        LWW-deduped, maintenance outputs are reduced rewrites), so only
+        multi-file buckets can hold cross-file key overlap. The
+        merge-on-read marker clears when no multi-file bucket remains.
 
-        Since this op scans every key anyway, it also rebuilds the Bloom
-        seen-set when the table has lost it (MOR commits drop the sidecar)
-        — restoring the pure-insert fast path for later batches without a
-        dedicated rebuild scan (the one-time rebuild in merge_into covers
-        copy-on-write pipelines; this covers pure-MOR ones)."""
+        ``max_buckets``: bound one call to the N most delta-pressured
+        buckets — INCREMENTAL maintenance. A full-table rewrite can never
+        win the commit race against a hot stream (every trigger touches
+        most buckets and invalidates it); a bounded slice finishes inside
+        the trigger interval, lands via the disjoint-bucket rebase or a
+        cheap recompute, and converges over successive calls while
+        keeping per-bucket read amplification bounded. The marker stays
+        set until a call completes the remainder.
+
+        A resolve that COMPLETES the table (no pressured bucket left out)
+        also rebuilds the Bloom seen-set when the table has lost it (MOR
+        commits drop the sidecar) — restoring the pure-insert fast path
+        for later batches; incomplete slices never claim full key
+        coverage, so they leave the sidecar alone."""
         m = self.manifest()
         if not m.needs_reduce:
             return 0
-        buckets = [int(b) for b, fl in m.files.items() if fl]
-        if not buckets:
+        pressured = sorted(
+            ((int(b), len(fl)) for b, fl in m.files.items() if len(fl) > 1),
+            key=lambda t: -t[1],
+        )
+        chosen = [b for b, _ in pressured]
+        if max_buckets is not None:
+            chosen = chosen[:max_buckets]
+        complete = len(chosen) == len(pressured)
+        if not chosen:
             self.commit_version(
                 {}, [], None, None, needs_reduce=False,
                 expected_version=m.version, on_conflict="rebase", key_neutral=True,
             )
             return 0
-        rows = self.read_storage(spark, buckets, reduced=True)
+        rows = self.read_storage(spark, chosen, reduced=True)
         new_bloom = None
-        if self.load_bloom() is None:
+        if complete and self.load_bloom() is None:
             from etl_spark.cdc.bloom import build_bloom
 
-            new_bloom = build_bloom(rows, list(KEY_COLS))
+            new_bloom = build_bloom(
+                self.read_storage(spark, None, reduced=True), list(KEY_COLS)
+            )
         files = self.write_bucket_files(
             rows, version_tag=f"resolve{m.version + 1}", cluster_sort=True
         )
         self.commit_version(
-            files, buckets, None, None, needs_reduce=False,
-            expected_version=m.version, on_conflict="rebase", new_bloom=new_bloom, key_neutral=True,
+            files, chosen, None, None,
+            needs_reduce=False if complete else None,
+            expected_version=m.version, on_conflict="rebase",
+            new_bloom=new_bloom, key_neutral=True,
         )
-        return len(buckets)
+        return len(chosen)
 
     @_retry_on_conflict
     def cluster_time_slices(self, spark: SparkSession, slices: int = 8) -> int:

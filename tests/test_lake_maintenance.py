@@ -186,3 +186,34 @@ def test_stream_default_bounds_files_without_operator(spark, tmpdir_path):
     assert worst <= DEFAULT_COMPACT_FILES
     # and the stream really was micro-batched enough to have piled files
     assert len(t.commit_log()) >= 20
+
+
+def test_incremental_resolve_bounded_slices(spark, tmpdir_path):
+    """resolve_deltas(max_buckets=N) rewrites only the N most pressured
+    buckets per call; the merge-on-read marker clears exactly when a call
+    completes the remainder, and reads are LWW-correct throughout."""
+    t = _table(tmpdir_path, n_buckets=4)
+    for b in range(3):  # overlapping keys across batches -> deltas everywhere
+        apply_batch(spark, t, _mk(spark, [
+            ("U" if b else "I", _ts(f"2024-01-01T00:0{b}:00"), b * 10 + i,
+             f"c{i}", 0, "user", f"v{b}-{i}", None, "f")
+            for i in range(12)
+        ]), f"b{b}", mode="mor")
+    m = t.manifest()
+    assert m.needs_reduce
+    pressured = sum(1 for fl in m.files.values() if len(fl) > 1)
+    assert pressured >= 2
+    before = {(r["conv_id"], r["text"]) for r in t.read(spark).collect()}
+    n1 = t.resolve_deltas(spark, max_buckets=1)
+    assert n1 == 1 and t.manifest().needs_reduce  # incomplete -> marker stays
+    assert {(r["conv_id"], r["text"]) for r in t.read(spark).collect()} == before
+    total = n1
+    for _ in range(8):
+        if not t.manifest().needs_reduce:
+            break
+        total += t.resolve_deltas(spark, max_buckets=1)
+    assert not t.manifest().needs_reduce
+    assert total == pressured
+    assert {(r["conv_id"], r["text"]) for r in t.read(spark).collect()} == before
+    # converged layout: every bucket one file's worth of reduced rows
+    assert all(len(fl) <= 1 for fl in t.manifest().files.values())

@@ -179,16 +179,19 @@ def main() -> None:
         maint = {"commits": 0, "conflicts": 0}
 
         def maintenance():
+            # INCREMENTAL slices (max_buckets): a full-table resolve can
+            # never win the commit race against a hot stream — a bounded
+            # slice finishes inside the trigger interval and lands
             h = LakeTable(tc.path)
             while not stop_ev.is_set():
                 try:
-                    if h.resolve_deltas(spark):
+                    if h.resolve_deltas(spark, max_buckets=8):
                         maint["commits"] += 1
                 except CommitConflictError:
                     maint["conflicts"] += 1
                 except Exception:
                     pass  # table mid-create / transient — next round
-                stop_ev.wait(0.5)
+                stop_ev.wait(2.0)
 
         th = threading.Thread(target=maintenance, daemon=True)
         th.start()

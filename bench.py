@@ -150,9 +150,10 @@ BENCH_QUERIES = [
 #     layout; correctness row for bucket-count evolution.
 #   cdc_changelog — replay + snapshot diff; its wall is dominated by the
 #     same replay the throughput metric already times.
-#   cdc_point_lookup / cdc_mv_conv_stats / cdc_time_window — replay-backed
-#     too; the non-replay components (stats-pruned point read /
-#     changelog-scoped MV refresh) are timed as "serving" below.
+#   cdc_point_lookup / cdc_mv_conv_stats / cdc_time_window /
+#   cdc_value_lookup — replay-backed too; the non-replay components
+#     (stats-pruned point read / changelog-scoped MV refresh /
+#     bloom-pruned value lookup) are timed as "serving" below.
 #   doc_neardup_gate / emb_neardup_gate — 3 sequential index-admission
 #     rounds (each an eager segment write + its own job chain); the same
 #     band-join work is timed via doc_incremental_neardup and
@@ -342,6 +343,20 @@ def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
         rs = sync_replica(spark, serv_table, rt)
         serv["replica_sync_sec"] = round(time.time() - t0, 3)
         serv["replica_sync_rows"] = rs.applied()
+        # bloom-pruned value lookup on a NON-key column: declare the skip
+        # column, let the (untimed, maintenance-path) delta resolve
+        # backfill per-file sidecars, then time plan+scan for one exact
+        # text probe — the secondary-lookup serving pattern
+        serv_table.set_skip_blooms(["text"])
+        serv_table.resolve_deltas(spark)
+        probe = serv_table.read(spark).select("text").first()[0]
+        t0 = time.time()
+        vplan = serv_table.plan_value_lookup("text", probe)
+        vl_rows = serv_table.read_where_equal(spark, "text", probe).count()
+        serv["value_lookup_sec"] = round(time.time() - t0, 3)
+        serv["value_lookup_rows"] = vl_rows
+        serv["value_files_scanned"] = len(vplan["files"])
+        serv["value_files_total"] = vplan["files_total"]
         out["serving"] = serv
         assert finals["mor"] == finals["cow"] == out["stream"]["final_rows"], (
             finals, out["stream"],

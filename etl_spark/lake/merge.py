@@ -206,6 +206,7 @@ def _fused_scan_gate(
     bloom = table.load_bloom()
     bloom_known = bloom is not None
     bloom_rebuilt = False
+    light = False
     if bloom is None:
         if table.has_files():
             if rebuild_missing:
@@ -218,13 +219,26 @@ def _fused_scan_gate(
                 )
                 bloom_known = bloom_rebuilt = True
             else:
+                # membership is UNKNOWABLE this batch and the caller's
+                # commit drops the sidecar anyway (merge-on-read) — the
+                # fused bloom scan would be pure waste. Light pass: the
+                # touched-bucket set via a JVM-only distinct (≤ n_buckets
+                # rows through a partial-agged exchange), which is also
+                # the action that fills the validation counters.
                 bloom = BloomFilter()
+                light = True
         else:
             bloom = BloomFilter()
             bloom_known = True  # empty table: the empty set IS the seen-set
-    any_seen, batch_bloom, touched = scan_batch_buckets(
-        batch, bloom, KEY_COLS, bucket_col="__bucket"
-    )
+    if light:
+        any_seen, batch_bloom = True, None
+        touched = sorted(
+            r["__bucket"] for r in batch.select("__bucket").distinct().collect()
+        )
+    else:
+        any_seen, batch_bloom, touched = scan_batch_buckets(
+            batch, bloom, KEY_COLS, bucket_col="__bucket"
+        )
     stats.touched_buckets = touched
     stats.phase_sec["scan"] = round(time.time() - t0, 3)
 

@@ -1127,10 +1127,10 @@ class LakeTable:
         return nm
 
     def _vb_probe(
-        self, fe: dict[str, Any], col: str, probe: str,
+        self, fe: dict[str, Any], col: str, probes: list[str],
         renames: dict[str, str] | None,
     ) -> bool:
-        """May file ``fe`` contain a row whose ``col`` equals the probe's
+        """May file ``fe`` contain a row whose ``col`` equals ANY probe's
         canonical rendering? True when unprovable (no sidecar, older algo,
         historic-era column absent) — absent means cannot skip."""
         from etl_spark.cdc.bloom import VALUE_BLOOM_ALGO, BloomFilter
@@ -1159,29 +1159,31 @@ class LakeTable:
         bf = BloomFilter.from_bytes(raw, meta["m_bits"], meta["k"])
         import pandas as pd
 
-        return bool(bf.might_contain(pd.Series([probe]))[0])
+        return bool(bf.might_contain(pd.Series(probes)).any())
 
     def plan_value_lookup(
         self, col: str, value, version: int | None = None,
         m: Manifest | None = None,
     ) -> dict[str, Any]:
-        """File-skipping plan for an equality lookup on a value-bloom
-        column: drop every data file whose sidecar proves the value absent
-        (~0.2% false-positive rate keeps a few extra files, never loses
-        one). Returns {files, buckets, files_total, files_pruned} so
-        callers and tests can assert the scan set."""
+        """File-skipping plan for an equality (or IN-list: pass a
+        list/tuple/set) lookup on a value-bloom column: drop every data
+        file whose sidecar proves all probe values absent (~0.2%
+        false-positive rate keeps a few extra files, never loses one).
+        Returns {files, buckets, files_total, files_pruned} so callers
+        and tests can assert the scan set."""
         from etl_spark.cdc.bloom import canonical_value_str
 
         if m is None:
             m = self.manifest(version)
-        probe = canonical_value_str(value)
+        vals = value if isinstance(value, (list, tuple, set)) else [value]
+        probes = [canonical_value_str(v) for v in vals]
         sel: list[dict[str, Any]] = []
         buckets: set[int] = set()
         total = 0
         for b, fl in m.files.items():
             for fe in fl:
                 total += 1
-                if self._vb_probe(fe, col, probe, m.renames):
+                if self._vb_probe(fe, col, probes, m.renames):
                     sel.append(fe)
                     buckets.add(int(b))
         return {
@@ -1201,16 +1203,32 @@ class LakeTable:
         falls back to BUCKET granularity (a bucket with no candidate file
         cannot produce a result row: all of a key's versions share its
         bucket). Delta-free tables prune per FILE, the exact scan set."""
+        return self._read_where(spark, col, value, F.col(col) == F.lit(value),
+                                version)
+
+    def read_where_in(
+        self, spark: SparkSession, col: str, values, version: int | None = None
+    ) -> DataFrame:
+        """IN-list variant of read_where_equal (the batch secondary-key
+        fetch): one pass over the union of every value's candidate files —
+        each sidecar is probed once with the whole probe list, so the scan
+        set is the same files a per-value loop would touch, without
+        scanning any file twice."""
+        values = list(values)
+        return self._read_where(spark, col, values, F.col(col).isin(*values),
+                                version)
+
+    def _read_where(
+        self, spark: SparkSession, col: str, probe, pred, version: int | None
+    ) -> DataFrame:
         m = self.manifest(version)
-        plan = self.plan_value_lookup(col, value, m=m)
+        plan = self.plan_value_lookup(col, probe, m=m)
         if m.needs_reduce:
             df = self._aligned_scan(spark, m, plan["buckets"])
             df = self._reduce_lww(df)
         else:
             df = self._aligned_scan(spark, m, None, entries=plan["files"])
-        df = df.filter(~F.coalesce(F.col("deleted"), F.lit(False))).filter(
-            F.col(col) == F.lit(value)
-        )
+        df = df.filter(~F.coalesce(F.col("deleted"), F.lit(False))).filter(pred)
         user_cols = [f.name for f in schema_from_json(m.schema_json).fields]
         return df.select(*user_cols)
 

@@ -155,3 +155,21 @@ def test_expire_snapshots_gc_keeps_live_sidecars(spark, tmpdir_path):
                 assert os.path.exists(os.path.join(t.path, fe["vb"]["path"]))
     rows = t.read_where_equal(spark, "text", "w5").collect()
     assert len(rows) == 1 and rows[0]["conv_id"] == "c5"
+
+
+def test_read_where_in_batch_lookup(spark, tmpdir_path):
+    """IN-list lookup: union of per-value candidates in ONE scan, equal to
+    the unpruned filter, including a value only present pre-declaration
+    and a value absent entirely."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=4)
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:01"), 1, "early", 0, "user",
+         "pre-decl", None, "f0")]), "b0")
+    t.set_skip_blooms(["text"])
+    apply_batch(spark, t, _mk(spark, _seed_rows(32, lambda i: f"val-{i}")), "b1")
+    want = {"val-3", "val-17", "pre-decl"}
+    got = {r["text"] for r in t.read_where_in(
+        spark, "text", ["val-3", "val-17", "pre-decl", "no-such"]).collect()}
+    assert got == want
+    plan = t.plan_value_lookup("text", ["val-3", "val-17", "no-such"])
+    assert 0 < len(plan["files"]) < plan["files_total"]

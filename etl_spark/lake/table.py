@@ -2116,6 +2116,39 @@ class LakeTable:
         return len(buckets)
 
     @_retry_on_conflict
+    def maybe_rebucket(
+        self,
+        spark: SparkSession,
+        max_rows_per_bucket: int = 50_000_000,
+        factor: int = 4,
+    ) -> int:
+        """Bucket-count evolution POLICY: widen the layout when the
+        average bucket has outgrown ``max_rows_per_bucket`` (from manifest
+        row counts — no scan). Returns the new bucket count, or 0 when the
+        layout is still adequate. The count multiplies by ``factor`` until
+        the average fits, so repeated calls are idempotent until the next
+        growth epoch.
+
+        Run this from a maintenance window, not the streaming loop: a
+        rebucket is a full-table rewrite, and its commit can never rebase
+        over concurrent writers (file→bucket assignment changes) — the
+        conflict-retry decorator re-enters it, but a never-idle stream
+        should be paused or the rewrite will retry-then-surface. Sizing
+        intuition at 10^10 events: buckets bound write fan-out and merge
+        shuffle width, so the policy keeps per-bucket work constant as
+        the table grows instead of letting one bucket's files balloon."""
+        m = self.manifest()
+        total = sum(
+            int(fe.get("rows") or 0) for fl in m.files.values() for fe in fl
+        )
+        if total <= max_rows_per_bucket * m.n_buckets:
+            return 0
+        target = m.n_buckets * factor
+        while total > max_rows_per_bucket * target:
+            target *= factor
+        self.rebucket(spark, target)
+        return target
+
     def rebucket(self, spark: SparkSession, new_n_buckets: int) -> int:
         """Bucket-count evolution (Iceberg partition-spec-evolution analog):
         rewrite the whole table into a ``bucket(new_n_buckets, conv_id)``

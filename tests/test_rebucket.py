@@ -63,3 +63,20 @@ def test_rebucket_preserves_state_and_history(spark, tmpdir_path):
     )
     m = t.manifest()
     assert all(int(b) < 2 for b, fl in m.files.items() if fl)
+
+
+def test_maybe_rebucket_policy(spark, tmpdir_path):
+    """Widens only past the per-bucket row budget, by the growth factor,
+    without changing the readable state; below budget it is a no-op."""
+    t = LakeTable.create(tmpdir_path + "/t", TRANSCRIPT_SCHEMA, n_buckets=2)
+    apply_batch(spark, t, _mk(spark, [
+        ("I", _ts("2024-01-01T00:00:01"), i, f"c{i}", 0, "user", f"v{i}", None, "f")
+        for i in range(40)
+    ]), "b1")
+    assert t.maybe_rebucket(spark, max_rows_per_bucket=1000) == 0
+    before = {(r["conv_id"], r["text"]) for r in t.read(spark).collect()}
+    new_n = t.maybe_rebucket(spark, max_rows_per_bucket=5, factor=2)
+    # 40 rows / 5-per-bucket budget -> needs >= 8 buckets: 2->4->8
+    assert new_n == 8 and t.manifest().n_buckets == 8
+    assert {(r["conv_id"], r["text"]) for r in t.read(spark).collect()} == before
+    assert t.maybe_rebucket(spark, max_rows_per_bucket=5, factor=2) == 0

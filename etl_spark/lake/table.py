@@ -2667,26 +2667,43 @@ class LakeTable:
         out: dict[int, list[dict[str, Any]]] = {}
         if not os.path.isdir(vdir):
             return out
+        todo: list[tuple[int, str]] = []
         for d in os.listdir(vdir):
             if not d.startswith("__bucket="):
                 continue
             b = int(d.split("=", 1)[1])
-            entries = []
+            out[b] = []
             for fn in os.listdir(os.path.join(vdir, d)):
                 if fn.endswith(".parquet"):
-                    rel = os.path.join(vdir_rel, d, fn)
-                    st = self._file_stats(rel)
-                    entry = {
-                        "path": rel,
-                        "schema_id": sid,
-                        "rows": st.pop("rows"),
-                        "stats": st,
-                    }
-                    vb = self._write_value_bloom_sidecar(rel, m.skip_blooms)
-                    if vb:
-                        entry["vb"] = vb
-                    entries.append(entry)
-            out[b] = entries
+                    todo.append((b, os.path.join(vdir_rel, d, fn)))
+
+        def _entry(rel: str) -> dict[str, Any]:
+            st = self._file_stats(rel)
+            entry = {
+                "path": rel,
+                "schema_id": sid,
+                "rows": st.pop("rows"),
+                "stats": st,
+            }
+            vb = self._write_value_bloom_sidecar(rel, m.skip_blooms)
+            if vb:
+                entry["vb"] = vb
+            return entry
+
+        # footer stats + bloom sidecars for the NEW files, in parallel:
+        # pyarrow releases the GIL on reads, so a small pool turns this
+        # from serial per-file driver I/O into ~one round trip (a wide
+        # commit lands hundreds of files; on a real cluster the writer
+        # tasks would compute these, the format is identical either way)
+        if len(todo) > 3:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                entries = list(pool.map(lambda t: _entry(t[1]), todo))
+        else:
+            entries = [_entry(rel) for _, rel in todo]
+        for (b, _), e in zip(todo, entries):
+            out[b].append(e)
         return out
 
     def _write_value_bloom_sidecar(

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
+from etl_spark.schema import KEY_COLS
+
 _ROW_FIELDS = [
     T.StructField("conv_id", T.StringType()),
     T.StructField("turn_idx", T.IntegerType()),
@@ -57,6 +59,68 @@ def _mapped_op(raw: Column) -> Column:
     for wire, op in _OP_MAP.items():
         out = F.when(raw == wire, F.lit(op)).otherwise(out)
     return out
+
+
+def to_debezium(changelog: DataFrame, pre_col: str | None = "_pre") -> DataFrame:
+    """CDC-out: encode a changelog read (``LakeTable.changes_between(...,
+    emit_meta=True)``) as Debezium-style envelope JSON strings — the exact
+    wire shape ``from_debezium`` decodes, so lake-to-lake (or lake-to-bus)
+    pipelines round-trip: ``from_debezium(to_debezium(changelog))`` yields a
+    replayable change feed that converges a replica to the source snapshot
+    with identical LWW metadata (ts, op_seq).
+
+    This is the outbound half of the reference's pipeline contract — its
+    JSONL row sink exists so DOWNSTREAM systems can consume the parsed
+    stream (/root/reference/storage/rowwriter.go:96-107); a CDC engine's
+    downstream speaks change envelopes, not row dumps.
+
+    Input columns: KEY_COLS + payload + ts + op_seq + ``_change_type``
+    (insert / update_postimage / delete), plus optional ``_pre`` (from
+    ``emit_pre=True``) for faithful update/delete before-images. Output:
+    one ``value`` STRING column. Mapping: insert → ``c``, update_postimage
+    → ``u``, delete → ``d``; ``op_seq`` → ``lsn``; deletes carry
+    ``before`` only (Debezium contract), upserts carry ``after`` (and
+    ``before`` when a pre-image is available). All Catalyst expressions
+    (struct build + to_json); null fields are dropped from the JSON, which
+    ``from_debezium``'s explicit-schema parse reads back as NULL."""
+    ct = F.col("_change_type")
+    wire_op = (
+        F.when(ct == "insert", F.lit("c"))
+        .when(ct == "update_postimage", F.lit("u"))
+        .when(ct == "delete", F.lit("d"))
+    )
+    row_cols = [f.name for f in _ROW_FIELDS]
+    after = F.struct(*[F.col(c).alias(c) for c in row_cols])
+    has_pre = pre_col is not None and pre_col in changelog.columns
+    if has_pre:
+        # pre-image struct carries payload values; keys come from the row
+        pre = F.struct(
+            *[
+                (F.col(c) if c in KEY_COLS else F.col(f"{pre_col}.{c}")).alias(c)
+                for c in row_cols
+            ]
+        )
+    else:
+        # minimal before-image: the key (what LWW replay needs for a delete)
+        pre = F.struct(
+            *[
+                (F.col(c) if c in KEY_COLS else F.lit(None).cast("string")).alias(c)
+                for c in row_cols
+            ]
+        )
+    # deletes always carry `before`; updates carry it when a pre-image is
+    # available; creates never do (Debezium contract)
+    before = F.when(ct == "delete", pre)
+    if has_pre:
+        before = before.when(ct == "update_postimage", pre)
+    env = F.struct(
+        wire_op.alias("op"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("ts"),
+        F.col("op_seq").alias("lsn"),
+        before.alias("before"),
+        F.when(ct != "delete", after).alias("after"),
+    )
+    return changelog.select(F.to_json(env).alias("value"))
 
 
 def from_debezium(df: DataFrame, json_col: str = "value") -> DataFrame:

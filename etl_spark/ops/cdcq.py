@@ -1093,3 +1093,120 @@ DELETE_UPDATE_SQL = f"""
     FROM state
     WHERE NOT coalesce(role = 'system', FALSE)
 """
+
+
+# --- multi-table binlog routing (cdc/route.py) ---------------------------------
+
+def cdc_route_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table routing: tag each feed event with its target table
+    (``tbl`` = raw.chat / raw.agent by conversation number parity — a
+    deterministic split both engines can reproduce), replay the ONE
+    interleaved feed through cdc/route.replay_feed_routed with
+    transactional cross-table publication, and return the union of both
+    tables' final states labeled by table. The oracle is the global LWW
+    reduction with the same route label — routing must be a pure partition
+    of the feed (each conversation's events all land on one table, so
+    per-key LWW is unaffected by the split). Reference analog: datatype →
+    parser/table dispatch (/root/reference/parser/parser.go:89-112,
+    /root/reference/etl/globals.go:309-323)."""
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.route import replay_feed_routed
+    from etl_spark.cdc.gen import write_feed
+    from etl_spark.lake.catalog import LakeCatalog
+
+    feed = change_feed_from_events(spark, sf_dir).withColumn(
+        "batch", F.pmod(F.col("op_seq"), F.lit(2)).cast("int")
+    )
+    route = F.when(
+        F.substring("conv_id", 6, 10).cast("int") % 2 == 0, F.lit("raw.chat")
+    ).otherwise(F.lit("raw.agent"))
+    work = _work_dir("etl_spark_route_")
+    feed_dir = os.path.join(work, "feed")
+    write_feed(feed.withColumn("tbl", route), feed_dir, n_batches=2)
+    feed_t = {f.name: f.dataType for f in feed.schema.fields}
+    user_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", feed_t["ts"], True),
+        ]
+    )
+    cat = LakeCatalog(os.path.join(work, "cat"))
+    cat.create_table("raw.chat", user_schema, n_buckets=8)
+    cat.create_table("raw.agent", user_schema, n_buckets=4)
+    replay_feed_routed(spark, cat, feed_dir, transactional=True, mode="mor")
+    parts = [
+        cat.read_committed(spark, ident)
+        .select(F.lit(ident).alias("src_table"), *FINAL_COLS)
+        for ident in ("raw.chat", "raw.agent")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+ROUTE_SPLIT_SQL = f"""
+    WITH feed AS ({FEED_SQL}),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY ts DESC, op_seq DESC
+        ) AS rn
+        FROM feed
+    ),
+    state AS (
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT CASE WHEN CAST(substr(conv_id, 6) AS INTEGER) % 2 = 0
+                THEN 'raw.chat' ELSE 'raw.agent' END AS src_table,
+           conv_id, turn_idx, role, text, tool, ts
+    FROM state
+"""
+
+
+# --- CDC-out wire round trip (cdc/envelope.to_debezium) ------------------------
+
+def cdc_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-out + CDC-in closure: replay the feed into a source table, read
+    its changelog from v0, encode to Debezium wire JSON
+    (``to_debezium``), decode with the standard inbound adapter
+    (``from_debezium``), apply to a FRESH table, and return that replica's
+    final state — which must equal the global LWW oracle. Proves the wire
+    format is lossless for op/ts/op_seq/images, i.e. two engines can chain
+    over a message bus (the downstream-consumption role of the reference's
+    JSONL sink, /root/reference/storage/rowwriter.go:96-107)."""
+    from pyspark.sql import types as T
+
+    from etl_spark.cdc.apply import apply_batch, replay_feed
+    from etl_spark.cdc.envelope import from_debezium, to_debezium
+    from etl_spark.cdc.gen import write_feed
+    from etl_spark.lake.table import LakeTable
+
+    feed = change_feed_from_events(spark, sf_dir).withColumn(
+        "batch", F.pmod(F.col("op_seq"), F.lit(2)).cast("int")
+    )
+    work = _work_dir("etl_spark_wire_")
+    feed_dir = os.path.join(work, "feed")
+    write_feed(feed, feed_dir, n_batches=2)
+    feed_t = {f.name: f.dataType for f in feed.schema.fields}
+    user_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", feed_t["ts"], True),
+        ]
+    )
+    src = LakeTable.create(os.path.join(work, "src"), user_schema, n_buckets=16)
+    replay_feed(spark, src, feed_dir, mode="mor")
+    wires = to_debezium(src.changes_between(spark, 0, emit_meta=True, emit_pre=True))
+    decoded = from_debezium(wires).withColumn(
+        "ts", F.col("ts").cast(feed_t["ts"].simpleString())
+    )
+    rep = LakeTable.create(os.path.join(work, "rep"), user_schema, n_buckets=8)
+    apply_batch(spark, rep, decoded, "wire-boot", mode="mor")
+    return rep.read(spark).select(*FINAL_COLS)

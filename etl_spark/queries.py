@@ -49,6 +49,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_patch_replay": (cdcq.cdc_patch_replay, cdcq.PATCH_STATE_SQL),
     "cdc_envelope_decode": (cdcq.cdc_envelope_decode, cdcq.ENVELOPE_DECODE_SQL),
     "cdc_delete_update": (cdcq.cdc_delete_update, cdcq.DELETE_UPDATE_SQL),
+    "cdc_route_split": (cdcq.cdc_route_split, cdcq.ROUTE_SPLIT_SQL),
+    "cdc_wire_roundtrip": (cdcq.cdc_wire_roundtrip, cdcq.LWW_STATE_SQL),
     # --- reference dataflow operators (SURVEY §2.3/§2.4/§2.6) ---
     "last_event_summary": (refops.last_event_summary, refops.LAST_EVENT_SUMMARY_SQL),
     "snapshot_thinning": (refops.snapshot_thinning, refops.SNAPSHOT_THINNING_SQL),

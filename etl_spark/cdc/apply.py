@@ -330,6 +330,7 @@ def apply_batch(
         )
     observed = batch.observe(counters, *agg_cols)
     valid = observed.filter(ok & ~late_pred)
+    patch_probe = None
     if allow_patches:
         # Route through the read-modify-write patch merge only when the
         # batch actually carries a patch: the probe is one short-circuit
@@ -338,7 +339,10 @@ def apply_batch(
         # stream that merely ALLOWS patches. Probes the raw batch, not
         # ``observed`` — a limit-1 action on the observed plan could fill
         # the counters from a partial scan.
-        allow_patches = not batch.filter(F.col("op") == "P").isEmpty()
+        patch_probe = batch.filter(F.col("op") == "P")
+        allow_patches = not patch_probe.isEmpty()
+        if not allow_patches:
+            patch_probe = None
     if quarantine_dir is not None and not batch.filter(~ok).isEmpty():
         # BEFORE the merge: a crash between commit and a post-commit
         # quarantine write would lose the dead-letter rows forever (the
@@ -361,6 +365,7 @@ def apply_batch(
         input_files=input_files,
         mode=mode,
         allow_patches=allow_patches,
+        patch_probe=patch_probe,
     )
     if cons["warn"]:
         c = resilient.get  # filled by the merge's pass-1/write job

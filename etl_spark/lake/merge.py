@@ -292,6 +292,7 @@ def merge_into(
     mode: str = "cow",
     allow_patches: bool = False,
     conflict_retries: int = 2,
+    patch_probe: DataFrame | None = None,
 ) -> MergeStats:
     """Apply one validated CDC batch, surviving concurrent writers.
 
@@ -319,7 +320,7 @@ def merge_into(
                 spark, table, valid, batch_id, counters,
                 fail_threshold=fail_threshold, source_files=source_files,
                 segments=segments, input_files=input_files, mode=mode,
-                allow_patches=allow_patches,
+                allow_patches=allow_patches, patch_probe=patch_probe,
             )
         except CommitConflictError as e:
             last = e
@@ -338,6 +339,7 @@ def _merge_into_once(
     input_files: list[str] | None = None,
     mode: str = "cow",
     allow_patches: bool = False,
+    patch_probe: DataFrame | None = None,
 ) -> MergeStats:
     """Apply one validated (but not yet deduped) CDC batch to ``table``.
 
@@ -446,6 +448,7 @@ def _merge_into_once(
             new_sid=new_sid, payload_cols=payload_cols,
             storage_schema=storage_schema, storage_cols=storage_cols,
             t0=t0, base_version=base_version, mode=mode,
+            patch_probe=patch_probe,
         )
 
     if mode == "mor":
@@ -689,6 +692,7 @@ def _merge_patch(
     t0: float,
     base_version: int,
     mode: str,
+    patch_probe: DataFrame | None = None,
 ) -> MergeStats:
     """Patch-aware merge: per-column LWW over (batch events ∪ committed
     rows of the touched buckets as VIRTUAL events) in one aggregation
@@ -699,46 +703,76 @@ def _merge_patch(
     O(changed keys), and the LWW read-reduce picks the resolved row because
     it carries the winning (ts, op_seq)).
 
-    The Bloom fast path survives: when the seen-set proves every batch key
-    new, the virtual side is skipped entirely and the resolution collapses
-    to the in-batch patch combine (a patch on an absent key upserts its
-    sparse fields) — an append with zero table reads.
+    The Bloom fast path survives on cow: when the seen-set proves every
+    batch key new, the virtual side is skipped entirely and the resolution
+    collapses to the in-batch patch combine (a patch on an absent key
+    upserts its sparse fields) — an append with zero table reads.
+
+    ``patch_probe``: the RAW (pre-Observation) op='P' rows of the batch,
+    threaded down from apply_batch. Merge-on-read uses it for a NARROW
+    probe job — distinct patch buckets + patched-column flags with the
+    scan pruned to (conv_id, payload-null bits) — instead of the full
+    pass-1 gate scan, whose CollectMetrics node forces every validated
+    column through the reader. The validation counters then ride the
+    write job exactly like the non-patch MOR path (_merge_mor_fused), so
+    a patch micro-batch pays ONE wide pass over the feed, not two.
     """
     from etl_spark.cdc.patch import PATCH_OP, resolve_events
 
-    # Which payload columns does this batch actually PATCH? Observed on
-    # the same pass-1 scan the gate already runs (no extra job); the set
-    # prunes the per-column LWW aggregation buffers below — a batch that
-    # patches 2 of 50 columns carries 3 payload buffers, not 50.
-    p_aggs = [
-        F.max(
-            F.when((F.col("op") == PATCH_OP) & F.col(c).isNotNull(), 1).otherwise(0)
-        ).alias(f"p_{c}")
-        for c in payload_cols
-        if c in batch.columns
-    ]
-    patch_obs = Observation()
-    if p_aggs:
-        batch = batch.observe(patch_obs, *p_aggs)
+    if mode == "mor":
+        # ---- lean MOR gate: one narrow probe, no pass-1 scan ----
+        t_probe = time.time()
+        if patch_probe is None:
+            # direct merge_into callers: fall back to probing the observed
+            # batch (correct, but the metrics node widens the scan)
+            patch_probe = batch.filter(F.col("op") == PATCH_OP)
+        probe_aggs: list = [F.collect_set(table.bucket_expr()).alias("bks")]
+        flag_cols = [c for c in payload_cols if c in patch_probe.columns]
+        probe_aggs += [
+            F.max(F.col(c).isNotNull()).alias(f"p_{c}") for c in flag_cols
+        ]
+        prow = patch_probe.agg(*probe_aggs).first()
+        pbuckets = sorted(prow["bks"] or [])
+        patched_cols = {c for c in flag_cols if bool(prow[f"p_{c}"])}
+        stats.phase_sec["scan"] = round(time.time() - t_probe, 3)
+        t_plan0 = time.time()
+        new_bloom = None
+        empty_before = not table.has_files()
+        # virtual rows only matter for keys a PATCH touches; when no patch
+        # bucket has committed files, resolution collapses to the in-batch
+        # combine and the append needs zero table reads
+        fast_append = not pbuckets or not table.has_files(pbuckets)
+        touched = pbuckets
+        any_seen, bloom_known, watermark_us = True, False, None
+    else:
+        # Which payload columns does this batch actually PATCH? Observed on
+        # the same pass-1 scan the gate already runs (no extra job); the set
+        # prunes the per-column LWW aggregation buffers below — a batch that
+        # patches 2 of 50 columns carries 3 payload buffers, not 50.
+        p_aggs = [
+            F.max(
+                F.when((F.col("op") == PATCH_OP) & F.col(c).isNotNull(), 1).otherwise(0)
+            ).alias(f"p_{c}")
+            for c in payload_cols
+            if c in batch.columns
+        ]
+        patch_obs = Observation()
+        if p_aggs:
+            batch = batch.observe(patch_obs, *p_aggs)
 
-    # MOR commits drop the bloom sidecar, so a missing seen-set must NOT
-    # trigger a full-table rebuild here — it would recur on every
-    # patch-carrying batch that follows a plain MOR append. Unknown
-    # membership just disables the fast path (read touched buckets —
-    # correct regardless); cow pipelines rebuild once and persist.
-    gate = _fused_scan_gate(
-        spark, table, batch, batch_id, stats, counters, fail_threshold,
-        segments, input_files, base_version, t0,
-        rebuild_missing=(mode == "cow"),
-    )
-    if gate is None:
-        return stats
-    new_bloom, any_seen, touched = gate["new_bloom"], gate["any_seen"], gate["touched"]
-    watermark_us, bloom_known = gate["watermark_us"], gate["bloom_known"]
-    t_plan0 = time.time()
-    pc = patch_obs.get if p_aggs else {}
-    patched_cols = {c for c in payload_cols if int(pc.get(f"p_{c}") or 0) == 1}
-    stats.phase_sec["patch_obs"] = round(time.time() - t_plan0, 3)
+        gate = _fused_scan_gate(
+            spark, table, batch, batch_id, stats, counters, fail_threshold,
+            segments, input_files, base_version, t0,
+        )
+        if gate is None:
+            return stats
+        new_bloom, any_seen, touched = gate["new_bloom"], gate["any_seen"], gate["touched"]
+        watermark_us, bloom_known = gate["watermark_us"], gate["bloom_known"]
+        t_plan0 = time.time()
+        pc = patch_obs.get if p_aggs else {}
+        patched_cols = {c for c in payload_cols if int(pc.get(f"p_{c}") or 0) == 1}
+        stats.phase_sec["patch_obs"] = round(time.time() - t_plan0, 3)
+        empty_before = not table.has_files()
 
     null_s = F.lit(None).cast("string")
     batch_ev = batch.select(
@@ -758,7 +792,10 @@ def _merge_patch(
         F.current_timestamp().alias("ingest_ts"),
         F.lit(False).alias("__virtual"),
     )
-    fast_append = not table.has_files(touched) or (bloom_known and not any_seen)
+    if mode != "mor":
+        fast_append = not table.has_files(touched) or (
+            bloom_known and not any_seen
+        )
     if fast_append:
         stats.fast_path_append = True
         events = batch_ev
@@ -861,6 +898,37 @@ def _merge_patch(
     )
     stats.phase_sec["write"] = round(time.time() - t1, 3)
     t2 = time.time()
+    if mode == "mor":
+        # validation counters rode the write job (no pass-1 existed):
+        # enforce the failfast budget BEFORE the commit — on breach the
+        # written files stay invisible orphans, the manifest is untouched
+        c = counters.get
+        events_in, failed, late_dropped = int(c["n"]), int(c["bad"]), int(c["late"])
+        stats.events_in, stats.failed, stats.late_dropped = (
+            events_in, failed, late_dropped,
+        )
+        max_ts = c["max_ts"]
+        watermark_us = _ts_to_us(max_ts) if max_ts is not None else None
+        if events_in > 0 and failed / events_in > fail_threshold:
+            raise BatchFailedError(
+                f"batch {batch_id}: {failed}/{events_in} failed rows exceeds "
+                f"{fail_threshold:.0%} budget — aborting before commit"
+            )
+        if events_in == 0 or events_in == failed + late_dropped:
+            # nothing to merge; still commit (advances watermark + segments)
+            table.commit_version(
+                {}, [], batch_id,
+                {
+                    "events_in": events_in,
+                    "failed": failed,
+                    "late_dropped": late_dropped,
+                },
+                segments=segments, new_watermark_us=watermark_us,
+                input_files=input_files, expected_version=base_version,
+                on_conflict="rebase",
+            )
+            stats.phase_sec["commit"] = round(time.time() - t2, 3)
+            return stats
     try:
         d = disp_obs.get
     except Exception:
@@ -890,12 +958,17 @@ def _merge_patch(
         new_bloom=new_bloom,
         append_files=append_mode,
         new_watermark_us=watermark_us,
-        # a non-fast MOR append can shadow existing keys → deltas exist;
-        # fast appends, COW rewrites, and all-stale batches that appended
-        # NOTHING leave the reduce state unchanged
+        # a MOR append onto a non-empty table can shadow existing keys →
+        # deltas exist (the patch-bucket fast path only proves the PATCH
+        # buckets file-less; full-image keys in other buckets still
+        # shadow); COW rewrites and appends onto an empty table leave the
+        # reduce state resolved
         needs_reduce=(
-            True if (mode == "mor" and not fast_append and files) else None
+            True if (mode == "mor" and not empty_before and files) else None
         ),
+        # appended deltas invalidate a stored seen-set the same way the
+        # plain MOR append does; cow carries/rebuilds it via new_bloom
+        drop_bloom=(mode == "mor"),
         expected_version=base_version,
         on_conflict="rebase",
     )

@@ -266,6 +266,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ns", default=None)
 
     p = sub.add_parser(
+        "route-replay",
+        help="replay a MULTI-TABLE feed (events carry a 'tbl' column) into "
+             "catalog tables — per-table exactly-once; --transactional "
+             "publishes each segment across tables atomically",
+    )
+    p.add_argument("--catalog", required=True, help="catalog root directory")
+    p.add_argument("--feed", required=True)
+    p.add_argument("--table-col", default="tbl")
+    p.add_argument("--mode", choices=["cow", "mor"], default="mor")
+    p.add_argument("--transactional", action="store_true")
+    p.add_argument("--on-unknown", choices=["fail", "skip"], default="fail")
+
+    p = sub.add_parser(
+        "export-changelog",
+        help="encode changes_between(from, to) as Debezium wire JSON lines "
+             "(the CDC-out feed another engine ingests with from_debezium)",
+    )
+    p.add_argument("--table", required=True)
+    p.add_argument("--from", dest="v_from", type=int, required=True)
+    p.add_argument("--to", dest="v_to", type=int, default=None)
+    p.add_argument("--out", required=True, help="output directory (JSONL)")
+
+    p = sub.add_parser(
         "requeue",
         help="re-apply dead-lettered rows from a quarantine dir "
              "(after the cause is fixed)",
@@ -351,6 +374,33 @@ def main(argv: list[str] | None = None) -> int:
             return 2
 
     spark = get_spark(cores=args.cores, app_name=f"etl_spark_{args.cmd}")
+
+    if args.cmd == "route-replay":
+        from etl_spark.cdc.route import replay_feed_routed
+        from etl_spark.lake.catalog import LakeCatalog
+
+        out = replay_feed_routed(
+            spark, LakeCatalog(args.catalog), args.feed,
+            table_col=args.table_col, transactional=args.transactional,
+            on_unknown=args.on_unknown, mode=args.mode,
+        )
+        print(
+            json.dumps(
+                {
+                    seg: {
+                        ident: {
+                            "events_in": s.events_in,
+                            "applied": s.applied(),
+                            "failed": s.failed,
+                            "skipped_idempotent": s.skipped_idempotent,
+                        }
+                        for ident, s in per.items()
+                    }
+                    for seg, per in out.items()
+                }
+            )
+        )
+        return 0
 
     if args.cmd == "query":
         from etl_spark.queries import REGISTRY
@@ -558,6 +608,25 @@ def main(argv: list[str] | None = None) -> int:
         else:
             table.drop_tag(args.name)
             print(json.dumps({"dropped": args.name}))
+    elif args.cmd == "export-changelog":
+        from etl_spark.cdc.envelope import to_debezium
+
+        wires = to_debezium(
+            table.changes_between(
+                spark, args.v_from, args.v_to, emit_meta=True, emit_pre=True
+            )
+        )
+        wires.write.mode("overwrite").text(args.out)
+        print(
+            json.dumps(
+                {
+                    "out": args.out,
+                    "v_from": args.v_from,
+                    "v_to": args.v_to if args.v_to is not None
+                    else table.current_version(),
+                }
+            )
+        )
     elif args.cmd == "requeue":
         from etl_spark.cdc.apply import requeue_quarantine
 

@@ -413,17 +413,22 @@ def main() -> None:
                     "noop"
                 ).save()
 
-        # best-of-2 per query (same bursty-steal rationale as the replay)
-        for name in BENCH_QUERIES:
-            fn, _sql = REGISTRY[name]
-            best = None
-            for _rep in range(2):
+        # best-of-2 per query, INTERLEAVED (rep loop outside): this VM's
+        # host stalls last tens of seconds, so back-to-back reps of one
+        # query can both land inside a single stall (measured: a ~40 s
+        # stall turned a contiguous stretch of 0.2-1.7 s queries into
+        # 1.8-10.7 s best-of-2s). With whole-suite interleave the two
+        # samples of each query sit minutes apart — one stall now
+        # contaminates at most one sample of any query.
+        for _rep in range(2):
+            for name in BENCH_QUERIES:
+                fn, _sql = REGISTRY[name]
                 t0 = time.time()
                 # noop write forces full plan execution, no driver collect
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 wall = time.time() - t0
-                best = wall if best is None else min(best, wall)
-            q_secs[name] = round(best, 2)
+                prev = q_secs.get(name)
+                q_secs[name] = round(wall if prev is None else min(prev, wall), 2)
 
     cdc = run_cdc_replay(spark, n_events)
     q_secs["cdc_replay_mor"] = cdc["mor"]["apply_sec"]

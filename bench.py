@@ -291,22 +291,34 @@ def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
             pfeed_dir, n_batches=n_segments,
             files_per_segment=max(32, n_cores_gen),
         )
-        pt = LakeTable.create(
-            os.path.join(work, "lake_patch"), TRANSCRIPT_SCHEMA, n_buckets=64
-        )
-        s0, j0 = _steal_sample()
-        t0 = time.time()
-        pstats = replay_feed(spark, pt, pfeed_dir, mode="mor", allow_patches=True)
-        p_sec = time.time() - t0
-        s1, j1 = _steal_sample()
-        p_events = sum(s.events_in for s in pstats)
-        out["patch"] = {
-            "apply_sec": round(p_sec, 2),
-            "events_per_sec": round(p_events / p_sec, 1),
-            "batch_walls": [round(s.wall_sec, 2) for s in pstats],
-            "steal_frac": round((s1 - s0) / max(1, j1 - j0), 3),
-            "final_rows": pt.read(spark).count(),
-        }
+        # best-of-REPS like mor/cow: the patch leg is the slowest single
+        # replay, so one host stall inside its only sample used to swing
+        # the headline patch number by ±35% run to run
+        p_runs = []
+        for rep in range(reps):
+            pt = LakeTable.create(
+                os.path.join(work, f"lake_patch_{rep}"),
+                TRANSCRIPT_SCHEMA, n_buckets=64,
+            )
+            s0, j0 = _steal_sample()
+            t0 = time.time()
+            pstats = replay_feed(
+                spark, pt, pfeed_dir, mode="mor", allow_patches=True
+            )
+            p_sec = time.time() - t0
+            s1, j1 = _steal_sample()
+            p_events = sum(s.events_in for s in pstats)
+            p_runs.append(
+                {
+                    "apply_sec": round(p_sec, 2),
+                    "events_per_sec": round(p_events / p_sec, 1),
+                    "batch_walls": [round(s.wall_sec, 2) for s in pstats],
+                    "steal_frac": round((s1 - s0) / max(1, j1 - j0), 3),
+                    "final_rows": pt.read(spark).count(),
+                }
+            )
+        out["patch"] = max(p_runs, key=lambda r: r["events_per_sec"])
+        out["patch_all_runs"] = p_runs
 
         # serving-path latencies over the last replayed MOR table: a point
         # lookup scans one bucket's stats-selected files (not the table),

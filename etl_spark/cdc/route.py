@@ -154,3 +154,94 @@ def replay_feed_routed(
             **apply_kwargs,
         )
     return out
+
+
+def route_stream(
+    spark: SparkSession,
+    catalog,
+    feed_dir: str,
+    checkpoint_dir: str,
+    idents: list[str],
+    table_col: str = ROUTE_COL,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    transactional: bool = False,
+    on_unknown: str = "fail",
+    mode: str = "mor",
+    **apply_kwargs,
+):
+    """Structured-Streaming tail of a MULTI-TABLE change feed: the real
+    binlog deployment shape — one checkpointed stream, events interleaved
+    across every table of the source database, each trigger routed through
+    ``route_batch``.
+
+    ``idents`` is the explicit include-list of catalog tables this
+    consumer owns (the Debezium table-include-list): they must exist up
+    front, so a typo'd route value fails fast under ``on_unknown='fail'``
+    instead of silently creating junk tables mid-stream.
+
+    Exactly-once composition under redelivery: the trigger's batch id is
+    the fingerprint of its input files (NOT Spark's epoch id), and every
+    routed table records the same ``input_files`` in its own commit
+    ledger. After checkpoint loss the re-delivered files are recognized
+    as applied only when EVERY routed table has them — a crash between
+    table A's commit and table B's (non-transactional mode) re-runs the
+    trigger, A skips idempotently, B applies; with ``transactional=True``
+    the per-trigger pin swap makes even the intermediate state invisible
+    to catalog readers. A table that legitimately had zero rows in some
+    trigger never ledgers it, so a post-checkpoint-loss replay re-offers
+    those files; every re-offer no-ops (same batch id) — redundant work,
+    never wrong.
+    """
+    from pyspark.sql import functions as _F
+
+    from etl_spark.cdc.apply import _segment_relative, batch_fingerprint
+    from etl_spark.cdc.stream import detect_feed_schema
+
+    tables = {i: catalog.load_table(i) for i in idents}
+    schema = detect_feed_schema(spark, feed_dir)
+    if table_col not in schema.fieldNames():
+        raise ValueError(f"feed lacks the route column {table_col!r}")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.parquet(f"{feed_dir}/*").withColumn(
+        "__file", _F.input_file_name()
+    )
+
+    def _apply(df: DataFrame, epoch_id: int) -> None:
+        files = list(df.inputFiles())
+        if not files:
+            files = [r[0] for r in df.select("__file").distinct().collect()]
+        if not files:
+            return
+        done = [
+            (t.committed_segments(), t.committed_inputs())
+            for t in tables.values()
+        ]
+
+        def applied_everywhere(f: str) -> bool:
+            rel = _segment_relative(f)
+            seg = rel.split("/")[0]
+            return all(seg in segs or rel in inps for segs, inps in done)
+
+        new_files = sorted(f for f in files if not applied_everywhere(f))
+        if not new_files:
+            return
+        bid = batch_fingerprint(new_files)
+        batch_df = df.filter(_F.col("__file").isin(new_files)).drop("__file")
+        route_batch(
+            spark, catalog, batch_df, bid, table_col=table_col,
+            transactional=transactional, on_unknown=on_unknown, mode=mode,
+            input_files=[_segment_relative(f) for f in new_files],
+            **apply_kwargs,
+        )
+
+    writer = src.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()

@@ -132,3 +132,46 @@ def test_replay_feed_routed_matches_per_table_replay(spark, cat, tmpdir_path):
             """
         ).df()
         assert got.equals(exp)
+
+
+def test_route_stream_drains_and_resumes(spark, cat, tmpdir_path):
+    from etl_spark.cdc.route import route_stream
+
+    feed = _tagged(spark, 6000, seed=21)
+    feed_dir = os.path.join(tmpdir_path, "sfeed")
+    write_feed(feed, feed_dir)
+    ck = os.path.join(tmpdir_path, "ckpt")
+    route_stream(spark, cat, feed_dir, ck, ["raw.chat", "raw.agent"])
+    counts = {
+        i: cat.load_table(i).read(spark).count()
+        for i in ("raw.chat", "raw.agent")
+    }
+    assert all(v > 0 for v in counts.values())
+
+    # checkpoint loss: a fresh checkpoint re-delivers everything; the
+    # per-table ledgers + LWW make the re-drain a no-op on final state
+    route_stream(
+        spark, cat, feed_dir, os.path.join(tmpdir_path, "ckpt2"),
+        ["raw.chat", "raw.agent"],
+    )
+    assert counts == {
+        i: cat.load_table(i).read(spark).count()
+        for i in ("raw.chat", "raw.agent")
+    }
+
+    # late-arriving segment: drain the SAME checkpoint again after a new
+    # segment lands; only its slices apply
+    extra = _tagged(spark, 2000, seed=77).withColumn(
+        "batch", F.lit(9)
+    )
+    write_feed(extra.drop("batch").withColumn("batch", F.lit(0)), feed_dir + "_x")
+    os.rename(
+        os.path.join(feed_dir + "_x", "batch=00000"),
+        os.path.join(feed_dir, "batch=00009"),
+    )
+    route_stream(spark, cat, feed_dir, ck, ["raw.chat", "raw.agent"])
+    after = {
+        i: cat.load_table(i).read(spark).count()
+        for i in ("raw.chat", "raw.agent")
+    }
+    assert sum(after.values()) > sum(counts.values())

@@ -54,6 +54,10 @@ def route_batch(
     transactional: bool = False,
     on_unknown: str = "fail",  # "fail" | "skip"
     mode: str = "mor",
+    include: list[str] | None = None,
+    segments: dict[str, str] | None = None,
+    ensure: list[str] | None = None,
+    segments_cover_batch: bool = False,
     **apply_kwargs,
 ) -> dict[str, MergeStats]:
     """Apply one interleaved micro-batch to every table it names.
@@ -64,55 +68,103 @@ def route_batch(
     ``apply_batch``). ``on_unknown='skip'`` drops unknown-table slices
     and reports them under the pseudo-key ``'!unknown'`` with a row count
     in ``events_in`` — for feeds that legitimately carry tables this
-    consumer does not own (Debezium topic-include-list analog)."""
+    consumer does not own (Debezium topic-include-list analog).
+
+    ``include``: explicit ownership list — a route value that names an
+    EXISTING catalog table outside it is still treated by the
+    ``on_unknown`` policy (fail loudly / count + skip), never applied.
+    Without it, a feed tagged for another consumer's table would write
+    into that table behind its owner's back.
+
+    ``segments``: {segment_name: content_fingerprint} forwarded to every
+    slice's commit ledger. Before applying, each routed table is checked
+    for a committed segment of the same NAME with a DIFFERENT
+    fingerprint — refused loudly (segments are immutable by contract;
+    the old skip-by-name behavior silently dropped the new data). A
+    slice skips idempotently only when EVERY named segment matches the
+    table's ledger (a batch can mix an already-complete segment with new
+    files after checkpoint loss — skipping on a partial match would drop
+    the new files for that table).
+
+    ``ensure``: idents to apply even when the batch carries no rows for
+    them — the empty slice commits a counters-only version that still
+    records ``segments``/``input_files``, so every owned table's ledger
+    advances in lockstep (the streaming redelivery check needs this)."""
     if table_col not in batch.columns:
         raise ValueError(f"route column {table_col!r} not in batch")
+    from etl_spark.cdc.apply import SegmentReuseError
     from etl_spark.lake.catalog import TableNotFoundError
 
-    # bounded collect: distinct route values = number of tables in the
-    # segment (tens), never the row count
-    idents = sorted(
-        r[0] for r in batch.select(table_col).distinct().collect() if r[0]
-    )
-    known: list[str] = []
-    unknown: list[str] = []
-    for ident in idents:
-        try:
-            catalog.load_table(ident)
-            known.append(ident)
-        except (TableNotFoundError, KeyError, ValueError):
-            unknown.append(ident)
-    if unknown and on_unknown != "skip":
-        raise UnknownRouteError(
-            f"feed routes to unknown tables {unknown}; create them or pass "
-            f"on_unknown='skip'"
-        )
-
-    # one source scan for all slices: cache the (usually memory-sized)
-    # micro-batch rather than re-reading the segment per table
+    # one source scan for all slices: cache the (micro-batch-sized) input
+    # BEFORE the distinct probe, so the probe materializes the cache and
+    # every per-table filter reads memory, not the source
     cached = batch.persist()
     out: dict[str, MergeStats] = {}
     try:
+        # bounded collect: distinct route values = number of tables in the
+        # segment (tens), never the row count
+        idents = sorted(
+            {r[0] for r in cached.select(table_col).distinct().collect() if r[0]}
+            | set(ensure or [])
+        )
+        tables = {}
+        unknown: list[str] = []
+        for ident in idents:
+            if include is not None and ident not in include:
+                unknown.append(ident)
+                continue
+            try:
+                tables[ident] = catalog.load_table(ident)
+            except (TableNotFoundError, KeyError, ValueError):
+                unknown.append(ident)
+        if unknown and on_unknown != "skip":
+            raise UnknownRouteError(
+                f"feed routes to unknown/excluded tables {unknown}; create "
+                f"them (or add to the include list), or pass "
+                f"on_unknown='skip'"
+            )
+
+        def _slice(ident: str, t) -> MergeStats:
+            if segments:
+                fp = t.committed_segments()
+                for nm, want in segments.items():
+                    if nm in fp and fp[nm] != want:
+                        raise SegmentReuseError(
+                            f"segment {nm!r} already committed to {ident} "
+                            f"with different content (ledger "
+                            f"{fp[nm][:12]}…, current {want[:12]}…) — "
+                            f"segment names are immutable by contract"
+                        )
+                # skipping on ledger match is sound only when the caller
+                # vouches that `segments` accounts for EVERY row of the
+                # batch (replay: one whole segment per call). A streaming
+                # trigger can mix a completed segment with files of a
+                # still-incomplete one — there the skip would drop the
+                # incomplete segment's rows for this table.
+                if segments_cover_batch and all(
+                    fp.get(nm) == want for nm, want in segments.items()
+                ):
+                    s = MergeStats(batch_id=batch_id)
+                    s.skipped_idempotent = True
+                    return s
+            return apply_batch(
+                spark, t,
+                cached.filter(F.col(table_col) == ident).drop(table_col),
+                batch_id, mode=mode, segments=segments, **apply_kwargs,
+            )
+
         if transactional:
             txn = catalog.begin()
             try:
-                for ident in known:
-                    out[ident] = apply_batch(
-                        spark, txn.table(ident),
-                        cached.filter(F.col(table_col) == ident).drop(table_col),
-                        batch_id, mode=mode, **apply_kwargs,
-                    )
+                for ident in tables:
+                    out[ident] = _slice(ident, txn.table(ident))
                 txn.commit()
             except BaseException:
                 txn.abort()
                 raise
         else:
-            for ident in known:
-                out[ident] = apply_batch(
-                    spark, catalog.load_table(ident),
-                    cached.filter(F.col(table_col) == ident).drop(table_col),
-                    batch_id, mode=mode, **apply_kwargs,
-                )
+            for ident, t in tables.items():
+                out[ident] = _slice(ident, t)
         if unknown:
             skipped = MergeStats(batch_id=batch_id)
             skipped.events_in = cached.filter(
@@ -136,21 +188,34 @@ def replay_feed_routed(
 ) -> dict[str, dict[str, MergeStats]]:
     """Batch replay of a multi-table feed directory (one subdir per binlog
     segment, lexicographic order = arrival order): {segment: {ident:
-    stats}}. Resumable by construction — every table's ledger skips the
-    segments it already committed, so a crash mid-feed (or mid-segment,
-    without ``transactional``) re-runs to convergence."""
+    stats}}. Resumable by construction — the batch id is the segment's
+    CONTENT fingerprint (never its name: a same-named segment from a
+    different feed must not be silently skipped) and every routed table
+    records the segment + input files in its ledger, so a crash mid-feed
+    (or mid-segment, without ``transactional``) re-runs to convergence,
+    a later ``route_stream`` tail of the same directory recognizes the
+    replayed files as applied, and a reused segment name with different
+    content is refused (``SegmentReuseError``), same as ``replay_feed``."""
     import os
 
-    segs = sorted(
-        d for d in os.listdir(feed_dir)
-        if os.path.isdir(os.path.join(feed_dir, d))
-    )
+    from etl_spark.cdc.apply import _segment_relative, batch_fingerprint
+
     out: dict[str, dict[str, MergeStats]] = {}
-    for seg in segs:
-        batch = spark.read.parquet(os.path.join(feed_dir, seg))
+    for seg in sorted(os.listdir(feed_dir)):
+        d = os.path.join(feed_dir, seg)
+        if not os.path.isdir(d):
+            continue
+        files = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        if not files:  # mid-write / _SUCCESS-only dir: nothing to apply
+            continue
+        bid = batch_fingerprint(files)
         out[seg] = route_batch(
-            spark, catalog, batch, seg, table_col=table_col,
+            spark, catalog, spark.read.parquet(d), bid, table_col=table_col,
             transactional=transactional, on_unknown=on_unknown, mode=mode,
+            segments={seg: bid}, segments_cover_batch=True,
+            input_files=[_segment_relative(f) for f in files],
             **apply_kwargs,
         )
     return out
@@ -176,22 +241,26 @@ def route_stream(
     ``route_batch``.
 
     ``idents`` is the explicit include-list of catalog tables this
-    consumer owns (the Debezium table-include-list): they must exist up
-    front, so a typo'd route value fails fast under ``on_unknown='fail'``
-    instead of silently creating junk tables mid-stream.
+    consumer owns (the Debezium table-include-list), ENFORCED: a route
+    value naming any other table — even one that exists in the catalog —
+    is handled by the ``on_unknown`` policy instead of being written
+    behind its real owner's back; a typo'd value fails fast under
+    ``on_unknown='fail'``.
 
     Exactly-once composition under redelivery: the trigger's batch id is
     the fingerprint of its input files (NOT Spark's epoch id), and every
-    routed table records the same ``input_files`` in its own commit
-    ledger. After checkpoint loss the re-delivered files are recognized
-    as applied only when EVERY routed table has them — a crash between
-    table A's commit and table B's (non-transactional mode) re-runs the
-    trigger, A skips idempotently, B applies; with ``transactional=True``
-    the per-trigger pin swap makes even the intermediate state invisible
-    to catalog readers. A table that legitimately had zero rows in some
-    trigger never ledgers it, so a post-checkpoint-loss replay re-offers
-    those files; every re-offer no-ops (same batch id) — redundant work,
-    never wrong.
+    owned table — including ones with zero rows in the trigger, via
+    ``ensure`` — records the same ``input_files`` in its own commit
+    ledger, so the ledgers advance in lockstep. After checkpoint loss the
+    re-delivered files are recognized as applied only when EVERY routed
+    table has them — a crash between table A's commit and table B's
+    (non-transactional mode) re-runs the trigger, A skips idempotently,
+    B applies; with ``transactional=True`` the per-trigger pin swap makes
+    even the intermediate state invisible to catalog readers. Completed
+    segments collapse into the compact per-segment fingerprint map
+    (pruning per-file ledger entries), and a reused segment name with
+    different content raises ``SegmentReuseError`` instead of being
+    silently skipped or double-applied.
     """
     from pyspark.sql import functions as _F
 
@@ -229,11 +298,38 @@ def route_stream(
         if not new_files:
             return
         bid = batch_fingerprint(new_files)
+        rel_new = [_segment_relative(f) for f in new_files]
+        # segment completion (run_stream's bookkeeping, against the LEAST
+        # advanced ledger): once every file of a segment is applied in all
+        # routed tables, the segment moves to the compact per-segment
+        # fingerprint map and its per-file entries are pruned — bounding
+        # ledger growth over an endless stream
+        import os
+        from urllib.parse import unquote
+
+        common_inputs = (
+            set.intersection(*(inps for _segs, inps in done)) if done else set()
+        )
+        applied_decoded = {unquote(x) for x in (common_inputs | set(rel_new))}
+        complete: dict[str, str] = {}
+        for sname in sorted({r.split("/")[0] for r in rel_new}):
+            dpath = os.path.join(feed_dir, unquote(sname))
+            try:
+                allf = {
+                    f"{unquote(sname)}/{fn}"
+                    for fn in os.listdir(dpath)
+                    if fn.endswith(".parquet")
+                }
+            except OSError:
+                allf = set()
+            if allf and allf <= applied_decoded:
+                complete[sname] = batch_fingerprint(sorted(allf))
         batch_df = df.filter(_F.col("__file").isin(new_files)).drop("__file")
         route_batch(
             spark, catalog, batch_df, bid, table_col=table_col,
             transactional=transactional, on_unknown=on_unknown, mode=mode,
-            input_files=[_segment_relative(f) for f in new_files],
+            include=list(idents), ensure=list(idents),
+            segments=complete or None, input_files=rel_new,
             **apply_kwargs,
         )
 

@@ -175,3 +175,78 @@ def test_route_stream_drains_and_resumes(spark, cat, tmpdir_path):
         for i in ("raw.chat", "raw.agent")
     }
     assert sum(after.values()) > sum(counts.values())
+
+
+def test_segment_name_reuse_across_feeds_is_refused(spark, cat, tmpdir_path):
+    """The data-loss trap: two different feeds using write_feed's default
+    segment names must NOT silently no-op on the second replay."""
+    from etl_spark.cdc.apply import SegmentReuseError
+
+    feed_a = os.path.join(tmpdir_path, "feed_a")
+    feed_b = os.path.join(tmpdir_path, "feed_b")
+    write_feed(_tagged(spark, 3000, seed=31), feed_a)
+    write_feed(_tagged(spark, 3000, seed=32), feed_b)  # same segment NAMES
+    replay_feed_routed(spark, cat, feed_a)
+    with pytest.raises(SegmentReuseError):
+        replay_feed_routed(spark, cat, feed_b)
+    # identical content re-replay stays an idempotent no-op
+    out = replay_feed_routed(spark, cat, feed_a)
+    assert all(
+        s.skipped_idempotent for per in out.values() for s in per.values()
+    )
+
+
+def test_replay_then_stream_interop_no_reapply(spark, cat, tmpdir_path):
+    """A feed applied by batch replay is recognized as applied by a
+    subsequent streaming tail of the same directory (shared ledger)."""
+    from etl_spark.cdc.route import route_stream
+
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    write_feed(_tagged(spark, 4000, seed=41), feed_dir)
+    replay_feed_routed(spark, cat, feed_dir)
+    v = {i: cat.load_table(i).current_version() for i in ("raw.chat", "raw.agent")}
+    route_stream(
+        spark, cat, feed_dir, os.path.join(tmpdir_path, "ck"),
+        ["raw.chat", "raw.agent"],
+    )
+    # no new commits: the stream proved every file already applied
+    assert v == {
+        i: cat.load_table(i).current_version() for i in ("raw.chat", "raw.agent")
+    }
+
+
+def test_include_list_is_enforced(spark, cat, tmpdir_path):
+    """Rows routed to an EXISTING catalog table outside the stream's
+    include-list must not be written behind its owner's back."""
+    from etl_spark.cdc.route import route_stream
+
+    cat.create_table("raw.other", TRANSCRIPT_SCHEMA, n_buckets=2)
+    feed = _tagged(spark, 2000, seed=51).withColumn(
+        "tbl",
+        F.when(F.xxhash64("conv_id") % 3 == 0, F.lit("raw.other")).otherwise(
+            F.col("tbl")
+        ),
+    )
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    write_feed(feed, feed_dir)
+    with pytest.raises(Exception):  # UnknownRouteError inside the stream
+        route_stream(
+            spark, cat, feed_dir, os.path.join(tmpdir_path, "ck1"),
+            ["raw.chat", "raw.agent"],
+        )
+    assert cat.load_table("raw.other").read(spark).count() == 0
+    # skip policy: owned tables apply, the excluded slice is dropped+counted
+    route_stream(
+        spark, cat, feed_dir, os.path.join(tmpdir_path, "ck2"),
+        ["raw.chat", "raw.agent"], on_unknown="skip",
+    )
+    assert cat.load_table("raw.other").read(spark).count() == 0
+    assert cat.load_table("raw.chat").read(spark).count() > 0
+
+
+def test_empty_segment_dir_is_tolerated(spark, cat, tmpdir_path):
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    write_feed(_tagged(spark, 2000, seed=61), feed_dir)
+    os.makedirs(os.path.join(feed_dir, "batch=00099"))  # mid-write dir
+    out = replay_feed_routed(spark, cat, feed_dir)
+    assert "batch=00099" not in out and len(out) == 2

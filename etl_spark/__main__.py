@@ -277,6 +277,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mode", choices=["cow", "mor"], default="mor")
     p.add_argument("--transactional", action="store_true")
     p.add_argument("--on-unknown", choices=["fail", "skip"], default="fail")
+    p.add_argument(
+        "--include", action="append", default=None,
+        help="owned-table include-list (repeatable); rows routed elsewhere "
+             "follow --on-unknown instead of being applied",
+    )
 
     p = sub.add_parser(
         "export-changelog",
@@ -383,6 +388,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, LakeCatalog(args.catalog), args.feed,
             table_col=args.table_col, transactional=args.transactional,
             on_unknown=args.on_unknown, mode=args.mode,
+            include=args.include,
         )
         print(
             json.dumps(

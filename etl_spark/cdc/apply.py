@@ -338,8 +338,12 @@ def apply_batch(
         # touched-bucket table read on every patch-free micro-batch of a
         # stream that merely ALLOWS patches. Probes the raw batch, not
         # ``observed`` — a limit-1 action on the observed plan could fill
-        # the counters from a partial scan.
-        patch_probe = batch.filter(F.col("op") == "P")
+        # the counters from a partial scan. The probe carries the SAME
+        # validity predicate as the merged rows (ok & ~late): an invalid
+        # or late patch row must not disable the fast-append path or
+        # widen the per-column aggregation buffers, since it never
+        # reaches the merge.
+        patch_probe = batch.filter((F.col("op") == "P") & ok & ~late_pred)
         allow_patches = not patch_probe.isEmpty()
         if not allow_patches:
             patch_probe = None

@@ -41,15 +41,29 @@ _ROW_FIELDS = [
     T.StructField("tool", T.StringType()),
 ]
 
-ENVELOPE_SCHEMA = T.StructType(
-    [
-        T.StructField("op", T.StringType()),
-        T.StructField("ts", T.StringType()),
-        T.StructField("lsn", T.LongType()),
-        T.StructField("before", T.StructType(_ROW_FIELDS)),
-        T.StructField("after", T.StructType(_ROW_FIELDS)),
-    ]
-)
+
+def envelope_schema(row_fields: list[T.StructField] | None = None) -> T.StructType:
+    """Wire schema for a given row shape. The row struct is NOT fixed: an
+    evolved table (added/renamed payload columns) exports and re-imports its
+    own shape losslessly — the wire follows the table schema, the way the
+    reference regenerates its warehouse schema from the row struct rather
+    than pinning one (/root/reference/schema/schema.go:101-124)."""
+    rf = _ROW_FIELDS if row_fields is None else row_fields
+    return T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("before", T.StructType(rf)),
+            T.StructField("after", T.StructType(rf)),
+        ]
+    )
+
+
+ENVELOPE_SCHEMA = envelope_schema()
+
+# changelog meta columns that never ride the wire row struct
+_CHANGELOG_META = {"ts", "op_seq", "_change_type"}
 
 _OP_MAP = {"c": "I", "r": "I", "u": "U", "d": "D"}
 
@@ -89,23 +103,54 @@ def to_debezium(changelog: DataFrame, pre_col: str | None = "_pre") -> DataFrame
         .when(ct == "update_postimage", F.lit("u"))
         .when(ct == "delete", F.lit("d"))
     )
-    row_cols = [f.name for f in _ROW_FIELDS]
+    # The wire row struct is DERIVED from the changelog's own schema (key
+    # cols + whatever payload columns this table's current era carries), so
+    # an evolved table replicates its evolved columns instead of silently
+    # dropping them into a fixed wire shape.
+    skip = set(_CHANGELOG_META)
+    if pre_col is not None:
+        skip.add(pre_col)
+    row_fields = [f for f in changelog.schema.fields if f.name not in skip]
+    missing_keys = [k for k in KEY_COLS if k not in {f.name for f in row_fields}]
+    if missing_keys:
+        raise ValueError(
+            f"to_debezium: changelog is missing key columns {missing_keys}; "
+            f"got {[f.name for f in row_fields]}"
+        )
+    row_cols = [f.name for f in row_fields]
     after = F.struct(*[F.col(c).alias(c) for c in row_cols])
     has_pre = pre_col is not None and pre_col in changelog.columns
     if has_pre:
-        # pre-image struct carries payload values; keys come from the row
+        pre_fields = {
+            f.name for f in changelog.schema[pre_col].dataType.fields  # type: ignore[union-attr]
+        }
+        # pre-image struct carries payload values; keys come from the row.
+        # A payload column absent from the pre struct (added this era) is a
+        # typed NULL, never a silent drop.
         pre = F.struct(
             *[
-                (F.col(c) if c in KEY_COLS else F.col(f"{pre_col}.{c}")).alias(c)
-                for c in row_cols
+                (
+                    F.col(f.name)
+                    if f.name in KEY_COLS
+                    else (
+                        F.col(f"{pre_col}.{f.name}")
+                        if f.name in pre_fields
+                        else F.lit(None).cast(f.dataType)
+                    )
+                ).alias(f.name)
+                for f in row_fields
             ]
         )
     else:
         # minimal before-image: the key (what LWW replay needs for a delete)
         pre = F.struct(
             *[
-                (F.col(c) if c in KEY_COLS else F.lit(None).cast("string")).alias(c)
-                for c in row_cols
+                (
+                    F.col(f.name)
+                    if f.name in KEY_COLS
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in row_fields
             ]
         )
     # deletes always carry `before`; updates carry it when a pre-image is
@@ -123,23 +168,34 @@ def to_debezium(changelog: DataFrame, pre_col: str | None = "_pre") -> DataFrame
     return changelog.select(F.to_json(env).alias("value"))
 
 
-def from_debezium(df: DataFrame, json_col: str = "value") -> DataFrame:
+def from_debezium(
+    df: DataFrame,
+    json_col: str = "value",
+    row_fields: list[T.StructField] | None = None,
+) -> DataFrame:
     """Decode a DataFrame of envelope JSON strings into the engine's flat
-    change-event columns (op, ts, op_seq, conv_id, turn_idx, role, text,
-    tool). Unknown op codes / unparseable JSON yield NULL op / NULL keys —
-    rejected (and counted) by apply_batch's validation, never applied."""
-    e = F.from_json(F.col(json_col), ENVELOPE_SCHEMA)
+    change-event columns (op, ts, op_seq, <key cols>, <payload cols>).
+    ``row_fields`` pins the wire row shape (defaults to the canonical
+    transcript row); pass the evolved table's user fields to round-trip an
+    evolved changelog losslessly. Unknown op codes / unparseable JSON yield
+    NULL op / NULL keys — rejected (and counted) by apply_batch's
+    validation, never applied."""
+    rf = _ROW_FIELDS if row_fields is None else row_fields
+    e = F.from_json(F.col(json_col), envelope_schema(rf))
     img = F.when(e["op"] == "d", e["before"]).otherwise(e["after"])
-    return df.select(
+    out = [
         _mapped_op(e["op"]).alias("op"),
         F.to_timestamp(e["ts"]).alias("ts"),
         e["lsn"].alias("op_seq"),
-        img["conv_id"].alias("conv_id"),
-        img["turn_idx"].alias("turn_idx"),
-        F.when(e["op"] == "d", F.lit(None).cast("string"))
-        .otherwise(img["role"]).alias("role"),
-        F.when(e["op"] == "d", F.lit(None).cast("string"))
-        .otherwise(img["text"]).alias("text"),
-        F.when(e["op"] == "d", F.lit(None).cast("string"))
-        .otherwise(img["tool"]).alias("tool"),
-    )
+    ]
+    for f in rf:
+        if f.name in KEY_COLS:
+            out.append(img[f.name].alias(f.name))
+        else:
+            # deletes carry key-only semantics downstream: payload NULL
+            out.append(
+                F.when(e["op"] == "d", F.lit(None).cast(f.dataType))
+                .otherwise(img[f.name])
+                .alias(f.name)
+            )
+    return df.select(*out)

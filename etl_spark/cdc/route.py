@@ -278,6 +278,22 @@ def route_stream(
         "__file", _F.input_file_name()
     )
 
+    import os
+    from urllib.parse import unquote
+
+    def _segment_listing(sname: str) -> set[str]:
+        """Current on-disk file set of a segment, in the decoded
+        segment-relative identity used for fingerprints."""
+        dpath = os.path.join(feed_dir, unquote(sname))
+        try:
+            return {
+                f"{unquote(sname)}/{fn}"
+                for fn in os.listdir(dpath)
+                if fn.endswith(".parquet")
+            }
+        except OSError:
+            return set()
+
     def _apply(df: DataFrame, epoch_id: int) -> None:
         files = list(df.inputFiles())
         if not files:
@@ -288,6 +304,30 @@ def route_stream(
             (t.committed_segments(), t.committed_inputs())
             for t in tables.values()
         ]
+
+        # A segment ledgered complete is immutable by contract: if its
+        # CURRENT listing no longer matches the fingerprint it completed
+        # with (a producer kept writing into it after completion), refuse
+        # loudly — the old `seg in segs` short-circuit would otherwise
+        # skip the late file silently, permanently.
+        from etl_spark.cdc.apply import SegmentReuseError
+
+        trigger_segs = sorted({_segment_relative(f).split("/")[0] for f in files})
+        for sname in trigger_segs:
+            ledgered = {
+                segs[sname] for segs, _inps in done if sname in segs
+            }
+            if not ledgered:
+                continue
+            cur = _segment_listing(sname)
+            cur_fp = batch_fingerprint(sorted(cur)) if cur else None
+            if any(cur_fp != fp for fp in ledgered):
+                raise SegmentReuseError(
+                    f"segment {sname!r} is ledgered complete but its current "
+                    f"listing differs from the completion fingerprint — a "
+                    f"file landed in (or vanished from) a completed segment; "
+                    f"segments are immutable by contract"
+                )
 
         def applied_everywhere(f: str) -> bool:
             rel = _segment_relative(f)
@@ -304,27 +344,36 @@ def route_stream(
         # routed tables, the segment moves to the compact per-segment
         # fingerprint map and its per-file entries are pruned — bounding
         # ledger growth over an endless stream
-        import os
-        from urllib.parse import unquote
-
         common_inputs = (
             set.intersection(*(inps for _segs, inps in done)) if done else set()
         )
         applied_decoded = {unquote(x) for x in (common_inputs | set(rel_new))}
         complete: dict[str, str] = {}
         for sname in sorted({r.split("/")[0] for r in rel_new}):
-            dpath = os.path.join(feed_dir, unquote(sname))
-            try:
-                allf = {
-                    f"{unquote(sname)}/{fn}"
-                    for fn in os.listdir(dpath)
-                    if fn.endswith(".parquet")
-                }
-            except OSError:
-                allf = set()
+            allf = _segment_listing(sname)
             if allf and allf <= applied_decoded:
                 complete[sname] = batch_fingerprint(sorted(allf))
-        batch_df = df.filter(_F.col("__file").isin(new_files)).drop("__file")
+        # Match batch rows to the new files on the NORMALIZED identity
+        # (segment-relative + percent-decoded) on BOTH sides:
+        # `__file` comes from input_file_name() and `new_files` from
+        # df.inputFiles(), and the two may disagree on URI encoding —
+        # an exact-string isin would then silently yield an empty batch
+        # while the files are still ledgered as applied.
+        rel_col = _F.array_join(
+            _F.slice(_F.split(_F.col("__file"), "/"), -2, 2), "/"
+        )
+        rel_col = _F.coalesce(_F.try_url_decode(rel_col), rel_col)
+        want = [unquote(r) for r in rel_new]
+        batch_df = df.filter(rel_col.isin(want)).drop("__file")
+        if batch_df.isEmpty() and not df.isEmpty():
+            # rows exist in the trigger but none matched the new files —
+            # the identity normalization above missed; fail loudly
+            # instead of ledgering unapplied files
+            raise RuntimeError(
+                f"route_stream: trigger matched 0 rows for {len(rel_new)} "
+                f"new files ({rel_new[:3]}…) — file-identity normalization "
+                f"mismatch between inputFiles() and input_file_name()"
+            )
         route_batch(
             spark, catalog, batch_df, bid, table_col=table_col,
             transactional=transactional, on_unknown=on_unknown, mode=mode,

@@ -724,7 +724,10 @@ def _merge_patch(
         t_probe = time.time()
         if patch_probe is None:
             # direct merge_into callers: fall back to probing the observed
-            # batch (correct, but the metrics node widens the scan)
+            # batch (correct, but the metrics node widens the scan).
+            # `batch` here is already the VALIDATED row set, so the probe
+            # matches the apply_batch path, which pre-filters its raw
+            # probe with the same (ok & ~late) predicate.
             patch_probe = batch.filter(F.col("op") == PATCH_OP)
         probe_aggs: list = [F.collect_set(table.bucket_expr()).alias("bks")]
         flag_cols = [c for c in payload_cols if c in patch_probe.columns]
@@ -827,6 +830,15 @@ def _merge_patch(
             # MOR append vocabulary (inserted/deleted — no stale/carried
             # detection, same as the non-patch MOR path); patch keys keep
             # exact read-modify-write dispositions.
+            # PLAN PIN: `patch_keys` and `batch_ev` both reference the
+            # observed `batch` subtree, so the fast_append=False write job
+            # carries the validation CollectMetrics node TWICE. Spark
+            # merges same-named observations across duplicated subtrees
+            # and reports one complete result per action (the counters
+            # are sums over all instances' partitions of the SAME scan,
+            # deduplicated by Spark's AggregatingAccumulator per metric
+            # id) — pinned by
+            # tests/test_patch.py::test_patch_counters_survive_duplicated_subtree.
             patch_keys = batch.filter(F.col("op") == PATCH_OP).select(
                 *[F.col(k).cast(evolved[k].dataType).alias(k) for k in KEY_COLS]
             ).dropDuplicates(list(KEY_COLS))

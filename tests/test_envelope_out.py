@@ -86,3 +86,60 @@ def test_roundtrip_converges_replica(spark, tmp_path):
     assert _state(spark, rep) == {
         k: v for k, v in _state(spark, src).items()
     }
+
+
+def test_evolved_schema_rides_the_wire(spark, tmp_path):
+    """An evolved table's added payload columns must ride the wire: the row
+    struct is derived from the changelog's own schema, not a fixed shape, so
+    lake-to-lake replication of an evolved table is lossless (the silent
+    column-drop class the round-3 review flagged)."""
+    src = LakeTable.create(str(tmp_path / "src"), TRANSCRIPT_SCHEMA, n_buckets=4)
+    feed = change_feed_df(spark, n_events=3000, n_convs=50, max_turns=8,
+                          seed=41, delete_ratio=0.10, n_batches=2)
+    live = F.col("op") != "D"
+    feed = feed.withColumn(
+        "lang", F.when(live, F.concat(F.lit("l"), (F.col("op_seq") % 3).cast("string")))
+    ).withColumn(
+        "score", F.when(live, (F.col("op_seq") % 100).cast("double"))
+    )
+    fdir = str(tmp_path / "feed")
+    write_feed(feed, fdir, n_batches=2)
+    replay_feed(spark, src, fdir, mode="mor")
+    user = src.user_schema()
+    assert {"lang", "score"} <= {f.name for f in user.fields}
+
+    wires = to_debezium(
+        src.changes_between(spark, 0, emit_meta=True, emit_pre=True)
+    )
+    sample = [json.loads(r["value"]) for r in wires.limit(200).collect()]
+    assert any("lang" in (e.get("after") or {}) for e in sample)
+
+    row_fields = [f for f in user.fields if f.name != "ts"]
+    decoded = from_debezium(wires, row_fields=row_fields)
+    rep = LakeTable.create(str(tmp_path / "rep"), TRANSCRIPT_SCHEMA, n_buckets=2)
+    apply_batch(spark, rep, decoded, "wire-evolved", mode="mor")
+
+    def _full(t):
+        return {
+            (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"],
+                                            r["lang"], r["score"])
+            for r in t.read(spark)
+            .select("conv_id", "turn_idx", "role", "text", "tool", "lang", "score")
+            .collect()
+        }
+
+    assert _full(rep) == _full(src)
+    assert any(v[3] is not None for v in _full(rep).values())
+
+
+def test_wire_refuses_changelog_without_keys(spark, tmp_path):
+    import pytest
+
+    src = LakeTable.create(str(tmp_path / "s2"), TRANSCRIPT_SCHEMA, n_buckets=2)
+    fdir = str(tmp_path / "f2")
+    write_feed(change_feed_df(spark, n_events=500, n_convs=10, max_turns=4,
+                              seed=7, n_batches=1), fdir)
+    replay_feed(spark, src, fdir, mode="mor")
+    cl = src.changes_between(spark, 0, emit_meta=True).drop("conv_id")
+    with pytest.raises(ValueError, match="missing key columns"):
+        to_debezium(cl)

@@ -376,3 +376,79 @@ def test_patch_mor_missing_bloom_no_rebuild_no_false_fastpath(spark, tmp_path):
     assert table.manifest().bloom is not None
     got = _table_state(spark, table)
     assert got.loc[1, "tool"] == "newtool" and got.loc[1, "text"] == "two"
+
+
+def test_invalid_patch_rows_do_not_gate_probe(spark, tmp_path):
+    """The lean-gate probe carries the same validity predicate as the merge:
+    an invalid patch row (null key) must neither disable the fast-append
+    path nor widen the patched-column set — it never reaches the merge."""
+    table = LakeTable.create(
+        str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    # commit a row so the table HAS files (a null-key probe bucket would
+    # otherwise trivially pass the has_files check)
+    apply_batch(
+        spark, table,
+        spark.createDataFrame(
+            [("I", _t(0), 0, "conv-z", 0, "user", "seed", None)], EVENT_SCHEMA
+        ),
+        "seed", allow_patches=True,
+    )
+    # valid patches on UNSEEN keys (fast-append eligible) + one invalid
+    # patch row with a NULL conv_id that would probe into an arbitrary
+    # bucket if not filtered out
+    batch = spark.createDataFrame(
+        [
+            ("P", _t(5), 10, "conv-new", 0, None, "hello", None),
+            ("P", _t(6), 11, None, 0, "bad-role", None, "bad-tool"),
+        ],
+        EVENT_SCHEMA,
+    )
+    s = apply_batch(spark, table, batch, "probe-gate", allow_patches=True,
+                    fail_threshold=0.9)
+    assert s.failed == 1
+    assert s.fast_path_append, "invalid patch row disabled the fast path"
+    got = _table_state(spark, table)
+    assert got.loc[got.conv_id == "conv-new", "text"].item() == "hello"
+
+
+def test_patch_counters_survive_duplicated_subtree(spark, tmp_path):
+    """PLAN PIN (lake/merge.py _merge_patch): in the fast_append=False MOR
+    plan, `patch_keys` and `batch_ev` both reference the observed batch
+    subtree, so the write job evaluates the validation CollectMetrics node
+    from two plan instances. Spark must report ONE complete counter set —
+    if this assumption ever breaks (doubled or partial counts), the
+    events_in/failed invariant below breaks with it."""
+    table = LakeTable.create(
+        str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    seed = spark.createDataFrame(
+        [
+            ("I", _t(0), 0, "conv-a", 0, "user", "orig-a", None),
+            ("I", _t(0), 1, "conv-b", 1, "user", "orig-b", None),
+        ],
+        EVENT_SCHEMA,
+    )
+    apply_batch(spark, table, seed, "seed", allow_patches=True, mode="mor")
+    # patches on COMMITTED keys force the read-modify-write plan
+    # (fast_append=False); invalid rows exercise the failed counter
+    batch = spark.createDataFrame(
+        [
+            ("P", _t(5), 10, "conv-a", 0, None, "patched-a", None),
+            ("P", _t(6), 11, "conv-b", 1, None, None, "tool-b"),
+            ("U", _t(7), 12, "conv-c", 2, "user", "full-c", None),
+            ("X", _t(8), 13, "conv-d", 3, None, "bad-op", None),
+            ("P", _t(9), 14, None, 0, None, "null-key", None),
+        ],
+        EVENT_SCHEMA,
+    )
+    s = apply_batch(spark, table, batch, "dup-subtree", allow_patches=True,
+                    mode="mor", fail_threshold=0.9)
+    assert not s.fast_path_append
+    assert s.events_in == 5
+    assert s.failed == 2
+    assert s.events_in == s.failed + s.late_dropped + s.dup_dropped + s.applied()
+    got = _table_state(spark, table)
+    assert got.loc[got.conv_id == "conv-a", "text"].item() == "patched-a"
+    assert got.loc[got.conv_id == "conv-b", "tool"].item() == "tool-b"
+    assert got.loc[got.conv_id == "conv-c", "text"].item() == "full-c"

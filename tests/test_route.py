@@ -250,3 +250,32 @@ def test_empty_segment_dir_is_tolerated(spark, cat, tmpdir_path):
     os.makedirs(os.path.join(feed_dir, "batch=00099"))  # mid-write dir
     out = replay_feed_routed(spark, cat, feed_dir)
     assert "batch=00099" not in out and len(out) == 2
+
+
+def test_file_landing_in_completed_segment_raises(spark, cat, tmpdir_path):
+    """A segment ledgered complete is immutable: a file that lands in it
+    afterwards (producer kept writing, no _SUCCESS gating) must be refused
+    loudly on the next drain, never silently skipped."""
+    from etl_spark.cdc.route import route_stream
+
+    feed = _tagged(spark, 4000, seed=33)
+    feed_dir = os.path.join(tmpdir_path, "mfeed")
+    write_feed(feed, feed_dir)
+    ck = os.path.join(tmpdir_path, "mck")
+    route_stream(spark, cat, feed_dir, ck, ["raw.chat", "raw.agent"])
+
+    # producer writes one more parquet file into the completed batch=00000
+    seg0 = os.path.join(feed_dir, sorted(os.listdir(feed_dir))[0])
+    late = _tagged(spark, 300, seed=99).filter(F.col("batch") == 0).drop("batch")
+    tmp = os.path.join(tmpdir_path, "late_part")
+    late.coalesce(1).write.parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(tmp, part), os.path.join(seg0, "zz-late.parquet"))
+
+    # foreachBatch wraps the raise in StreamingQueryException; the
+    # SegmentReuseError message must survive into it (loud, attributable)
+    with pytest.raises(Exception, match="completion fingerprint"):
+        route_stream(
+            spark, cat, feed_dir, os.path.join(tmpdir_path, "mck2"),
+            ["raw.chat", "raw.agent"],
+        )

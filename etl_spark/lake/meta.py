@@ -117,7 +117,7 @@ def snapshots_df(table: LakeTable, spark: SparkSession) -> DataFrame:
         except Exception:
             continue
         batch_id, op = None, "maintenance"
-        for bid, c in m.commits.items():
+        for bid, c in table.full_commits(m).items():
             if c.get("version") == v:
                 batch_id, op = bid, c.get("mode", "cow")
                 break
@@ -163,7 +163,7 @@ def history_df(table: LakeTable, spark: SparkSession) -> DataFrame:
     a rollback carries batches absent from the current ledger and
     reads ``is_current_ancestor = false`` until a re-replay re-applies
     them."""
-    cur_batches = set(table.manifest().commits)
+    cur_batches = set(table.full_commits())
     rows = []
     for ver in table.versions():
         try:
@@ -175,7 +175,7 @@ def history_df(table: LakeTable, spark: SparkSession) -> DataFrame:
                 "version": ver,
                 "made_current_at": _iso(m.created_unix),
                 "parent": m.parent,
-                "is_current_ancestor": set(m.commits) <= cur_batches,
+                "is_current_ancestor": set(table.full_commits(m)) <= cur_batches,
             }
         )
     schema = (

@@ -39,14 +39,18 @@ pure parquet DataFrame scans that Catalyst prunes by bucket directory. No
 driver-side row iteration anywhere.
 
 Ledger growth: the idempotence ledger (``commits`` + ``segments``) adds one
-small record per applied batch/segment, so manifest JSON size is
-O(files + history). Per-file input entries are pruned once their segment
-completes (see commit_version), compaction collapses file lists, and at
-the reference's own cadence (one archive ≈ one segment; ~10^4-10^5
-segments per 10^10 events) the ledger stays single-digit MB — written
-once per commit, never shipped to executors. A deployment past that scale
-would snapshot the ledger the way Iceberg splits manifest lists; the swap
-seam is commit_version, which is the only writer of it.
+small record per applied batch/segment. Per-file input entries are pruned
+once their segment completes (see commit_version) and compaction collapses
+file lists; the batch/segment history itself is SNAPSHOTTED the way
+Iceberg splits manifest lists: once the inline tail exceeds
+``ledger_inline_max`` entries, _commit_version_once folds it into one
+immutable cumulative ledger file (``Manifest.ledger`` pointer) and the
+inline maps restart empty. The manifest rewritten on every commit is
+therefore O(live files + tail) regardless of uptime — at 10^10 events
+(~10^5 segments) the per-commit write stays ~100 KB while the spilled
+ledger (a few MB) is rewritten once per ~10^3 commits and read through a
+process-wide cache. Exactly-once membership always consults tail ∪
+snapshot (``full_commits``/``full_segments``).
 """
 
 from __future__ import annotations
@@ -78,6 +82,13 @@ _SYSTEM_FIELDS = [
 
 
 _SENTINEL = object()  # "argument not passed" marker for schema-DDL commits
+
+# Ledger-snapshot file cache: abs path -> {"commits": {...}, "segments":
+# {...}}. Ledger files are immutable once written (content-complete at
+# spill time, new spills get new names), so caching by path is safe across
+# LakeTable handles; a tiny FIFO bound covers the multi-table case.
+_LEDGER_CACHE: dict[str, dict[str, dict]] = {}
+_LEDGER_CACHE_MAX = 16
 
 
 class CommitConflictError(RuntimeError):
@@ -220,6 +231,17 @@ class Manifest:
     # set_skip_blooms(); files written earlier have no sidecar and are
     # simply never pruned.
     skip_blooms: list[str] | None = None
+    # ledger snapshot pointer (the Iceberg manifest-list split, applied to
+    # the idempotence ledger): {"path": rel, "commits": n, "segments": n}.
+    # When the INLINE commits/segments maps exceed the spill threshold,
+    # they are folded into one immutable cumulative JSON file under
+    # _manifests/ and the inline maps restart empty — so the manifest
+    # rewritten on EVERY commit stays O(files + tail), not O(history),
+    # under unbounded 10^10-event uptime. Ledger files are written before
+    # the pointer swap (like the bloom sidecar) and read lazily through a
+    # cache; lookups (is_committed / committed_segments) merge tail ∪
+    # ledger, so exactly-once semantics see full history.
+    ledger: dict[str, Any] | None = None
 
     def __post_init__(self):
         if self.segments is None:
@@ -242,6 +264,7 @@ class Manifest:
         d.setdefault("renames", None)
         d.setdefault("key_neutral", False)
         d.setdefault("skip_blooms", None)
+        d.setdefault("ledger", None)
         return Manifest(**d)
 
 
@@ -258,6 +281,11 @@ class LakeTable:
     def __init__(self, path: str, ref: str = CURRENT_PTR):
         self.path = path
         self._ref = ref
+        # inline idempotence-ledger tail size before commits/segments spill
+        # to a cumulative ledger-snapshot file (see Manifest.ledger). 1024
+        # keeps the per-commit manifest rewrite a few hundred KB while a
+        # spill — one O(history) file write — happens once per ~1k commits.
+        self.ledger_inline_max: int = 1024
         # value-bloom sidecar byte cache: sidecars are immutable once
         # committed (uuid-unique names), so repeated lookups on one handle
         # reuse the bytes instead of re-opening every candidate file
@@ -1295,7 +1323,11 @@ class LakeTable:
         attempts = 0
         while True:
             m = self.manifest()
-            if batch_id is not None and batch_id in m.commits:
+            if batch_id is not None and (
+                batch_id in m.commits
+                or (m.ledger is not None
+                    and batch_id in self._ledger_maps(m)["commits"])
+            ):
                 # a concurrent writer (or a redelivered trigger racing a
                 # slow one) already applied this very batch — idempotent
                 return m
@@ -1505,6 +1537,34 @@ class LakeTable:
                     f: b for f, b in inputs_map.items()
                     if f.split("/", 1)[0] not in done
                 }
+        # ledger snapshot spill (Iceberg manifest-list split analog): when
+        # the inline tail outgrows the threshold, fold prior-ledger ∪ tail
+        # into ONE immutable cumulative file and restart the inline maps
+        # empty. Written before the pointer swap like the bloom sidecar
+        # (a losing CAS writer's orphan file is swept by expire_snapshots).
+        # Per-commit manifest size is thus O(files + tail); the full
+        # history moves to a file rewritten only once per spill interval.
+        ledger_meta = m.ledger
+        if (len(commits) + len(seg_map)) > self.ledger_inline_max:
+            led = self._ledger_maps(m)
+            merged_ledger = {
+                "commits": {**led["commits"], **commits},
+                "segments": {**led["segments"], **seg_map},
+            }
+            ledger_rel = os.path.join(
+                MANIFEST_DIR,
+                f"ledger-v{m.version + 1:08d}-{uuid.uuid4().hex[:8]}.json",
+            )
+            _atomic_write(
+                os.path.join(self.path, ledger_rel),
+                json.dumps(merged_ledger, sort_keys=True),
+            )
+            ledger_meta = {
+                "path": ledger_rel,
+                "commits": len(merged_ledger["commits"]),
+                "segments": len(merged_ledger["segments"]),
+            }
+            commits, seg_map = {}, {}
         bloom_meta = None if drop_bloom else m.bloom
         if new_bloom is not None:
             from etl_spark.cdc.bloom import BLOOM_ALGO
@@ -1547,6 +1607,7 @@ class LakeTable:
             renames=m.renames,
             key_neutral=key_neutral,
             skip_blooms=m.skip_blooms,
+            ledger=ledger_meta,
         )
         self._write_manifest(nm)
         return nm
@@ -1561,15 +1622,47 @@ class LakeTable:
         """Max event-time (µs) ever applied — the event-time frontier."""
         return self.manifest().watermark_us
 
+    def _ledger_maps(self, m: Manifest) -> dict[str, dict]:
+        """The manifest's spilled ledger snapshot (empty maps when none).
+        Immutable file → loaded once per path, cached module-wide."""
+        if not m.ledger:
+            return {"commits": {}, "segments": {}}
+        full = os.path.join(self.path, m.ledger["path"])
+        hit = _LEDGER_CACHE.get(full)
+        if hit is None:
+            with open(full) as f:
+                hit = json.load(f)
+            if len(_LEDGER_CACHE) >= _LEDGER_CACHE_MAX:
+                _LEDGER_CACHE.pop(next(iter(_LEDGER_CACHE)))
+            _LEDGER_CACHE[full] = hit
+        return hit
+
+    def full_commits(self, m: Manifest | None = None) -> dict[str, dict[str, Any]]:
+        """Complete commit ledger of a snapshot: spilled snapshot ∪ inline
+        tail. This is what exactly-once membership and the metrics tables
+        read; ``m.commits`` alone is only the post-spill tail."""
+        m = self.manifest() if m is None else m
+        led = self._ledger_maps(m)["commits"]
+        return {**led, **m.commits} if led else dict(m.commits)
+
+    def full_segments(self, m: Manifest | None = None) -> dict[str, str]:
+        """Complete segment ledger of a snapshot (spilled ∪ inline)."""
+        m = self.manifest() if m is None else m
+        led = self._ledger_maps(m)["segments"]
+        return {**led, **m.segments} if led else dict(m.segments)
+
     def is_committed(self, batch_id: str) -> bool:
-        return batch_id in self.manifest().commits
+        m = self.manifest()
+        return batch_id in m.commits or (
+            m.ledger is not None and batch_id in self._ledger_maps(m)["commits"]
+        )
 
     def committed_segments(self) -> dict[str, str]:
         """Completed segments → content fingerprint (batch_fingerprint over
         the segment's full file set; legacy entries carry the committing
         batch id). Membership (`name in ...`) answers "done?", the value
         answers "done with WHAT content?" — the reuse-refusal check."""
-        return dict(self.manifest().segments)
+        return self.full_segments()
 
     def committed_inputs(self) -> set[str]:
         """Segment-relative input files already applied: every file of every
@@ -1578,7 +1671,7 @@ class LakeTable:
         return set(m.applied_inputs)
 
     def commit_log(self) -> dict[str, dict[str, Any]]:
-        return self.manifest().commits
+        return self.full_commits()
 
     def describe(self) -> list[dict[str, Any]]:
         """DESCRIBE TABLE: (name, type, nullable, comment) for the current
@@ -2555,6 +2648,8 @@ class LakeTable:
                         out.add(fe["vb"]["path"])
             if m.bloom:
                 out.add(m.bloom["path"])
+            if m.ledger:
+                out.add(m.ledger["path"])
             return out
 
         live: set[str] = set()
@@ -2607,6 +2702,12 @@ class LakeTable:
         live_blooms = {os.path.basename(rel) for rel in live if "bloom-" in rel}
         for fn in list(os.listdir(mdir)):
             if fn.startswith("bloom-") and fn not in live_blooms:
+                os.remove(os.path.join(mdir, fn))
+                n_deleted += 1
+        # ledger-snapshot files of expired or crashed/OCC-losing writers
+        live_ledgers = {os.path.basename(rel) for rel in live if "ledger-" in rel}
+        for fn in list(os.listdir(mdir)):
+            if fn.startswith("ledger-") and fn not in live_ledgers:
                 os.remove(os.path.join(mdir, fn))
                 n_deleted += 1
         return n_deleted

@@ -781,8 +781,11 @@ _KM_DOT = (
 )
 _KM_G = f"CAST(c.nsq AS DOUBLE) / (c.n * c.n) - 2.0 * {_KM_DOT} / c.n"
 
-EMB_KMEANS_SQL = f"""
-    WITH n AS ({QUANT_SQL}),
+# the k-means CTE chain through the post-update centroid state ``c1`` —
+# shared by the kmeans oracle and the persisted-IVF-index oracle (which
+# must reproduce the SAME trained centroids). ``n`` must provide
+# (vec_id, label, q); extra columns (nsq) pass through harmlessly.
+_KM_C1_CTES = f"""
     c0 AS (
         SELECT vec_id AS c, q AS s, 1 AS n,
                list_aggregate(list_transform(q, x -> x * x), 'sum') AS nsq
@@ -815,7 +818,12 @@ EMB_KMEANS_SQL = f"""
                    list_transform(coalesce(c1raw.s, c0.s), x -> x * x), 'sum'
                ) AS nsq
         FROM c0 LEFT JOIN c1raw ON c0.c = c1raw.c
-    ),
+    )
+"""
+
+EMB_KMEANS_SQL = f"""
+    WITH n AS ({QUANT_SQL}),
+    {_KM_C1_CTES},
     a2 AS (
         SELECT vec_id, label, q, c FROM (
             SELECT x.vec_id, x.label, x.q, c.c,
@@ -897,5 +905,153 @@ EMB_SQ_RECALL_SQL = f"""
                AS recall_bp
     FROM exact e LEFT JOIN sq s
       ON e.q_id = s.q_id AND e.cand_id = s.cand_id
+    GROUP BY e.q_id
+"""
+
+
+# --- persisted IVF serving index (ops/ivfserve.py) ---------------------------
+# The SERVING shape of IVF: centroids trained once (the emb_kmeans Lloyd
+# fit), corpus assigned to cells at INGEST and persisted cell-partitioned;
+# the query assigns only its probes and scans only the probed cells'
+# files. These registry rows are the oracle-checked proof that the
+# persisted index returns exactly what recomputation would — the round-3
+# scale wart (emb_ivf_topk re-assigning the corpus per query) closed.
+
+IVF_IDX_NPROBE = 2
+_IVF_CACHE: dict[str, object] = {}
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str):
+    """Build (once per process per sf_dir) the persisted index: train on
+    the corpus, then ingest it as two segments to prove multi-segment
+    serving. Queries probe the PERSISTED cells — no corpus-wide stage."""
+    idx = _IVF_CACHE.get(sf_dir)
+    if idx is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from etl_spark.ops.ivfserve import IvfIndex
+
+        d = tempfile.mkdtemp(prefix="etl_spark_ivfidx_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        idx = IvfIndex(os.path.join(d, "ivf"))
+        e = _emb(spark, sf_dir)
+        idx.train(spark, e)
+        idx.add(spark, e.filter(F.col("vec_id") % 2 == 0), seg_name="even")
+        idx.add(spark, e.filter(F.col("vec_id") % 2 == 1), seg_name="odd")
+        _IVF_CACHE[sf_dir] = idx
+    return idx
+
+
+def emb_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _ivf_index_for(spark, sf_dir)
+    probes = _emb(spark, sf_dir).filter(
+        (F.col("vec_id") >= N_CENTROIDS) & (F.col("vec_id") < 2 * N_CENTROIDS)
+    )
+    out = idx.topk(spark, probes, k=IVF_TOP_K, n_probe=IVF_IDX_NPROBE)
+    return out.select(
+        "q_id", "cand_id", "rank", F.round("cos", 4).alias("cos4")
+    )
+
+
+def emb_ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the persisted index vs exact brute force — the
+    statistic a production ANN rollout is judged on, kept oracle-exact."""
+    idx_hits = emb_ivf_index_topk(spark, sf_dir).select(
+        "q_id", "cand_id"
+    ).withColumn("__hit", F.lit(1))
+    e = _quantized(_emb(spark, sf_dir)).select("vec_id", "__q", "__nsq")
+    probes = e.filter(
+        (F.col("vec_id") >= N_CENTROIDS) & (F.col("vec_id") < 2 * N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("q_id"), F.col("__q").alias("qv"),
+        F.col("__nsq").alias("qn"),
+    )
+    cand = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("__q").alias("cv"),
+        F.col("__nsq").alias("cn"),
+    )
+    cos = _cos(_dot("qv", "cv"), "qn", "cn")
+    scored = (
+        F.broadcast(probes)
+        .join(cand, F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", cos.alias("__cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("__cos").desc(), F.col("cand_id"))
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= IVF_TOP_K)
+        .select("q_id", "cand_id")
+    )
+    return (
+        exact.join(idx_hits, ["q_id", "cand_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("__hit").alias("n_hits"),
+            F.floor(
+                F.lit(10000.0) * F.count("__hit") / F.lit(IVF_TOP_K)
+            ).alias("recall_bp"),
+        )
+    )
+
+
+# probe→cell assignment uses the same g metric against the TRAINED (c1)
+# centroids; a probe searches its IVF_IDX_NPROBE nearest cells.
+EMB_IVF_INDEX_TOPK_SQL = f"""
+    WITH n AS ({NORM_SQL}),
+    {_KM_C1_CTES},
+    assigned AS (
+        SELECT vec_id AS cand_id, q, nsq, c AS cell FROM (
+            SELECT x.vec_id, x.q, x.nsq, c.c,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id ORDER BY {_KM_G}, c.c
+                   ) AS rn
+            FROM n x, c1 c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS q_id, q, nsq, c AS cell FROM (
+            SELECT x.vec_id, x.q, x.nsq, c.c,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id ORDER BY {_KM_G}, c.c
+                   ) AS rn
+            FROM n x, c1 c
+            WHERE x.vec_id >= {N_CENTROIDS} AND x.vec_id < {2 * N_CENTROIDS}
+        ) WHERE rn <= {IVF_IDX_NPROBE}
+    ),
+    scored AS (
+        SELECT a.q_id, b.cand_id,
+               CAST(list_aggregate(list_transform(range(1, 65), i -> a.q[i] * b.q[i]), 'sum') AS DOUBLE)
+                   / sqrt(CAST(a.nsq AS DOUBLE) * CAST(b.nsq AS DOUBLE)) AS c
+        FROM probes a JOIN assigned b
+          ON a.cell = b.cell AND b.cand_id <> a.q_id
+    )
+    SELECT q_id, cand_id, rank, round(c, 4) AS cos4
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, cand_id) AS rank
+        FROM scored
+    ) WHERE rank <= {IVF_TOP_K}
+"""
+
+EMB_IVF_INDEX_RECALL_SQL = f"""
+    WITH n AS ({NORM_SQL}),
+    exact AS (
+        SELECT q_id, cand_id FROM (
+            SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id ORDER BY {COS_SQL} DESC, b.vec_id
+                   ) AS rn
+            FROM n a JOIN n b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id >= {N_CENTROIDS} AND a.vec_id < {2 * N_CENTROIDS}
+        ) WHERE rn <= {IVF_TOP_K}
+    ),
+    idx AS (SELECT q_id, cand_id FROM ({EMB_IVF_INDEX_TOPK_SQL}))
+    SELECT e.q_id,
+           CAST(count(i.cand_id) AS BIGINT) AS n_hits,
+           CAST(floor(10000.0 * count(i.cand_id) / {IVF_TOP_K}) AS BIGINT)
+               AS recall_bp
+    FROM exact e LEFT JOIN idx i
+      ON e.q_id = i.q_id AND e.cand_id = i.cand_id
     GROUP BY e.q_id
 """

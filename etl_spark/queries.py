@@ -235,6 +235,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_sq_topk": (simsearch.emb_sq_topk, simsearch.EMB_SQ_TOPK_SQL),
     "emb_sq_recall": (simsearch.emb_sq_recall, simsearch.EMB_SQ_RECALL_SQL),
     "emb_kmeans": (simsearch.emb_kmeans, simsearch.EMB_KMEANS_SQL),
+    "emb_ivf_index_topk": (
+        simsearch.emb_ivf_index_topk,
+        simsearch.EMB_IVF_INDEX_TOPK_SQL,
+    ),
+    "emb_ivf_index_recall": (
+        simsearch.emb_ivf_index_recall,
+        simsearch.EMB_IVF_INDEX_RECALL_SQL,
+    ),
     # --- multimodal plumbing (Arrow mapInPandas decode stub) ---
     "mm_decode_meta": (multimodal.mm_decode_meta, multimodal.MM_DECODE_META_SQL),
     "mm_frame_sample": (multimodal.mm_frame_sample, multimodal.MM_FRAME_SAMPLE_SQL),

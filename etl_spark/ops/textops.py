@@ -632,21 +632,141 @@ DOC_FIELD_ZIP_SQL = f"""
 # The production step AFTER near-dup pair detection: group transitive
 # duplicates into clusters and keep one canonical doc per cluster
 # (cluster_id = min doc_id reachable through verified MinHash pairs).
-# Spark: iterative min-label propagation — a driver LOOP whose every step
-# is a distributed equi-join + hash-aggregate (never a collect of row
-# data); lineage is truncated per step with localCheckpoint so plans stay
-# O(1) deep. Converges in O(component diameter) steps — near-dup clusters
-# are shallow (duplicates of one source), so 2-4 steps in practice. At
-# 100 TB the same loop holds (each step is one shuffle keyed by doc_id);
-# for adversarially long chains swap the step body for the
-# large-star/small-star alternation (Kiveris et al., "Connected
-# Components in MapReduce"), which is the identical join shape with
-# O(log n) convergence.
+# Spark: two interchangeable driver LOOPS whose every step is a
+# distributed groupBy-min + equi-join (never a collect of row data),
+# lineage truncated per step with localCheckpoint. Min-label propagation
+# converges in O(component diameter) steps — the cheap loop for the
+# shallow clusters real near-dup graphs produce (diameter is a CONTENT
+# property: duplicates of one source, 2-4 hops, independent of corpus
+# size). The large-star/small-star alternation (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond") at least halves every
+# component's height per round, so it converges in O(log n) ROUNDS
+# regardless of diameter — the property that survives an adversarially
+# deep 100 TB dup chain. The default ("auto") runs the cheap loop with a
+# small budget and falls back to star on exhaustion; both raise loudly
+# rather than ship silently split components.
 
-def connected_components_labels(pairs: DataFrame, max_steps: int = 32) -> DataFrame:
+
+def _cc_star_labels(edges: DataFrame, max_steps: int) -> DataFrame:
+    """Large-star/small-star alternation over a (src, dst) edge list
+    (src != dst, deduped). Returns (doc_id, label=component min) for every
+    node appearing in ``edges``. O(log n) rounds; each round is two
+    (groupBy-min + join) passes keyed by node id."""
+    F_ = F
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(
+            e.select(F_.col("dst").alias("src"), F_.col("src").alias("dst"))
+        )
+
+    nodes = (
+        _sym(edges).select(F_.col("src").alias("doc_id")).distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _digest(e: DataFrame):
+        # order-insensitive set digest over the (distinct) edge rows;
+        # bit_xor never overflows under ANSI mode
+        r = e.agg(
+            F_.count(F_.lit(1)).alias("n"),
+            F_.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).first()
+        return (int(r["n"]), int(r["h"] or 0))
+
+    cur = edges.localCheckpoint(eager=True)
+    prev_sig = None
+    for _step in range(max_steps):
+        # LARGE-STAR: every strictly-larger neighbor of u links to
+        # min(Γ⁺(u)) — connects high nodes straight to the local minimum
+        nb = _sym(cur)
+        mins = nb.groupBy("src").agg(
+            F_.least(F_.min("dst"), F_.first("src")).alias("m")
+        )
+        large = (
+            nb.join(mins, "src")
+            .filter(F_.col("dst") > F_.col("src"))
+            .select(F_.col("dst").alias("src"), F_.col("m").alias("dst"))
+            .filter(F_.col("src") != F_.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # SMALL-STAR: orient each edge big→small, link every small
+        # neighbor (and the center) to the minimum — flattens the tails
+        o = large.select(
+            F_.greatest("src", "dst").alias("src"),
+            F_.least("src", "dst").alias("dst"),
+        )
+        omins = o.groupBy("src").agg(F_.min("dst").alias("m"))
+        small = (
+            o.join(omins, "src")
+            .select(
+                F_.explode(
+                    F_.array(
+                        F_.struct(F_.col("dst").alias("src"), F_.col("m").alias("dst")),
+                        F_.struct(F_.col("src").alias("src"), F_.col("m").alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .filter(F_.col("src") != F_.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = _digest(small)
+        cur = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components_labels(star): edge set still changing "
+            f"after max_steps={max_steps} rounds — raise max_steps"
+        )
+    # at the fixpoint every component is a star: (child → root) edges;
+    # roots appear only as dst and label themselves
+    roots = cur.groupBy("src").agg(F_.min("dst").alias("label"))
+    return nodes.join(
+        roots, nodes.doc_id == roots.src, "left"
+    ).select(
+        "doc_id", F_.coalesce("label", F_.col("doc_id")).alias("label")
+    )
+
+
+def connected_components_labels(
+    pairs: DataFrame,
+    max_steps: int = 32,
+    algorithm: str = "auto",
+    quick_steps: int = 8,
+) -> DataFrame:
     """(doc_a, doc_b) undirected pair list → (doc_id, label) where label is
-    the min doc_id of the connected component. Min-label propagation; see
-    the block comment above for the plan-shape and convergence story."""
+    the min doc_id of the connected component.
+
+    ``algorithm``: "auto" (default) runs min-label propagation for
+    ``quick_steps`` — real near-dup graphs have diameter 2-4 (duplicates
+    of one source), a CONTENT property that does not grow with corpus
+    size, so the cheap loop almost always finishes — and falls back to
+    the O(log n) large-star/small-star alternation only when a
+    pathologically deep component exhausts it (the 100 TB boilerplate
+    chain). "star" / "propagate" force one algorithm; see the block
+    comment above for the plan-shape and convergence story."""
+    if algorithm == "auto":
+        try:
+            return connected_components_labels(
+                pairs, max_steps=quick_steps, algorithm="propagate"
+            )
+        except RuntimeError:
+            return connected_components_labels(
+                pairs, max_steps=max_steps, algorithm="star"
+            )
+    if algorithm == "star":
+        edges0 = (
+            pairs.toDF("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        return _cc_star_labels(edges0, max_steps)
+    if algorithm != "propagate":
+        raise ValueError(f"unknown CC algorithm {algorithm!r}")
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
         .toDF("src", "dst")

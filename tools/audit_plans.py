@@ -72,6 +72,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "emb_sq_recall": {
         "BroadcastNestedLoopJoin": "build side = fixed probe set (N_PROBES ids) for the exact-baseline leg",
     },
+    "emb_ivf_index_recall": {
+        "BroadcastNestedLoopJoin": "build side = fixed probe window (8 ids) for the exact-baseline leg; the INDEX leg under audit is a cell equi-join over probed cells only",
+    },
     "emb_sq_topk": {
         "BroadcastNestedLoopJoin": "build side = fixed probe set (N_PROBES=8 ids) against the 4-bit code table",
     },

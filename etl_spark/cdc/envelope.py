@@ -168,20 +168,68 @@ def to_debezium(changelog: DataFrame, pre_col: str | None = "_pre") -> DataFrame
     return changelog.select(F.to_json(env).alias("value"))
 
 
+_CORRUPT = "__corrupt_record"
+
+
+def _strict_parse(col: Column, rf: list[T.StructField]) -> tuple[Column, Column]:
+    """(envelope struct, strictly-parsed?) — PERMISSIVE from_json returns a
+    non-null struct even for garbage, so strict-failure detection rides the
+    corrupt-record column the parser fills on malformed input."""
+    sch = T.StructType(
+        list(envelope_schema(rf).fields) + [T.StructField(_CORRUPT, T.StringType())]
+    )
+    e = F.from_json(col, sch, {"columnNameOfCorruptRecord": _CORRUPT})
+    return e, col.isNotNull() & e[_CORRUPT].isNull()
+
+
+def repair_envelope_json(col: Column) -> Column:
+    """Bounded, deterministic repair of the two malformation classes a
+    misbehaving producer most commonly emits — trailing commas before a
+    closing brace/bracket, and unquoted object keys — as a pure Catalyst
+    regexp chain (the reference's jsonnet repair fallback,
+    /root/reference/parser/pt.go:233-249, as an engine expression).
+
+    Best-effort by construction: it is only ever applied to strings the
+    STRICT parse already rejected, so a mis-repair cannot corrupt a valid
+    row — worst case the row stays dead. The unquoted-key rule is
+    anchored to the envelope HEAD (``^{key:``) on purpose: an unanchored
+    rule would rewrite key-looking patterns INSIDE quoted string values
+    (e.g. a text payload containing ``{k: 65}``) and kill the row it was
+    trying to save. Truncation and structural damage are intentionally
+    out of scope (not mechanically repairable)."""
+    c = F.regexp_replace(col, r",\s*([}\]])", "$1")
+    c = F.regexp_replace(c, r"^\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*:", '{"$1":')
+    return c
+
+
 def from_debezium(
     df: DataFrame,
     json_col: str = "value",
     row_fields: list[T.StructField] | None = None,
+    repair: bool = False,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Decode a DataFrame of envelope JSON strings into the engine's flat
     change-event columns (op, ts, op_seq, <key cols>, <payload cols>).
     ``row_fields`` pins the wire row shape (defaults to the canonical
     transcript row); pass the evolved table's user fields to round-trip an
-    evolved changelog losslessly. Unknown op codes / unparseable JSON yield
-    NULL op / NULL keys — rejected (and counted) by apply_batch's
-    validation, never applied."""
+    evolved changelog losslessly. ``repair=True`` retries strings the
+    strict parse rejects through ``repair_envelope_json`` first (rows the
+    repair cannot save still decode NULL). Unknown op codes / unparseable
+    JSON yield NULL op / NULL keys — rejected (and counted) by
+    apply_batch's validation, never applied."""
     rf = _ROW_FIELDS if row_fields is None else row_fields
-    e = F.from_json(F.col(json_col), envelope_schema(rf))
+    raw = F.col(json_col)
+    if repair:
+        # strict first; retry the repaired string; a row neither parse
+        # accepts decodes as an ALL-NULL envelope — never the partial
+        # fields PERMISSIVE mode salvages before the syntax error, which
+        # would leak half-parsed rows past the dead classification
+        strict, ok = _strict_parse(raw, rf)
+        rep, rok = _strict_parse(repair_envelope_json(raw), rf)
+        e = F.when(ok, strict).when(rok, rep)
+    else:
+        e = F.from_json(raw, envelope_schema(rf))
     img = F.when(e["op"] == "d", e["before"]).otherwise(e["after"])
     out = [
         _mapped_op(e["op"]).alias("op"),
@@ -198,4 +246,23 @@ def from_debezium(
                 .otherwise(img[f.name])
                 .alias(f.name)
             )
+    # passthrough columns (e.g. source_file lineage, a decode-status tag)
+    out.extend(F.col(c) for c in keep_cols)
     return df.select(*out)
+
+
+def decode_status(
+    col: Column, row_fields: list[T.StructField] | None = None
+) -> Column:
+    """Classify a wire string: 'ok' (strict parse), 'repaired' (parses
+    only after ``repair_envelope_json``), 'dead' (unrecoverable). The
+    observability counterpart of ``from_debezium(repair=True)`` — lets a
+    pipeline count repaired rows and quarantine only the truly dead."""
+    rf = _ROW_FIELDS if row_fields is None else row_fields
+    _s, ok = _strict_parse(col, rf)
+    _r, rok = _strict_parse(repair_envelope_json(col), rf)
+    return (
+        F.when(ok, F.lit("ok"))
+        .when(rok, F.lit("repaired"))
+        .otherwise(F.lit("dead"))
+    )

@@ -48,6 +48,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_patch_state": (cdcq.cdc_patch_state, cdcq.PATCH_STATE_SQL),
     "cdc_patch_replay": (cdcq.cdc_patch_replay, cdcq.PATCH_STATE_SQL),
     "cdc_envelope_decode": (cdcq.cdc_envelope_decode, cdcq.ENVELOPE_DECODE_SQL),
+    "cdc_envelope_repair": (cdcq.cdc_envelope_repair, cdcq.ENVELOPE_REPAIR_SQL),
     "cdc_delete_update": (cdcq.cdc_delete_update, cdcq.DELETE_UPDATE_SQL),
     "cdc_route_split": (cdcq.cdc_route_split, cdcq.ROUTE_SPLIT_SQL),
     "cdc_wire_roundtrip": (cdcq.cdc_wire_roundtrip, cdcq.LWW_STATE_SQL),

@@ -53,3 +53,71 @@ def test_malformed_wire_is_quarantined_not_applied(spark, tmp_path):
     }
     assert got[("c1", 0)]["text"] == "hi!"  # lsn tie-break applied the update
     assert ("c2", 1) not in got  # deleted
+
+
+# --- bounded repair (repair_envelope_json / from_debezium(repair=True)) -----
+
+def test_repair_classes(spark):
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.envelope import decode_status, from_debezium
+
+    wires = [
+        # repairable: unquoted head key
+        ('{op:"c","ts":"2024-01-01 00:00:01","lsn":1,"after":{"conv_id":"a","turn_idx":0,"role":"user","text":"hi"}}',),
+        # repairable: trailing comma
+        ('{"op":"u","ts":"2024-01-01 00:00:02","lsn":2,"after":{"conv_id":"a","turn_idx":1,"role":"user","text":"x|{k: 9}"},}',),
+        # dead: truncated
+        ('{"op":"c","ts":"2024-01-01 00:00:03","lsn":3,"after":{"conv_id"',),
+        # clean
+        ('{"op":"d","ts":"2024-01-01 00:00:04","lsn":4,"before":{"conv_id":"a","turn_idx":0}}',),
+    ]
+    df = spark.createDataFrame(wires, "value string")
+    st = [r["s"] for r in df.select(decode_status(F.col("value")).alias("s")).collect()]
+    assert st == ["repaired", "repaired", "dead", "ok"]
+    dec = from_debezium(df, repair=True).collect()
+    by_seq = {r["op_seq"]: r for r in dec}
+    assert by_seq[1]["op"] == "I" and by_seq[1]["text"] == "hi"
+    # repair must NOT mangle key-like patterns inside string values
+    assert by_seq[2]["text"] == "x|{k: 9}"
+    assert by_seq[4]["op"] == "D"
+    dead = [r for r in dec if r["op"] is None]
+    assert len(dead) == 1
+
+
+def test_repair_composes_with_quarantine_and_requeue(spark, tmp_path):
+    """Dispositions invariant with repair on: repaired rows apply, truly
+    dead rows count failed and land in quarantine; a requeue of the dead
+    rows re-quarantines them (still unparseable) instead of dropping."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.apply import apply_batch, requeue_quarantine
+    from etl_spark.cdc.envelope import from_debezium
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.schema import TRANSCRIPT_SCHEMA
+
+    wires = [
+        ('{op:"c","ts":"2024-01-01 00:00:01","lsn":1,"after":{"conv_id":"a","turn_idx":0,"role":"user","text":"fixed"}}',),
+        ('{"op":"c","ts":"2024-01-01 00:00:02","lsn":2,"after":{"conv_id":"b","turn_idx":0,"role":"user","text":"clean"}}',),
+        ('{"op":"c","ts":"2024-01-01 00:00:03","lsn":3,"after":{"conv',),
+    ]
+    df = spark.createDataFrame(wires, "value string")
+    table = LakeTable.create(str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, n_buckets=2)
+    qdir = str(tmp_path / "quarantine")
+    batch = from_debezium(df, repair=True)
+    s = apply_batch(spark, table, batch, "wire-1", quarantine_dir=qdir,
+                    fail_threshold=0.5)
+    assert s.events_in == 3 and s.failed == 1
+    assert s.events_in == s.failed + s.late_dropped + s.dup_dropped + s.applied()
+    got = {r["conv_id"]: r["text"] for r in table.read(spark).collect()}
+    assert got == {"a": "fixed", "b": "clean"}
+    # the dead row is in quarantine with a reason
+    q = spark.read.parquet(os.path.join(qdir, "wire-1"))
+    assert q.count() == 1 and q.first()["reason"] is not None
+    # requeue: still-dead rows re-quarantine under the requeue batch id
+    s2 = requeue_quarantine(spark, table, qdir, batch_ids=["wire-1"],
+                            fail_threshold=1.0)
+    assert s2.failed == 1 and s2.applied() == 0
+    assert table.read(spark).count() == 2

@@ -135,6 +135,63 @@ def _neardup_gate(
     )
 
 
+PROGRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("trigger_no", T.IntegerType()),
+        T.StructField("epoch_id", T.LongType()),
+        T.StructField("batch_id", T.StringType()),
+        T.StructField("started_at", T.TimestampType()),
+        T.StructField("wall_sec", T.DoubleType()),
+        T.StructField("events_in", T.LongType()),
+        T.StructField("applied", T.LongType()),
+        T.StructField("failed", T.LongType()),
+        T.StructField("late_dropped", T.LongType()),
+        T.StructField("dup_dropped", T.LongType()),
+        T.StructField("events_per_sec", T.DoubleType()),
+        T.StructField("skipped_idempotent", T.BooleanType()),
+        T.StructField("no_new_files", T.BooleanType()),
+    ]
+)
+
+
+def _record_progress(
+    spark: SparkSession, prog_dir: str, trigger_no: int, epoch_id: int,
+    stats, wall_sec: float,
+) -> None:
+    """Append ONE row per trigger to the progress table — the engine's
+    StreamingQueryProgress analog with the merge counters joined in (the
+    reference's Prometheus per-task taxonomy,
+    /root/reference/metrics/metrics.go:489-555). Counters come from the
+    MergeStats the trigger's apply produced (already materialized —
+    recording is driver-side only, no extra job), so the invariant
+    ``events_in == applied + failed + late + dup`` holds row by row. A
+    no-new-files trigger records a row too: liveness is a signal."""
+    import datetime as _dt
+
+    if stats is None:
+        row = (trigger_no, epoch_id, None, _dt.datetime.now(),
+               float(wall_sec), 0, 0, 0, 0, 0, 0.0, False, True)
+    else:
+        applied = stats.applied()
+        row = (
+            trigger_no, epoch_id, stats.batch_id, _dt.datetime.now(),
+            float(wall_sec), int(stats.events_in), int(applied),
+            int(stats.failed), int(stats.late_dropped),
+            int(stats.dup_dropped),
+            float(stats.events_in / wall_sec) if wall_sec > 0 else 0.0,
+            bool(stats.skipped_idempotent), False,
+        )
+    spark.createDataFrame([row], PROGRESS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(prog_dir)
+
+
+def progress_df(spark: SparkSession, path: str) -> DataFrame:
+    """Read a stream's per-trigger progress table (one row per trigger;
+    written next to the checkpoint by default: <checkpoint>/_progress)."""
+    return spark.read.schema(PROGRESS_SCHEMA).parquet(path)
+
+
 def run_stream(
     spark: SparkSession,
     table: LakeTable,
@@ -153,6 +210,7 @@ def run_stream(
     quarantine_dir: str | None = None,
     neardup_index_path: str | None = None,
     neardup_threshold: float = 0.5,
+    progress_path: str | None = None,
 ):
     """Start (and by default drain) the streaming apply loop. Returns the
     StreamingQuery when available_now=False (caller stops it).
@@ -191,7 +249,13 @@ def run_stream(
     schema on first sync). Same crash-healing shape as the MV: the sync
     runs on every trigger and its ledger makes it idempotent, so a crash
     between the table commit and the replica sync is healed by the
-    re-delivered trigger."""
+    re-delivered trigger.
+
+    ``progress_path``: per-trigger progress telemetry table (defaults to
+    ``<checkpoint_dir>/_progress``) — one row per trigger with wall time,
+    merge counters (invariant-consistent), throughput, and skip/no-op
+    flags; read it back with ``progress_df``. Pass an explicit path to
+    relocate, or rely on the default next to the checkpoint."""
     schema = detect_feed_schema(spark, feed_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -199,9 +263,22 @@ def run_stream(
     src = reader.parquet(f"{feed_dir}/*").withColumn("__file", F.input_file_name())
 
     trigger_no = [0]
+    prog_dir = progress_path
+    if prog_dir is None and checkpoint_dir is not None:
+        import os as _os
+
+        prog_dir = _os.path.join(checkpoint_dir, "_progress")
 
     def _apply(df: DataFrame, epoch_id: int) -> None:
-        _apply_new_files(df)
+        import time as _time
+
+        t0 = _time.time()
+        s = _apply_and_compact(df)
+        if prog_dir is not None:
+            _record_progress(
+                spark, prog_dir, trigger_no[0], int(epoch_id), s,
+                _time.time() - t0,
+            )
         trigger_no[0] += 1
         # MV catch-up runs on a trigger CADENCE (default: every trigger),
         # outside the new-files early returns: after a crash between the
@@ -286,12 +363,28 @@ def run_stream(
             if allf and allf <= applied_decoded:
                 complete_segs[sname] = batch_fingerprint(sorted(allf))
         bid = batch_fingerprint(new_files)
-        batch_df = df.filter(F.col("__file").isin(new_files)).drop("__file")
+        # match on the NORMALIZED identity on both sides (same fix as
+        # cdc/route.route_stream): `__file` (input_file_name) and
+        # `new_files` (inputFiles) may disagree on URI percent-encoding;
+        # an exact-string isin would silently ledger unapplied files
+        rel_col = F.array_join(
+            F.slice(F.split(F.col("__file"), "/"), -2, 2), "/"
+        )
+        rel_col = F.coalesce(F.try_url_decode(rel_col), rel_col)
+        batch_df = df.filter(
+            rel_col.isin([unquote(r) for r in rel_new])
+        ).drop("__file")
+        if batch_df.isEmpty() and not df.isEmpty():
+            raise RuntimeError(
+                f"run_stream: trigger matched 0 rows for {len(rel_new)} new "
+                f"files ({rel_new[:3]}…) — file-identity normalization "
+                f"mismatch between inputFiles() and input_file_name()"
+            )
         if neardup_index_path is not None:
             batch_df = _neardup_gate(
                 spark, batch_df, neardup_index_path, neardup_threshold, bid
             )
-        apply_batch(
+        return apply_batch(
             spark,
             table,
             batch_df,
@@ -305,8 +398,12 @@ def run_stream(
             allow_patches=allow_patches,
             quarantine_dir=quarantine_dir,
         )
-        if auto_compact_files is not None:
+
+    def _apply_and_compact(df: DataFrame):
+        s = _apply_new_files(df)
+        if s is not None and auto_compact_files is not None:
             table.compact_small_files(spark, auto_compact_files)
+        return s
 
     writer = (
         src.writeStream.foreachBatch(_apply)

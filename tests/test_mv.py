@@ -302,3 +302,56 @@ def test_mv_refresh_cadence_with_final_catchup(spark, tmpdir_path):
     mv = ConvSummaryMV(mv_path)
     assert mv.table_version == t.current_version()
     _assert_mv_equals_full(spark, mv, t)
+
+
+def test_adaptive_cutover_full_recompute(spark, tmp_path):
+    """When a refresh interval touches ≥ full_cutover of the view's rows,
+    both MV flavors cut over to full_refresh — and the result is
+    identical to what the delta path would produce."""
+    import os
+
+    from etl_spark.cdc.apply import replay_feed
+    from etl_spark.cdc.gen import change_feed_df, write_feed
+    from etl_spark.lake.mv import ConvSummaryMV, KeyedMV
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.schema import TRANSCRIPT_SCHEMA
+
+    feed = str(tmp_path / "feed")
+    write_feed(change_feed_df(spark, n_events=6000, n_convs=40, max_turns=10,
+                              seed=17, n_batches=2), feed)
+    t = LakeTable.create(str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, n_buckets=4)
+    segs = sorted(os.listdir(feed))
+    first = str(tmp_path / "f1")
+    os.makedirs(first)
+    os.rename(os.path.join(feed, segs[1]), os.path.join(first, segs[1]))
+    replay_feed(spark, t, feed, mode="mor")
+
+    mvs = {}
+    for cls, name in ((ConvSummaryMV, "c"), (KeyedMV, "k")):
+        cut = cls(str(tmp_path / f"mv_{name}_cut"))
+        ref = cls(str(tmp_path / f"mv_{name}_ref"))
+        ref.full_cutover = 1.0  # delta path, no cutover
+        cut.refresh(spark, t)
+        ref.refresh(spark, t)
+        mvs[name] = (cut, ref)
+
+    # second segment touches (nearly) every conversation → cutover fires
+    os.rename(os.path.join(first, segs[1]), os.path.join(feed, segs[1]))
+    replay_feed(spark, t, feed, mode="mor")
+    for name, (cut, ref) in mvs.items():
+        calls = []
+        orig = type(cut).full_refresh
+        type(cut).full_refresh = (
+            lambda self, *a, _o=orig, _c=calls, **k: (_c.append(1), _o(self, *a, **k))[1]
+        )
+        try:
+            n1 = cut.refresh(spark, t)
+            assert calls, f"{name}: cutover did not fire"
+            n2 = ref.refresh(spark, t)
+            assert not len(calls) > 1
+        finally:
+            type(cut).full_refresh = orig
+        a = {tuple(r) for r in cut.read(spark).collect()}
+        b = {tuple(r) for r in ref.read(spark).collect()}
+        assert a == b and a, name
+        assert n1 == n2

@@ -100,3 +100,50 @@ def test_segment_name_reuse_refused(spark, tmpdir_path):
     with pytest.raises(SegmentReuseError):
         replay_feed(spark, t, feed2)
     assert t.manifest().version == v  # nothing half-applied before the raise
+
+
+def test_progress_telemetry_one_row_per_trigger(spark, tmpdir_path):
+    """Per-trigger progress table: one row per trigger, counters satisfy
+    the dispositions invariant, throughput recorded; a redelivery drain
+    records skip/no-op rows instead of nothing (liveness is a signal)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.gen import change_feed_df, write_feed
+    from etl_spark.cdc.stream import progress_df, run_stream
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.schema import TRANSCRIPT_SCHEMA
+
+    feed = os.path.join(tmpdir_path, "pfeed")
+    write_feed(
+        change_feed_df(spark, n_events=6000, n_convs=80, max_turns=8,
+                       seed=91, n_batches=3),
+        feed,
+    )
+    table = LakeTable.create(
+        os.path.join(tmpdir_path, "plake"), TRANSCRIPT_SCHEMA, n_buckets=4
+    )
+    ck = os.path.join(tmpdir_path, "pck")
+    run_stream(spark, table, feed, ck, max_files_per_trigger=1, mode="mor")
+    p = progress_df(spark, os.path.join(ck, "_progress"))
+    rows = p.orderBy("trigger_no").collect()
+    # one row per trigger, triggers numbered consecutively from 0
+    assert [r["trigger_no"] for r in rows] == list(range(len(rows)))
+    applied_rows = [r for r in rows if not r["no_new_files"]]
+    assert len(applied_rows) >= 3  # one per segment at maxFilesPerTrigger=1
+    for r in applied_rows:
+        assert r["events_in"] == (
+            r["applied"] + r["failed"] + r["late_dropped"] + r["dup_dropped"]
+        )
+        assert r["wall_sec"] > 0 and r["events_per_sec"] > 0
+        assert r["batch_id"]
+    feed_rows = spark.read.parquet(f"{feed}/*").count()
+    assert p.agg(F.sum("events_in")).first()[0] == feed_rows
+
+    # fresh checkpoint = full redelivery: ledger no-ops every batch, but
+    # each trigger still records a row (skipped or no-new-files)
+    ck2 = os.path.join(tmpdir_path, "pck2")
+    run_stream(spark, table, feed, ck2, max_files_per_trigger=1, mode="mor")
+    p2 = progress_df(spark, os.path.join(ck2, "_progress")).collect()
+    assert p2 and all(r["skipped_idempotent"] or r["no_new_files"] for r in p2)

@@ -240,6 +240,7 @@ def apply_batch(
     mode: str = "cow",
     allow_patches: bool = False,
     quarantine_dir: str | None = None,
+    expect_rows: bool = False,
 ) -> MergeStats:
     """Validate + (optionally) drop too-late events + dedup + MERGE.
 
@@ -370,6 +371,7 @@ def apply_batch(
         mode=mode,
         allow_patches=allow_patches,
         patch_probe=patch_probe,
+        expect_rows=expect_rows,
     )
     if cons["warn"]:
         c = resilient.get  # filled by the merge's pass-1/write job

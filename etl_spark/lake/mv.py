@@ -233,6 +233,18 @@ class ConvSummaryMV(KeyedMV):
          happen; heals drift by recomputing).
     """
 
+    #: cutover DISABLED here by default: this view is delta-maintainable
+    #: from the changelog's pre/post images, so a worst-case trigger
+    #: (every conversation touched) still costs O(interval diff + view),
+    #: FLAT as the table grows — while a full recompute scans the whole
+    #: (growing) table per trigger. Measured on the 16M-event composition
+    #: stress: delta walls flat ~1-2 s/trigger vs full-recompute walls
+    #: growing 1.2 → 32 s across 10 triggers. The generic KeyedMV keeps
+    #: the cutover because its partial path re-aggregates affected
+    #: conversations' full history anyway (same asymptotics as a full
+    #: recompute, plus merge overhead).
+    full_cutover: float = 1.0
+
     def __init__(self, path: str):
         super().__init__(path, conv_summary)
 

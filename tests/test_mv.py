@@ -329,6 +329,7 @@ def test_adaptive_cutover_full_recompute(spark, tmp_path):
     mvs = {}
     for cls, name in ((ConvSummaryMV, "c"), (KeyedMV, "k")):
         cut = cls(str(tmp_path / f"mv_{name}_cut"))
+        cut.full_cutover = 0.5  # ConvSummaryMV disables it by default
         ref = cls(str(tmp_path / f"mv_{name}_ref"))
         ref.full_cutover = 1.0  # delta path, no cutover
         cut.refresh(spark, t)

@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "events_range_join",
     "events_distinct_sketch",
     "emb_kmeans",
+    "emb_ivf_index_topk",
+    "emb_ivf_index_recall",
+    "cdc_envelope_repair",
     "mm_audio_chunks",
     "shipping_priority",
     "doc_curation_pipeline",

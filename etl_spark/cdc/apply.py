@@ -93,6 +93,49 @@ def _segment_relative(path: str) -> str:
     return "/".join(parts[-2:])
 
 
+def new_files_predicate(rel_new: list[str]) -> F.Column:
+    """Predicate over the ``__file`` column (``input_file_name()``)
+    matching rows that came from the given segment-relative new files.
+
+    Matching happens on BOTH the raw segment-relative tail and its
+    url-decoded form, against a want-set that includes every file's raw,
+    percent-decoded (``unquote``) AND form-decoded (``unquote_plus``)
+    identity — because the two sides can disagree on URI encoding
+    (``inputFiles()`` vs ``input_file_name()``), and Spark's only decode
+    builtin (``url_decode``) is FORM decoding, which turns a literal
+    ``+`` in a file name into a space while Python's ``unquote`` keeps
+    it. A one-sided normalization silently drops such a file's rows
+    while the ledger marks it applied (the round-4 review's '+' case);
+    the symmetric variant set matches whichever encoding each side
+    chose. Shared by run_stream and route_stream — one copy to fix."""
+    from urllib.parse import unquote, unquote_plus
+
+    want: set[str] = set()
+    for r in rel_new:
+        want |= {r, unquote(r), unquote_plus(r)}
+    w = sorted(want)
+    rel_raw = F.array_join(F.slice(F.split(F.col("__file"), "/"), -2, 2), "/")
+    rel_dec = F.coalesce(F.try_url_decode(rel_raw), rel_raw)
+    return rel_raw.isin(w) | rel_dec.isin(w)
+
+
+def segment_listing(feed_dir: str, sname: str) -> set[str]:
+    """Current on-disk parquet file set of a feed segment, in the decoded
+    segment-relative identity used for fingerprints. Shared by the
+    streaming drivers' completion bookkeeping."""
+    from urllib.parse import unquote
+
+    d = os.path.join(feed_dir, unquote(sname))
+    try:
+        return {
+            f"{unquote(sname)}/{fn}"
+            for fn in os.listdir(d)
+            if fn.endswith(".parquet")
+        }
+    except OSError:
+        return set()
+
+
 def batch_fingerprint(source_files: list[str]) -> str:
     """Deterministic batch id from the set of input files — Spark may re-run
     a foreachBatch after failure with a fresh epoch id, so idempotence must

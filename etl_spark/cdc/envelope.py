@@ -62,8 +62,11 @@ def envelope_schema(row_fields: list[T.StructField] | None = None) -> T.StructTy
 
 ENVELOPE_SCHEMA = envelope_schema()
 
-# changelog meta columns that never ride the wire row struct
-_CHANGELOG_META = {"ts", "op_seq", "_change_type"}
+# changelog meta columns that never ride the wire row struct ("op" is the
+# emit_meta replay op code — the ENVELOPE carries it as c/u/d; leaking it
+# into the row struct would bloat every wire and break consumers deriving
+# row_fields from the destination table's user schema)
+_CHANGELOG_META = {"ts", "op_seq", "op", "_change_type"}
 
 _OP_MAP = {"c": "I", "r": "I", "u": "U", "d": "D"}
 
@@ -190,14 +193,17 @@ def repair_envelope_json(col: Column) -> Column:
     /root/reference/parser/pt.go:233-249, as an engine expression).
 
     Best-effort by construction: it is only ever applied to strings the
-    STRICT parse already rejected, so a mis-repair cannot corrupt a valid
-    row — worst case the row stays dead. The unquoted-key rule is
-    anchored to the envelope HEAD (``^{key:``) on purpose: an unanchored
-    rule would rewrite key-looking patterns INSIDE quoted string values
-    (e.g. a text payload containing ``{k: 65}``) and kill the row it was
-    trying to save. Truncation and structural damage are intentionally
-    out of scope (not mechanically repairable)."""
-    c = F.regexp_replace(col, r",\s*([}\]])", "$1")
+    STRICT parse already rejected, so a valid row is never touched. BOTH
+    rules are position-anchored on purpose — the unquoted-key rule to the
+    envelope HEAD (``^{key:``), the trailing-comma rule to the envelope
+    TAIL (``,}…}$``) — because an unanchored rule rewrites matching
+    patterns INSIDE quoted string values (a text payload containing
+    ``{k: 65}`` or ``a ,} b``) and either kills the row it was trying to
+    save or, worse, saves it with silently mutated payload text.
+    Truncation and structural damage are intentionally out of scope (not
+    mechanically repairable)."""
+    # trailing comma before the closing brace run at end-of-envelope only
+    c = F.regexp_replace(col, r",\s*(\}[\s}\]]*)$", "$1")
     c = F.regexp_replace(c, r"^\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*:", '{"$1":')
     return c
 

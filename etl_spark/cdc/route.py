@@ -278,21 +278,12 @@ def route_stream(
         "__file", _F.input_file_name()
     )
 
-    import os
     from urllib.parse import unquote
 
+    from etl_spark.cdc.apply import new_files_predicate, segment_listing
+
     def _segment_listing(sname: str) -> set[str]:
-        """Current on-disk file set of a segment, in the decoded
-        segment-relative identity used for fingerprints."""
-        dpath = os.path.join(feed_dir, unquote(sname))
-        try:
-            return {
-                f"{unquote(sname)}/{fn}"
-                for fn in os.listdir(dpath)
-                if fn.endswith(".parquet")
-            }
-        except OSError:
-            return set()
+        return segment_listing(feed_dir, sname)
 
     def _apply(df: DataFrame, epoch_id: int) -> None:
         files = list(df.inputFiles())
@@ -314,14 +305,31 @@ def route_stream(
 
         trigger_segs = sorted({_segment_relative(f).split("/")[0] for f in files})
         for sname in trigger_segs:
-            ledgered = {
-                segs[sname] for segs, _inps in done if sname in segs
-            }
-            if not ledgered:
-                continue
-            cur = _segment_listing(sname)
-            cur_fp = batch_fingerprint(sorted(cur)) if cur else None
-            if any(cur_fp != fp for fp in ledgered):
+            cur = None
+            for t in tables.values():
+                segs = t.committed_segments()
+                if sname not in segs:
+                    continue
+                fp = segs[sname]
+                if cur is None:
+                    cur = _segment_listing(sname)
+                cur_fp = batch_fingerprint(sorted(cur)) if cur else None
+                if cur_fp == fp:
+                    continue
+                # LEGACY tolerance: older ledger entries record the
+                # committing BATCH ID instead of the listing fingerprint
+                # (documented on committed_segments). A value present in
+                # the table's own commit ledger is such a record — the
+                # mismatch proves nothing about segment mutation, so fall
+                # back to the name-membership semantics those entries
+                # were written under instead of bricking the stream.
+                # Boundary: a segment completed by a single trigger whose
+                # batch id HAPPENS to equal the listing fingerprint also
+                # lands here, trading mutation detection for that case
+                # back to the legacy silent-skip — a false raise on every
+                # legacy table is the worse failure.
+                if fp in t.full_commits():
+                    continue
                 raise SegmentReuseError(
                     f"segment {sname!r} is ledgered complete but its current "
                     f"listing differs from the completion fingerprint — a "
@@ -353,18 +361,9 @@ def route_stream(
             allf = _segment_listing(sname)
             if allf and allf <= applied_decoded:
                 complete[sname] = batch_fingerprint(sorted(allf))
-        # Match batch rows to the new files on the NORMALIZED identity
-        # (segment-relative + percent-decoded) on BOTH sides:
-        # `__file` comes from input_file_name() and `new_files` from
-        # df.inputFiles(), and the two may disagree on URI encoding —
-        # an exact-string isin would then silently yield an empty batch
-        # while the files are still ledgered as applied.
-        rel_col = _F.array_join(
-            _F.slice(_F.split(_F.col("__file"), "/"), -2, 2), "/"
-        )
-        rel_col = _F.coalesce(_F.try_url_decode(rel_col), rel_col)
-        want = [unquote(r) for r in rel_new]
-        batch_df = df.filter(rel_col.isin(want)).drop("__file")
+        # symmetric normalized identity matching (shared helper — see
+        # cdc/apply.new_files_predicate for the encoding-drift contract)
+        batch_df = df.filter(new_files_predicate(rel_new)).drop("__file")
         if batch_df.isEmpty() and not df.isEmpty():
             # rows exist in the trigger but none matched the new files —
             # the identity normalization above missed; fail loudly

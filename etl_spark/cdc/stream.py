@@ -36,7 +36,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from etl_spark.cdc.apply import _segment_relative, apply_batch, batch_fingerprint
+from etl_spark.cdc.apply import (
+    _segment_relative,
+    apply_batch,
+    batch_fingerprint,
+    new_files_predicate,
+    segment_listing,
+)
 from etl_spark.lake.table import LakeTable
 
 # Default per-bucket data-file bound for the streaming loop. A MOR
@@ -154,9 +160,22 @@ PROGRESS_SCHEMA = T.StructType(
 )
 
 
+def _progress_rows_recorded(prog_dir: str) -> int:
+    """Rows already in a progress file — a resumed stream continues the
+    trigger numbering instead of restarting at 0 (the file is append-only
+    across restarts of the same checkpoint)."""
+    import os as _os
+
+    try:
+        with open(_os.path.join(prog_dir, "progress.jsonl")) as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
 def _record_progress(
     spark: SparkSession, prog_dir: str, trigger_no: int, epoch_id: int,
-    stats, wall_sec: float,
+    stats, wall_sec: float, t0: float,
 ) -> None:
     """Append ONE row per trigger to the progress table — the engine's
     StreamingQueryProgress analog with the merge counters joined in (the
@@ -192,7 +211,9 @@ def _record_progress(
             skipped_idempotent=bool(stats.skipped_idempotent),
             no_new_files=False,
         )
-    row["started_at"] = _dt.datetime.now().isoformat(sep=" ", timespec="microseconds")
+    row["started_at"] = _dt.datetime.fromtimestamp(t0).isoformat(
+        sep=" ", timespec="microseconds"
+    )
     row["wall_sec"] = float(wall_sec)
     _os.makedirs(prog_dir, exist_ok=True)
     with open(_os.path.join(prog_dir, "progress.jsonl"), "a") as f:
@@ -275,12 +296,14 @@ def run_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     src = reader.parquet(f"{feed_dir}/*").withColumn("__file", F.input_file_name())
 
-    trigger_no = [0]
     prog_dir = progress_path
     if prog_dir is None and checkpoint_dir is not None:
         import os as _os
 
         prog_dir = _os.path.join(checkpoint_dir, "_progress")
+    # a restarted stream (same checkpoint) APPENDS to the same progress
+    # file — continue its numbering so trigger_no stays unique per file
+    trigger_no = [_progress_rows_recorded(prog_dir) if prog_dir else 0]
 
     def _apply(df: DataFrame, epoch_id: int) -> None:
         import time as _time
@@ -290,7 +313,7 @@ def run_stream(
         if prog_dir is not None:
             _record_progress(
                 spark, prog_dir, trigger_no[0], int(epoch_id), s,
-                _time.time() - t0,
+                _time.time() - t0, t0,
             )
         trigger_no[0] += 1
         # MV catch-up runs on a trigger CADENCE (default: every trigger),
@@ -365,28 +388,13 @@ def run_stream(
         # with different content is refused instead of silently dropped
         complete_segs: dict[str, str] = {}
         for sname in sorted({seg(f) for f in new_files}):
-            d = os.path.join(feed_dir, unquote(sname))
-            try:
-                allf = {
-                    f"{unquote(sname)}/{fn}"
-                    for fn in os.listdir(d) if fn.endswith(".parquet")
-                }
-            except OSError:
-                allf = set()
+            allf = segment_listing(feed_dir, sname)
             if allf and allf <= applied_decoded:
                 complete_segs[sname] = batch_fingerprint(sorted(allf))
         bid = batch_fingerprint(new_files)
-        # match on the NORMALIZED identity on both sides (same fix as
-        # cdc/route.route_stream): `__file` (input_file_name) and
-        # `new_files` (inputFiles) may disagree on URI percent-encoding;
-        # an exact-string isin would silently ledger unapplied files
-        rel_col = F.array_join(
-            F.slice(F.split(F.col("__file"), "/"), -2, 2), "/"
-        )
-        rel_col = F.coalesce(F.try_url_decode(rel_col), rel_col)
-        batch_df = df.filter(
-            rel_col.isin([unquote(r) for r in rel_new])
-        ).drop("__file")
+        # symmetric normalized identity matching (shared helper — see
+        # new_files_predicate for the encoding-drift contract)
+        batch_df = df.filter(new_files_predicate(rel_new)).drop("__file")
         if neardup_index_path is not None:
             batch_df = _neardup_gate(
                 spark, batch_df, neardup_index_path, neardup_threshold, bid
@@ -408,8 +416,13 @@ def run_stream(
             # zero-row scan for non-empty new files means the row↔file
             # matching above silently missed — the merge gate raises
             # PRE-COMMIT instead of ledgering unapplied files (free: the
-            # check rides the counters the merge materializes anyway)
-            expect_rows=True,
+            # check rides the counters the merge materializes anyway).
+            # NOT asserted when the near-dup gate is on: the gate can
+            # legitimately empty a batch (a trigger that is 100%
+            # cross-key duplicates of admitted content — the exact flood
+            # it exists to drop), and a raise there would crash the
+            # stream into a permanent redelivery loop.
+            expect_rows=neardup_index_path is None,
         )
 
     def _apply_and_compact(df: DataFrame):

@@ -163,11 +163,9 @@ class KeyedMV:
                 # nothing changed: advance the synced version without
                 # rewriting the view data (pointer-only commit)
                 meta = self._meta()
+                meta["table_version"] = v_to  # keeps n_rows for the cutover
                 _atomic_write(
-                    os.path.join(self.path, _PTR),
-                    json.dumps(
-                        {"table_version": v_to, "data": meta["data"]}
-                    ),
+                    os.path.join(self.path, _PTR), json.dumps(meta)
                 )
                 return 0
             cut = self._cutover_threshold()
@@ -288,10 +286,8 @@ class ConvSummaryMV(KeyedMV):
             # version moved with no key changes (compaction/maintenance
             # commits): advance the pointer without rewriting the view
             meta = self._meta()
-            _atomic_write(
-                os.path.join(self.path, _PTR),
-                json.dumps({"table_version": v_to, "data": meta["data"]}),
-            )
+            meta["table_version"] = v_to  # keeps n_rows for the cutover
+            _atomic_write(os.path.join(self.path, _PTR), json.dumps(meta))
             return 0
         cut = self._cutover_threshold()
         if cut is not None and n_affected >= cut:

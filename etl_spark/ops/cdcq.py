@@ -1257,7 +1257,7 @@ _WIRE_CORRUPT_SQL = f"""
 # (trailing commas globally; unquoted key anchored to the envelope HEAD —
 # an unanchored rule would mangle key-looking patterns inside text values)
 _REPAIR_SQL = (
-    "regexp_replace(regexp_replace(value, ',\\s*([}\\]])', '\\1', 'g'), "
+    "regexp_replace(regexp_replace(value, ',\\s*(\\}[\\s}\\]]*)$', '\\1'), "
     "'^\\{\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*:', '{\"\\1\":')"
 )
 
@@ -1265,12 +1265,12 @@ ENVELOPE_REPAIR_SQL = f"""
     WITH cw AS ({_WIRE_CORRUPT_SQL}),
     -- DuckDB's json_valid (yyjson) ACCEPTS trailing commas that the
     -- engine's strict parser (Jackson) rejects; the extra regex guard
-    -- aligns the oracle's notion of "strict" with the engine's. Safe on
-    -- this feed: no valid wire contains a comma-brace sequence inside a
-    -- string value (checked: 0 of 10k at sf0.01).
+    -- aligns the oracle's notion of "strict" with the engine's. The
+    -- guard is END-anchored (like the repair rule), so a comma-brace
+    -- sequence inside a quoted payload can never affect classification.
     st AS (
         SELECT value,
-               strict AND NOT regexp_matches(value, ',\s*[}}\]]') AS strict_ok,
+               strict AND NOT regexp_matches(value, ',\s*\}}[\s}}\]]*$') AS strict_ok,
                rep_valid, repaired
         FROM (
             SELECT value, json_valid(value) AS strict,

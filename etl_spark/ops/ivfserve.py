@@ -55,6 +55,7 @@ from etl_spark.ops.simsearch import (
     _cos,
     _dot,
     _kmeans_assign,
+    _kmeans_g_structs,
     _quantized,
 )
 
@@ -64,23 +65,9 @@ _PTR = "CURRENT"
 def _kmeans_topn(cents: list[tuple[int, list[int], int]], n: int) -> F.Column:
     """Array of the ``n`` nearest centroid ids for the row's ``__q``,
     ordered by (g asc, c asc) — the multi-probe generalization of
-    ``_kmeans_assign`` (identical per-centroid math, so n=1 equals it)."""
-    structs = []
-    for c, s, cn in cents:
-        s_lit = F.array(*[F.lit(int(v)).cast("long") for v in s])
-        dot = F.aggregate(
-            F.zip_with(F.col("__q"), s_lit, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        nsq_s = sum(int(v) * int(v) for v in s)
-        g = F.lit(nsq_s / (cn * cn)).cast("double") - (
-            F.lit(2.0) * dot.cast("double")
-        ) / F.lit(float(cn))
-        structs.append(
-            F.struct(g.alias("g"), F.lit(int(c)).cast("int").alias("c"))
-        )
-    ordered = F.array_sort(F.array(*structs))
+    ``_kmeans_assign``, built from the SAME per-centroid struct array
+    (simsearch._kmeans_g_structs) so the two can never diverge."""
+    ordered = F.array_sort(_kmeans_g_structs(cents))
     return F.transform(F.slice(ordered, 1, n), lambda s: s["c"])
 
 

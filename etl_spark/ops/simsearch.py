@@ -713,7 +713,14 @@ KMEANS_ITERS = 2
 EMB_DIM = 64
 
 
-def _kmeans_assign(cents: list[tuple[int, list[int], int]]) -> F.Column:
+def _kmeans_g_structs(cents: list[tuple[int, list[int], int]]) -> F.Column:
+    """Array of (g, c) structs for the row's ``__q`` against every
+    centroid — g = nsq/n² − 2·dot/n, the argmin-equivalent distance
+    metric shared bit-for-bit with the DuckDB oracle (_KM_G). ONE
+    builder: _kmeans_assign reduces it with array_min, the persisted
+    IVF index's multi-probe assignment (ops/ivfserve._kmeans_topn)
+    with array_sort — the two must never diverge, or stored cell
+    assignments stop matching trained centroids."""
     structs = []
     for c, s, n in cents:
         s_lit = F.array(*[F.lit(int(v)).cast("long") for v in s])
@@ -729,7 +736,11 @@ def _kmeans_assign(cents: list[tuple[int, list[int], int]]) -> F.Column:
         structs.append(
             F.struct(g.alias("g"), F.lit(int(c)).cast("int").alias("c"))
         )
-    return F.array_min(F.array(*structs))["c"]
+    return F.array(*structs)
+
+
+def _kmeans_assign(cents: list[tuple[int, list[int], int]]) -> F.Column:
+    return F.array_min(_kmeans_g_structs(cents))["c"]
 
 
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -121,3 +121,25 @@ def test_repair_composes_with_quarantine_and_requeue(spark, tmp_path):
                             fail_threshold=1.0)
     assert s2.failed == 1 and s2.applied() == 0
     assert table.read(spark).count() == 2
+
+
+def test_repair_never_mutates_quoted_payload(spark):
+    """Both repair rules are position-anchored: a repairable envelope whose
+    TEXT contains comma-brace / key-like patterns must come back with the
+    payload byte-identical (the round-4 review's silent-mutation case)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.envelope import decode_status, from_debezium
+
+    nasty = "a ,} b {k: 65} c, ]"
+    wires = [
+        # unquoted head key + nasty payload
+        ('{op:"c","ts":"2024-01-01 00:00:01","lsn":1,"after":{"conv_id":"a","turn_idx":0,"role":"user","text":"' + nasty + '"}}',),
+        # trailing comma at envelope end + nasty payload
+        ('{"op":"c","ts":"2024-01-01 00:00:02","lsn":2,"after":{"conv_id":"b","turn_idx":0,"role":"user","text":"' + nasty + '"},}',),
+    ]
+    df = spark.createDataFrame(wires, "value string")
+    st = [r["s"] for r in df.select(decode_status(F.col("value")).alias("s")).collect()]
+    assert st == ["repaired", "repaired"]
+    dec = {r["op_seq"]: r["text"] for r in from_debezium(df, repair=True).collect()}
+    assert dec == {1: nasty, 2: nasty}

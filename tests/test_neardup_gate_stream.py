@@ -112,3 +112,37 @@ def test_exact_flood_is_deduped_linearly(spark, tmpdir_path):
         neardup_index_path=os.path.join(tmpdir_path, "ndi"),
     )
     assert t.read(spark).count() == 1
+
+
+def test_all_duplicate_trigger_does_not_crash_stream(spark, tmpdir_path):
+    """A trigger that is 100% cross-key duplicates of admitted content is
+    the gate's design case, and the zero-row pre-commit guard must NOT
+    fire for it (the round-4 review's redelivery-loop scenario): the
+    trigger applies as an empty batch, its files ledger, and the drained
+    state carries only the originals."""
+    feed = os.path.join(tmpdir_path, "feed")
+    _write_seg(spark, feed, "batch=00000", [
+        _row("I", 1, "conv-a", LOREM),
+        _row("I", 2, "conv-b", OTHER),
+    ])
+    table = LakeTable.create(
+        os.path.join(tmpdir_path, "lake"), TRANSCRIPT_SCHEMA, n_buckets=2
+    )
+    ck = os.path.join(tmpdir_path, "ck")
+    idx = os.path.join(tmpdir_path, "nd")
+    run_stream(spark, table, feed, ck, mode="mor", neardup_index_path=idx)
+    assert table.read(spark).count() == 2
+    # second segment: ONLY copies of already-admitted content, new keys
+    _write_seg(spark, feed, "batch=00001", [
+        _row("I", 10, "conv-c", LOREM),
+        _row("I", 11, "conv-d", OTHER),
+    ])
+    run_stream(spark, table, feed, ck, mode="mor", neardup_index_path=idx)
+    got = {r["conv_id"] for r in table.read(spark).collect()}
+    assert got == {"conv-a", "conv-b"}
+    # files of the all-dup segment are ledgered: a re-drain no-ops
+    run_stream(
+        spark, table, feed, os.path.join(tmpdir_path, "ck2"), mode="mor",
+        neardup_index_path=idx,
+    )
+    assert {r["conv_id"] for r in table.read(spark).collect()} == got

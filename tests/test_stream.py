@@ -147,3 +147,53 @@ def test_progress_telemetry_one_row_per_trigger(spark, tmpdir_path):
     run_stream(spark, table, feed, ck2, max_files_per_trigger=1, mode="mor")
     p2 = progress_df(spark, os.path.join(ck2, "_progress")).collect()
     assert p2 and all(r["skipped_idempotent"] or r["no_new_files"] for r in p2)
+
+    # restart of the SAME checkpoint: numbering continues (no duplicate
+    # trigger_no in one file), appended rows are no-op records
+    n_before = len(rows)
+    run_stream(spark, table, feed, ck, max_files_per_trigger=1, mode="mor")
+    rows2 = p.orderBy("trigger_no").collect()
+    assert [r["trigger_no"] for r in rows2] == list(range(len(rows2)))
+    assert len(rows2) >= n_before
+
+
+def test_plus_and_percent_in_file_names_apply(spark, tmpdir_path):
+    """Files whose names contain '+' or percent-encodable characters must
+    have their ROWS applied, not just their names ledgered — the
+    one-sided-normalization silent-loss case from the round-4 review
+    (Spark's url_decode form-decodes '+' to space; Python unquote does
+    not)."""
+    import os
+
+    from etl_spark.cdc.gen import change_feed_df, write_feed
+    from etl_spark.cdc.stream import run_stream
+    from etl_spark.lake.table import LakeTable
+    from etl_spark.schema import TRANSCRIPT_SCHEMA
+
+    feed = os.path.join(tmpdir_path, "qfeed")
+    write_feed(
+        change_feed_df(spark, n_events=2000, n_convs=40, max_turns=6,
+                       seed=13, n_batches=1),
+        feed,
+    )
+    seg = os.path.join(feed, sorted(os.listdir(feed))[0])
+    parts = [f for f in sorted(os.listdir(seg)) if f.endswith(".parquet")]
+    assert len(parts) >= 2, "need two part files to rename"
+    os.rename(os.path.join(seg, parts[0]), os.path.join(seg, "part-a+b.parquet"))
+    os.rename(os.path.join(seg, parts[1]), os.path.join(seg, "part c d.parquet"))
+    feed_rows = spark.read.parquet(f"{feed}/*").count()
+
+    table = LakeTable.create(
+        os.path.join(tmpdir_path, "qlake"), TRANSCRIPT_SCHEMA, n_buckets=2
+    )
+    run_stream(spark, table, feed, os.path.join(tmpdir_path, "qck"), mode="mor")
+    from etl_spark.cdc.stream import progress_df
+
+    p = progress_df(spark, os.path.join(tmpdir_path, "qck", "_progress"))
+    from pyspark.sql import functions as F
+
+    assert p.agg(F.sum("events_in")).first()[0] == feed_rows
+    # every file ledgered AND every row applied (idempotent re-drain)
+    run_stream(spark, table, feed, os.path.join(tmpdir_path, "qck2"), mode="mor")
+    p2 = progress_df(spark, os.path.join(tmpdir_path, "qck2", "_progress")).collect()
+    assert all(r["skipped_idempotent"] or r["no_new_files"] for r in p2)

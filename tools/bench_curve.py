@@ -38,7 +38,8 @@ def main() -> None:
     ap.add_argument("--exec-cores", type=int, default=2)
     ap.add_argument("--levels", default="1,2,4")
     ap.add_argument("--mode", default="mor")
-    ap.add_argument("--pin", action="store_true", default=True)
+    ap.add_argument("--pin", action=argparse.BooleanOptionalAction,
+                    default=True, help="taskset-pin children (--no-pin to disable)")
     ap.add_argument(
         "--workdir", default="/dev/shm" if os.path.isdir("/dev/shm") else None
     )

@@ -327,51 +327,92 @@ def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
         # lookup scans one bucket's stats-selected files (not the table),
         # and the conv-summary MV refresh re-aggregates only conversations
         # touched since its last sync (here: the last replay segment).
+        # Each leg runs SERV_REPS interleaved reps with a per-rep steal
+        # sample, reporting best-of — the same treatment the apply legs
+        # got in round 3, so a driver-window outlier (round 4's 3.2×
+        # mv_refresh) is attributable to host weather vs a regression on
+        # sight. Stateful legs (MV refresh, replica sync) re-bootstrap
+        # UNTIMED at the prior snapshot each rep so every timed sample
+        # measures the same one-segment catch-up.
         from etl_spark.lake.mv import ConvSummaryMV
-
-        serv_table = LakeTable(os.path.join(work, f"lake_mor_{reps - 1}"))
-        plan = serv_table.plan_point_lookup(spark, "conv-00000042")
-        t0 = time.time()
-        pl_rows = serv_table.point_read(spark, "conv-00000042").count()
-        serv = {
-            "point_lookup_sec": round(time.time() - t0, 3),
-            "point_lookup_rows": pl_rows,
-            "files_scanned": len(plan["files"]),
-            "files_total": plan["files_total"],
-        }
-        versions = serv_table.versions()
-        mv = ConvSummaryMV(os.path.join(work, "mv"))
-        mv.full_refresh(spark, serv_table, version=versions[-2])
-        t0 = time.time()
-        serv["mv_affected_convs"] = mv.refresh(spark, serv_table)
-        serv["mv_refresh_sec"] = round(time.time() - t0, 3)
-        # incremental replica sync (CDC-out): bootstrap at the prior
-        # snapshot untimed, then time catching up by exactly one segment's
-        # changelog diff — the steady-state per-sync serving cost
         from etl_spark.lake.replicate import sync_replica
 
-        rt = LakeTable.create(
-            os.path.join(work, "replica"), serv_table.user_schema(), n_buckets=64
-        )
-        sync_replica(spark, serv_table, rt, to_version=versions[-2])
-        t0 = time.time()
-        rs = sync_replica(spark, serv_table, rt)
-        serv["replica_sync_sec"] = round(time.time() - t0, 3)
-        serv["replica_sync_rows"] = rs.applied()
-        # bloom-pruned value lookup on a NON-key column: declare the skip
-        # column, let the (untimed, maintenance-path) delta resolve
-        # backfill per-file sidecars, then time plan+scan for one exact
-        # text probe — the secondary-lookup serving pattern
+        serv_reps = int(os.environ.get("BENCH_SERV_REPS", "3"))
+        serv_table = LakeTable(os.path.join(work, f"lake_mor_{reps - 1}"))
+        versions = serv_table.versions()
+        # value-lookup prerequisites (untimed maintenance path): declare
+        # the skip column, resolve deltas to backfill per-file sidecars
         serv_table.set_skip_blooms(["text"])
         serv_table.resolve_deltas(spark)
         probe = serv_table.read(spark).select("text").first()[0]
-        t0 = time.time()
-        vplan = serv_table.plan_value_lookup("text", probe)
-        vl_rows = serv_table.read_where_equal(spark, "text", probe).count()
-        serv["value_lookup_sec"] = round(time.time() - t0, 3)
-        serv["value_lookup_rows"] = vl_rows
-        serv["value_files_scanned"] = len(vplan["files"])
-        serv["value_files_total"] = vplan["files_total"]
+        plan = serv_table.plan_point_lookup(spark, "conv-00000042")
+        runs_s: dict[str, list[dict]] = {
+            "point_lookup": [], "mv_refresh": [], "replica_sync": [],
+            "value_lookup": [],
+        }
+        serv = {
+            "files_scanned": len(plan["files"]),
+            "files_total": plan["files_total"],
+            "reps": serv_reps,
+        }
+
+        def _timed(leg: str, fn) -> None:
+            s0, j0 = _steal_sample()
+            t0 = time.time()
+            res = fn()
+            wall = time.time() - t0
+            s1, j1 = _steal_sample()
+            runs_s[leg].append(
+                {
+                    "sec": round(wall, 3),
+                    "steal_frac": round((s1 - s0) / max(1, j1 - j0), 3),
+                    "result": res,
+                }
+            )
+
+        for rep in range(serv_reps):
+            _timed(
+                "point_lookup",
+                lambda: serv_table.point_read(spark, "conv-00000042").count(),
+            )
+            mv = ConvSummaryMV(os.path.join(work, f"mv_{rep}"))
+            mv.full_refresh(spark, serv_table, version=versions[-2])
+            _timed("mv_refresh", lambda: mv.refresh(spark, serv_table))
+            rt = LakeTable.create(
+                os.path.join(work, f"replica_{rep}"),
+                serv_table.user_schema(), n_buckets=64,
+            )
+            sync_replica(spark, serv_table, rt, to_version=versions[-2])
+            _timed(
+                "replica_sync",
+                lambda: sync_replica(spark, serv_table, rt).applied(),
+            )
+
+            def _value_lookup():
+                vplan = serv_table.plan_value_lookup("text", probe)
+                n = serv_table.read_where_equal(spark, "text", probe).count()
+                return {
+                    "rows": n,
+                    "files_scanned": len(vplan["files"]),
+                    "files_total": vplan["files_total"],
+                }
+
+            _timed("value_lookup", _value_lookup)
+        best = {leg: min(rs, key=lambda r: r["sec"]) for leg, rs in runs_s.items()}
+        serv["point_lookup_sec"] = best["point_lookup"]["sec"]
+        serv["point_lookup_rows"] = best["point_lookup"]["result"]
+        serv["mv_refresh_sec"] = best["mv_refresh"]["sec"]
+        serv["mv_affected_convs"] = best["mv_refresh"]["result"]
+        serv["replica_sync_sec"] = best["replica_sync"]["sec"]
+        serv["replica_sync_rows"] = best["replica_sync"]["result"]
+        serv["value_lookup_sec"] = best["value_lookup"]["sec"]
+        serv["value_lookup_rows"] = best["value_lookup"]["result"]["rows"]
+        serv["value_files_scanned"] = best["value_lookup"]["result"]["files_scanned"]
+        serv["value_files_total"] = best["value_lookup"]["result"]["files_total"]
+        serv["all_runs"] = {
+            leg: [{"sec": r["sec"], "steal_frac": r["steal_frac"]} for r in rs]
+            for leg, rs in runs_s.items()
+        }
         out["serving"] = serv
         assert finals["mor"] == finals["cow"] == out["stream"]["final_rows"], (
             finals, out["stream"],

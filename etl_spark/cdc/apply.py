@@ -37,6 +37,8 @@ __all__ = [
     "SegmentReuseError",
     "apply_batch",
     "batch_fingerprint",
+    "check_segment_immutability",
+    "feed_files_nonempty",
     "replay_feed",
     "requeue_quarantine",
     "validate_events",
@@ -93,7 +95,11 @@ def _segment_relative(path: str) -> str:
     return "/".join(parts[-2:])
 
 
-def new_files_predicate(rel_new: list[str]) -> F.Column:
+def new_files_predicate(
+    rel_new: list[str],
+    feed_dir: str | None = None,
+    rel_applied: list[str] | None = None,
+) -> F.Column:
     """Predicate over the ``__file`` column (``input_file_name()``)
     matching rows that came from the given segment-relative new files.
 
@@ -107,16 +113,53 @@ def new_files_predicate(rel_new: list[str]) -> F.Column:
     it. A one-sided normalization silently drops such a file's rows
     while the ledger marks it applied (the round-4 review's '+' case);
     the symmetric variant set matches whichever encoding each side
-    chose. Shared by run_stream and route_stream — one copy to fix."""
+    chose. Shared by run_stream and route_stream — one copy to fix.
+
+    The variant union can OVER-match when form decoding collides two
+    distinct sibling files ('a+b.parquet' form-decodes to the same
+    identity as 'a b.parquet'). Two guards narrow it:
+
+      * ``feed_dir``: each side is resolved EXACT-MATCH-FIRST against
+        the on-disk listing (the ground truth for which decode the
+        encoder chose): the raw name wins if it exists, decoded
+        variants are consulted only when it does not, and the variant
+        union is kept wholesale only when nothing resolves (remote
+        URIs).
+      * ``rel_applied``: resolved identities of the trigger's OTHER
+        (already-applied) files are excluded, so an applied sibling
+        whose form-decoded identity lands in the want-set cannot
+        re-enter the batch (its rows were already merged; re-admitting
+        them skews counters and fingerprint-derived work).
+
+    Residual accepted ambiguity: when BOTH siblings exist on disk and a
+    side form-encoded a space into '+' (real encoders percent-encode),
+    exact-match-first picks the wrong sibling — unresolvable from
+    strings; key-level LWW dedup bounds the blast radius to counter
+    skew."""
     from urllib.parse import unquote, unquote_plus
+
+    def resolve(r: str) -> set[str]:
+        cands = [r, unquote(r), unquote_plus(r)]
+        if feed_dir is not None:
+            for c in cands:
+                if os.path.exists(os.path.join(feed_dir, c)):
+                    return {c}
+        return set(cands)
 
     want: set[str] = set()
     for r in rel_new:
-        want |= {r, unquote(r), unquote_plus(r)}
+        want |= resolve(r)
     w = sorted(want)
     rel_raw = F.array_join(F.slice(F.split(F.col("__file"), "/"), -2, 2), "/")
     rel_dec = F.coalesce(F.try_url_decode(rel_raw), rel_raw)
-    return rel_raw.isin(w) | rel_dec.isin(w)
+    pred = rel_raw.isin(w) | rel_dec.isin(w)
+    excl: set[str] = set()
+    for r in rel_applied or ():
+        excl |= resolve(r)
+    excl -= want
+    if excl:
+        pred = pred & ~rel_raw.isin(sorted(excl))
+    return pred
 
 
 def segment_listing(feed_dir: str, sname: str) -> set[str]:
@@ -134,6 +177,93 @@ def segment_listing(feed_dir: str, sname: str) -> set[str]:
         }
     except OSError:
         return set()
+
+
+def check_segment_immutability(
+    feed_dir: str,
+    seg_names: list[str],
+    ledgers: list[tuple[LakeTable, dict[str, str]]],
+) -> None:
+    """Refuse a trigger that touches a COMPLETED segment whose on-disk
+    listing no longer matches its completion fingerprint — a producer
+    kept writing into (or deleted from) a segment after it completed.
+    Segments are immutable by contract; a name-membership short-circuit
+    would otherwise skip the late file silently, permanently.
+
+    ``ledgers``: per-table (table, committed_segments()) pairs — the
+    caller already materialized the ledger snapshots for its new-file
+    filtering, so this check does no extra manifest I/O on the happy
+    path (the listing is read once per suspect segment, and the
+    ``full_commits`` legacy probe only on a fingerprint mismatch).
+
+    Entries CERTIFIED as listing fingerprints (``listing_segments`` —
+    style-marked at write time) refuse a mismatch definitively. LEGACY
+    tolerance for the rest: older ledger entries record the committing
+    BATCH ID instead of the listing fingerprint (documented on
+    ``committed_segments``), and a value present in the table's own
+    commit ledger is such a record — the mismatch proves nothing about
+    segment mutation, so those fall back to the name-membership
+    semantics they were written under instead of bricking the stream.
+    (Without the style marker, a single-trigger completion's batch id
+    ALWAYS equals the listing fingerprint, so the legacy probe would
+    silently skip every mutated common-case segment.)
+
+    Shared by ``run_stream`` and ``route_stream`` (one copy to fix —
+    the round-4 review found run_stream silently dropping appended
+    files its sibling had learned to refuse)."""
+    for sname in sorted(set(seg_names)):
+        cur_fp: str | None = None
+        listed = False
+        for t, segs in ledgers:
+            if sname not in segs:
+                continue
+            fp = segs[sname]
+            if not listed:
+                cur = segment_listing(feed_dir, sname)
+                cur_fp = batch_fingerprint(sorted(cur)) if cur else None
+                listed = True
+            if cur_fp == fp:
+                continue
+            if sname not in t.listing_segments() and fp in t.full_commits():
+                continue
+            raise SegmentReuseError(
+                f"segment {sname!r} is ledgered complete but its current "
+                f"listing differs from the completion fingerprint — a "
+                f"file landed in (or vanished from) a completed segment; "
+                f"segments are immutable by contract"
+            )
+
+
+def feed_files_nonempty(feed_dir: str, rel_files: list[str]) -> bool:
+    """Driver-side parquet-footer probe: does ANY of the given
+    segment-relative feed files contain at least one row?
+
+    Used only on the ZERO-ROW failure path of the streaming drivers'
+    expect-rows guard (never per trigger): a producer may legitimately
+    write a zero-row parquet file (an empty partition), and raising on
+    it pre-commit would crash the stream into a permanent redelivery
+    loop with no operator escape. If every matched file's footer says 0
+    rows, the batch genuinely is empty — commit/ledger it as such. An
+    unreadable or unresolvable file counts as non-empty so the loud
+    guard stays armed."""
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote, unquote_plus
+
+    for rel in rel_files:
+        p = None
+        for cand in (rel, unquote(rel), unquote_plus(rel)):
+            fp = os.path.join(feed_dir, cand)
+            if os.path.exists(fp):
+                p = fp
+                break
+        if p is None:
+            return True
+        try:
+            if pq.read_metadata(p).num_rows > 0:
+                return True
+        except Exception:
+            return True
+    return False
 
 
 def batch_fingerprint(source_files: list[str]) -> str:
@@ -283,7 +413,7 @@ def apply_batch(
     mode: str = "cow",
     allow_patches: bool = False,
     quarantine_dir: str | None = None,
-    expect_rows: bool = False,
+    expect_rows=False,  # bool or () -> bool (zero-row path only)
 ) -> MergeStats:
     """Validate + (optionally) drop too-late events + dedup + MERGE.
 

@@ -73,6 +73,14 @@ class _SegmentedIndex:
         with open(p) as f:
             return json.loads(f.read())
 
+    def _is_committed_seg(self, seg: str, m: dict | None = None) -> bool:
+        """Segment-name membership for ingest idempotence: live segments
+        PLUS names absorbed by compaction — a redelivered trigger whose
+        segment was since compacted must still no-op its write (the
+        deterministic-name ledger survives compaction; see ``compact``)."""
+        m = self._meta() if m is None else m
+        return seg in m["segments"] or seg in m.get("absorbed", [])
+
     def _params(self) -> dict:
         return {}
 
@@ -273,6 +281,93 @@ class _SegmentedIndex:
         out = out.filter(F.col(self.SCORE_COL) >= threshold)
         return out if with_origin else out.drop("dup_src")
 
+    # ------------------------------------------------------- maintenance
+    def compact(
+        self,
+        spark: SparkSession,
+        min_segments: int = 2,
+        keep_last: int = 1,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        remove_absorbed: bool = True,
+    ) -> dict | None:
+        """Merge committed segments' sig/band files into ONE consolidated
+        segment behind the atomic pointer swap — the index analog of the
+        lake table's ``compact_small_files`` (Iceberg rewrite_data_files).
+
+        A long-lived gated stream appends one segment per trigger, so
+        without this verb probe plans read O(triggers) ever-smaller files
+        and the pointer's segment list grows without bound, even though
+        each probe's ROW volume is bounded. Compaction is a pure file
+        merge: row content is untouched, so probe results are identical
+        before and after (modulo the own-segment exclusion, preserved by
+        ``keep_last`` below).
+
+        Contract:
+          * ``keep_last`` newest segments are NEVER absorbed (min 1 for
+            gate-fed indexes): the only redelivery that reaches the gate
+            with an index-committed segment is a crash between the index
+            commit and the table commit — always the NEWEST segment — and
+            its ``exclude_seg`` probe plus drop-set determinism need that
+            segment to still exist by name. (Checkpoint-loss redeliveries
+            of OLDER files never reach the gate: the table's per-file
+            ledger filters them first.)
+          * the deterministic segment-name ledger SURVIVES absorption
+            (``absorbed`` list in the pointer), so a redelivered trigger
+            whose segment was compacted away still no-ops its write.
+          * single writer, no in-flight probes older than the swap:
+            ``remove_absorbed`` deletes the merged dirs after the swap,
+            which invalidates lazy plans still reading them (the
+            streaming loop runs maintenance between triggers; pass
+            False to keep the files for concurrent readers and sweep
+            later).
+
+        Returns {"absorbed": n, "segments": n_after, "files_before": n,
+        "files_after": n} or None when below ``min_segments``."""
+        m = self._meta()
+        live = list(m["segments"])
+        absorbable = live[: len(live) - keep_last] if keep_last > 0 else live
+        if len(absorbable) < min_segments:
+            return None
+        comp = f"compact-{uuid.uuid4().hex[:12]}"
+        files_before = files_after = 0
+        for sub in ("sig", "bands"):
+            paths = [os.path.join(self.path, s, sub) for s in absorbable]
+            nbytes = 0
+            nfiles = 0
+            for p in paths:
+                for fn in os.listdir(p):
+                    if fn.endswith(".parquet"):
+                        nbytes += os.path.getsize(os.path.join(p, fn))
+                        nfiles += 1
+            files_before += nfiles
+            n_out = max(1, -(-nbytes // target_file_bytes))  # ceil-div
+            out = os.path.join(self.path, comp, sub)
+            # coalesce (no shuffle) to the byte-targeted file count —
+            # the whole point is turning O(triggers) small files into
+            # O(bytes / target) big ones
+            spark.read.parquet(*paths).coalesce(n_out).write.mode(
+                "overwrite"
+            ).parquet(out)
+            files_after += sum(
+                1 for fn in os.listdir(out) if fn.endswith(".parquet")
+            )
+        m2 = self._meta()
+        absorbed = list(dict.fromkeys(m2.get("absorbed", []) + absorbable))
+        m2["segments"] = [comp] + [
+            s for s in m2["segments"] if s not in set(absorbable)
+        ]
+        m2["absorbed"] = absorbed
+        _atomic_write(os.path.join(self.path, _PTR), json.dumps(m2))
+        if remove_absorbed:
+            for s in absorbable:
+                shutil.rmtree(os.path.join(self.path, s), ignore_errors=True)
+        return {
+            "absorbed": len(absorbable),
+            "segments": len(m2["segments"]),
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+
     # ------------------------------------------------------------- API
     def find_dups(
         self, spark: SparkSession, batch: DataFrame, threshold: float = 0.5
@@ -320,15 +415,42 @@ class _SegmentedIndex:
         persisted sig/band files serve as the probe side too.
 
         Subclasses layer cheaper exact paths on top (NearDupIndex adds a
-        text-hash layer and MinHashes only novel content)."""
+        text-hash layer and MinHashes only novel content).
+
+        Redelivery of an ABSORBED segment (its files merged away by
+        ``compact`` — only reachable when a checkpoint-loss replay gets
+        past the table's per-file ledger): the write still no-ops, and
+        the probe side is recomputed into a temp dir and probed WITHOUT
+        own-segment exclusion. The batch's content now lives in the
+        compacted corpus, so extra self-matches appear in the returned
+        pairs — harmless by construction: the only consumer of a
+        redelivered-absorbed trigger's drop set is a merge the table's
+        commit ledger no-ops anyway (``keep_last`` ≥ 1 keeps the one
+        redelivery that DOES matter — the newest segment — exact)."""
         seg = f"seg-{seg_name}"
-        if seg not in self._meta()["segments"]:
+        if not self._is_committed_seg(seg):
             _, n = self._write_segment(spark, batch, self.path, seg_name=seg)
             self._commit_segment(seg, n)
+        if seg in self._meta()["segments"]:
+            return self._dups_for_segment(
+                spark, self.path, seg, threshold, exclude_seg=seg,
+                with_origin=True, max_band_bucket=max_band_bucket,
+            )
+        base, pseg = self._temp_probe_segment(spark, batch, seg)
         return self._dups_for_segment(
-            spark, self.path, seg, threshold, exclude_seg=seg,
+            spark, base, pseg, threshold,
             with_origin=True, max_band_bucket=max_band_bucket,
         )
+
+    def _temp_probe_segment(
+        self, spark: SparkSession, batch: DataFrame, seg: str
+    ) -> tuple[str, str]:
+        """Probe-side segment in a temp dir (find_dups shape) for
+        absorbed-segment redeliveries — cleaned at process exit."""
+        tmp = tempfile.mkdtemp(prefix="etl_spark_ndabs_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        pseg, _ = self._write_segment(spark, batch, tmp, seg_name=seg)
+        return tmp, pseg
 
 
 class NearDupIndex(_SegmentedIndex):
@@ -495,7 +617,7 @@ class NearDupIndex(_SegmentedIndex):
                 .localCheckpoint(eager=True)  # one index scan, reused below
             )
             parts.append(vs_idx)
-        if seg not in self._meta()["segments"]:
+        def _reps() -> DataFrame:
             reps = th_groups.select(
                 F.col("k.doc_id").alias("doc_id"), F.col("k.text").alias("text")
             )
@@ -507,10 +629,22 @@ class NearDupIndex(_SegmentedIndex):
                     F.broadcast(vs_idx.select("doc_id").distinct()),
                     "doc_id", "left_anti",
                 )
-            _, n = self._write_segment(spark, reps, self.path, seg_name=seg)
+            return reps
+
+        if not self._is_committed_seg(seg):
+            _, n = self._write_segment(spark, _reps(), self.path, seg_name=seg)
             self._commit_segment(seg, n)
+        if seg in self._meta()["segments"]:
+            base, pseg, exclude = self.path, seg, seg
+        else:
+            # absorbed-segment redelivery: files merged away by compact —
+            # recompute the probe side into a temp dir (see the base
+            # gate_and_admit docstring for why the resulting self-match
+            # noise is harmless)
+            base, pseg = self._temp_probe_segment(spark, _reps(), seg)
+            exclude = None
         out = self._dups_for_segment(
-            spark, self.path, seg, threshold, exclude_seg=seg,
+            spark, base, pseg, threshold, exclude_seg=exclude,
             with_origin=True, max_band_bucket=max_band_bucket,
             broadcast_probe=True,
         )

@@ -280,7 +280,12 @@ def route_stream(
 
     from urllib.parse import unquote
 
-    from etl_spark.cdc.apply import new_files_predicate, segment_listing
+    from etl_spark.cdc.apply import (
+        check_segment_immutability,
+        feed_files_nonempty,
+        new_files_predicate,
+        segment_listing,
+    )
 
     def _segment_listing(sname: str) -> set[str]:
         return segment_listing(feed_dir, sname)
@@ -292,55 +297,23 @@ def route_stream(
         if not files:
             return
         done = [
-            (t.committed_segments(), t.committed_inputs())
+            (t, t.committed_segments(), t.committed_inputs())
             for t in tables.values()
         ]
 
-        # A segment ledgered complete is immutable by contract: if its
-        # CURRENT listing no longer matches the fingerprint it completed
-        # with (a producer kept writing into it after completion), refuse
-        # loudly — the old `seg in segs` short-circuit would otherwise
-        # skip the late file silently, permanently.
-        from etl_spark.cdc.apply import SegmentReuseError
-
+        # A segment ledgered complete is immutable by contract: refuse a
+        # file appended to one (shared helper, with the legacy batch-id
+        # fallback — see check_segment_immutability). Reuses the ledger
+        # snapshots materialized above: no extra manifest I/O per table.
         trigger_segs = sorted({_segment_relative(f).split("/")[0] for f in files})
-        for sname in trigger_segs:
-            cur = None
-            for t in tables.values():
-                segs = t.committed_segments()
-                if sname not in segs:
-                    continue
-                fp = segs[sname]
-                if cur is None:
-                    cur = _segment_listing(sname)
-                cur_fp = batch_fingerprint(sorted(cur)) if cur else None
-                if cur_fp == fp:
-                    continue
-                # LEGACY tolerance: older ledger entries record the
-                # committing BATCH ID instead of the listing fingerprint
-                # (documented on committed_segments). A value present in
-                # the table's own commit ledger is such a record — the
-                # mismatch proves nothing about segment mutation, so fall
-                # back to the name-membership semantics those entries
-                # were written under instead of bricking the stream.
-                # Boundary: a segment completed by a single trigger whose
-                # batch id HAPPENS to equal the listing fingerprint also
-                # lands here, trading mutation detection for that case
-                # back to the legacy silent-skip — a false raise on every
-                # legacy table is the worse failure.
-                if fp in t.full_commits():
-                    continue
-                raise SegmentReuseError(
-                    f"segment {sname!r} is ledgered complete but its current "
-                    f"listing differs from the completion fingerprint — a "
-                    f"file landed in (or vanished from) a completed segment; "
-                    f"segments are immutable by contract"
-                )
+        check_segment_immutability(
+            feed_dir, trigger_segs, [(t, segs) for t, segs, _inps in done]
+        )
 
         def applied_everywhere(f: str) -> bool:
             rel = _segment_relative(f)
             seg = rel.split("/")[0]
-            return all(seg in segs or rel in inps for segs, inps in done)
+            return all(seg in segs or rel in inps for _t, segs, inps in done)
 
         new_files = sorted(f for f in files if not applied_everywhere(f))
         if not new_files:
@@ -353,7 +326,9 @@ def route_stream(
         # fingerprint map and its per-file entries are pruned — bounding
         # ledger growth over an endless stream
         common_inputs = (
-            set.intersection(*(inps for _segs, inps in done)) if done else set()
+            set.intersection(*(inps for _t, _segs, inps in done))
+            if done
+            else set()
         )
         applied_decoded = {unquote(x) for x in (common_inputs | set(rel_new))}
         complete: dict[str, str] = {}
@@ -362,17 +337,29 @@ def route_stream(
             if allf and allf <= applied_decoded:
                 complete[sname] = batch_fingerprint(sorted(allf))
         # symmetric normalized identity matching (shared helper — see
-        # cdc/apply.new_files_predicate for the encoding-drift contract)
-        batch_df = df.filter(new_files_predicate(rel_new)).drop("__file")
+        # cdc/apply.new_files_predicate for the encoding-drift contract);
+        # already-applied sibling files are excluded so a form-decode
+        # collision cannot re-admit their rows
+        new_set = set(new_files)
+        rel_applied = [_segment_relative(f) for f in files if f not in new_set]
+        batch_df = df.filter(
+            new_files_predicate(rel_new, feed_dir=feed_dir, rel_applied=rel_applied)
+        ).drop("__file")
         if batch_df.isEmpty() and not df.isEmpty():
             # rows exist in the trigger but none matched the new files —
-            # the identity normalization above missed; fail loudly
-            # instead of ledgering unapplied files
-            raise RuntimeError(
-                f"route_stream: trigger matched 0 rows for {len(rel_new)} "
-                f"new files ({rel_new[:3]}…) — file-identity normalization "
-                f"mismatch between inputFiles() and input_file_name()"
-            )
+            # either the identity normalization above missed (fail loudly
+            # instead of ledgering unapplied files), or the new files are
+            # legitimately EMPTY parquet (an empty producer partition —
+            # footer-probed driver-side, only on this already-failed
+            # path); the latter proceeds to ledger them as applied with
+            # a counters-only commit per routed table.
+            if feed_files_nonempty(feed_dir, rel_new):
+                raise RuntimeError(
+                    f"route_stream: trigger matched 0 rows for "
+                    f"{len(rel_new)} new files ({rel_new[:3]}…) — "
+                    f"file-identity normalization mismatch between "
+                    f"inputFiles() and input_file_name()"
+                )
         route_batch(
             spark, catalog, batch_df, bid, table_col=table_col,
             transactional=transactional, on_unknown=on_unknown, mode=mode,

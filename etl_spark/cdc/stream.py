@@ -40,6 +40,8 @@ from etl_spark.cdc.apply import (
     _segment_relative,
     apply_batch,
     batch_fingerprint,
+    check_segment_immutability,
+    feed_files_nonempty,
     new_files_predicate,
     segment_listing,
 )
@@ -220,10 +222,37 @@ def _record_progress(
         f.write(_json.dumps(row) + "\n")
 
 
-def progress_df(spark: SparkSession, path: str) -> DataFrame:
+def progress_df(
+    spark: SparkSession, path: str, dedup: bool = True
+) -> DataFrame:
     """Read a stream's per-trigger progress table (one row per trigger;
-    written next to the checkpoint by default: <checkpoint>/_progress)."""
-    return spark.read.schema(PROGRESS_SCHEMA).json(f"{path}/progress.jsonl")
+    written next to the checkpoint by default: <checkpoint>/_progress).
+
+    ``batch_id`` — NOT trigger_no — is the aggregation identity: the
+    JSONL append runs AFTER the table commit, so a crash in between
+    loses the row and the redelivered trigger appends a second row for
+    the same batch (skipped_idempotent, zero counters). ``dedup=True``
+    (default) keeps ONE row per batch_id — the FIRST recorded, which
+    carries the real counters whenever both survive (the redelivery row
+    is the all-zero skip) — so summing events_in/applied over the frame
+    never double-counts. no-new-files liveness rows (batch_id NULL) are
+    all kept. Pass dedup=False for the raw append log."""
+    raw = spark.read.schema(PROGRESS_SCHEMA).json(f"{path}/progress.jsonl")
+    if not dedup:
+        return raw
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("batch_id").orderBy("trigger_no")
+    return (
+        raw.withColumn(
+            "__rn",
+            F.when(F.col("batch_id").isNull(), F.lit(1)).otherwise(
+                F.row_number().over(w)
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def run_stream(
@@ -244,6 +273,7 @@ def run_stream(
     quarantine_dir: str | None = None,
     neardup_index_path: str | None = None,
     neardup_threshold: float = 0.5,
+    neardup_compact_every: int | None = 64,
     progress_path: str | None = None,
 ):
     """Start (and by default drain) the streaming apply loop. Returns the
@@ -276,6 +306,18 @@ def run_stream(
     (redelivery skips the write) and the probe excludes the batch's own
     segment, so a redelivered trigger computes the identical drop set.
     Deletes/patches always pass (they are not new content).
+
+    ``neardup_compact_every``: index-maintenance cadence (triggers) —
+    the gate appends one index segment per trigger, so an unbounded
+    stream needs periodic segment compaction or probe plans read
+    O(triggers) small files (the same reasoning as
+    ``auto_compact_files`` for the table's delta files). Every N
+    triggers the index's committed segments (except the newest — the
+    gate's crash-redelivery exclusion contract, see
+    ``NearDupIndex.compact``) merge into one consolidated segment; the
+    deterministic segment-name ledger survives, so redelivery
+    idempotence is unaffected. None opts out (operator-scheduled
+    maintenance).
 
     ``replica_path``: follow the table with a changelog replica
     (lake/replicate.py) inside the same foreachBatch — each trigger syncs
@@ -316,6 +358,18 @@ def run_stream(
                 _time.time() - t0, t0,
             )
         trigger_no[0] += 1
+        # near-dup index maintenance on its own cadence: bound the probe
+        # plan's file fan-in under unbounded uptime (one new segment per
+        # trigger otherwise accumulates forever). Runs BETWEEN triggers —
+        # no in-flight probe plans can be reading the absorbed dirs.
+        if (
+            neardup_index_path is not None
+            and neardup_compact_every is not None
+            and trigger_no[0] % max(1, neardup_compact_every) == 0
+        ):
+            from etl_spark.cdc.neardup import NearDupIndex
+
+            NearDupIndex(neardup_index_path).compact(spark)
         # MV catch-up runs on a trigger CADENCE (default: every trigger),
         # outside the new-files early returns: after a crash between the
         # table commit and the MV refresh, the re-delivered batch no-ops
@@ -366,6 +420,13 @@ def run_stream(
 
         done_segs = table.committed_segments()
         done_inputs = table.committed_inputs()
+        # refuse a file appended to a COMPLETED segment before the
+        # name-membership skip below can silently drop it (shared with
+        # route_stream — listing vs completion fingerprint, with the
+        # legacy batch-id fallback; see the helper's docstring)
+        check_segment_immutability(
+            feed_dir, [seg(f) for f in files], [(table, done_segs)]
+        )
 
         def applied(f: str) -> bool:
             return seg(f) in done_segs or _segment_relative(f) in done_inputs
@@ -393,8 +454,14 @@ def run_stream(
                 complete_segs[sname] = batch_fingerprint(sorted(allf))
         bid = batch_fingerprint(new_files)
         # symmetric normalized identity matching (shared helper — see
-        # new_files_predicate for the encoding-drift contract)
-        batch_df = df.filter(new_files_predicate(rel_new)).drop("__file")
+        # new_files_predicate for the encoding-drift contract); already-
+        # applied sibling files are excluded so a form-decode collision
+        # cannot re-admit their rows
+        new_set = set(new_files)
+        rel_applied = [_segment_relative(f) for f in files if f not in new_set]
+        batch_df = df.filter(
+            new_files_predicate(rel_new, feed_dir=feed_dir, rel_applied=rel_applied)
+        ).drop("__file")
         if neardup_index_path is not None:
             batch_df = _neardup_gate(
                 spark, batch_df, neardup_index_path, neardup_threshold, bid
@@ -412,17 +479,23 @@ def run_stream(
             mode=mode,
             allow_patches=allow_patches,
             quarantine_dir=quarantine_dir,
-            # new parquet files are never empty in this feed protocol: a
-            # zero-row scan for non-empty new files means the row↔file
+            # a zero-row scan for new files usually means the row↔file
             # matching above silently missed — the merge gate raises
             # PRE-COMMIT instead of ledgering unapplied files (free: the
             # check rides the counters the merge materializes anyway).
-            # NOT asserted when the near-dup gate is on: the gate can
-            # legitimately empty a batch (a trigger that is 100%
-            # cross-key duplicates of admitted content — the exact flood
-            # it exists to drop), and a raise there would crash the
-            # stream into a permanent redelivery loop.
-            expect_rows=neardup_index_path is None,
+            # The CALLABLE form is evaluated only on that zero-row path:
+            # it probes the matched files' parquet footers, so a
+            # producer's legitimately-empty file (an empty partition)
+            # commits as a counters-only version instead of crashing the
+            # stream into a permanent redelivery loop. NOT asserted when
+            # the near-dup gate is on: the gate can legitimately empty a
+            # batch (a trigger that is 100% cross-key duplicates of
+            # admitted content — the exact flood it exists to drop).
+            expect_rows=(
+                (lambda: feed_files_nonempty(feed_dir, rel_new))
+                if neardup_index_path is None
+                else False
+            ),
         )
 
     def _apply_and_compact(df: DataFrame):

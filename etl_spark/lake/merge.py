@@ -175,15 +175,23 @@ def _finalize_stats_record(
 
 
 def _require_expected_rows(
-    batch_id: str, events_in: int, expect_rows: bool
+    batch_id: str, events_in: int, expect_rows
 ) -> None:
     """Loud pre-commit guard for streaming callers: the caller matched
     specific NON-EMPTY input files to this batch, so a zero-row scan means
     the row↔file identity matching silently failed — committing the
     counters-only version would ledger the files as applied without their
     rows (permanent data loss). Raising here costs nothing (the counters
-    were already materialized) and nothing has been committed."""
+    were already materialized) and nothing has been committed.
+
+    ``expect_rows`` may be a CALLABLE ``() -> bool`` evaluated only on
+    the zero-row path: streaming callers pass a parquet-footer probe of
+    the matched files, so a producer's legitimately-empty file commits
+    as a counters-only version instead of crashing the stream into a
+    permanent redelivery loop — at zero cost to non-empty batches."""
     if expect_rows and events_in == 0:
+        if callable(expect_rows) and not expect_rows():
+            return  # matched files are genuinely empty: commit as empty
         raise BatchFailedError(
             f"batch {batch_id}: caller expected rows (non-empty input "
             f"files) but the scan saw 0 — file-identity matching "
@@ -203,7 +211,7 @@ def _fused_scan_gate(
     base_version: int,
     t0: float,
     rebuild_missing: bool = True,
-    expect_rows: bool = False,
+    expect_rows=False,  # bool or () -> bool (zero-row path only)
 ) -> dict[str, Any] | None:
     """Pass 1 shared by the copy-on-write and patch merges: load (or
     rebuild once) the Bloom seen-set, run the fused membership/bucket scan
@@ -312,7 +320,7 @@ def merge_into(
     allow_patches: bool = False,
     conflict_retries: int = 2,
     patch_probe: DataFrame | None = None,
-    expect_rows: bool = False,
+    expect_rows=False,  # bool or () -> bool (zero-row path only)
 ) -> MergeStats:
     """Apply one validated CDC batch, surviving concurrent writers.
 
@@ -361,7 +369,7 @@ def _merge_into_once(
     mode: str = "cow",
     allow_patches: bool = False,
     patch_probe: DataFrame | None = None,
-    expect_rows: bool = False,
+    expect_rows=False,  # bool or () -> bool (zero-row path only)
 ) -> MergeStats:
     """Apply one validated (but not yet deduped) CDC batch to ``table``.
 
@@ -618,7 +626,7 @@ def _merge_mor_fused(
     new_sid: str,
     t0: float,
     base_version: int,
-    expect_rows: bool = False,
+    expect_rows=False,  # bool or () -> bool (zero-row path only)
 ) -> MergeStats:
     """Merge-on-read in ONE distributed pass (see module docstring).
 
@@ -718,7 +726,7 @@ def _merge_patch(
     base_version: int,
     mode: str,
     patch_probe: DataFrame | None = None,
-    expect_rows: bool = False,
+    expect_rows=False,  # bool or () -> bool (zero-row path only)
 ) -> MergeStats:
     """Patch-aware merge: per-column LWW over (batch events ∪ committed
     rows of the touched buckets as VIRTUAL events) in one aggregation

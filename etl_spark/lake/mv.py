@@ -229,6 +229,17 @@ class ConvSummaryMV(KeyedMV):
          from "all empty strings" (oracle says 0) without a scan;
       3. a pre-image for a conversation the MV does not know (should not
          happen; heals drift by recomputing).
+
+    Refresh telemetry: every delta refresh fills ``last_refresh_stats``
+    with {n_affected, n_arith, n_reagg, reagg_class_1/2/3} (one tiny agg
+    over the already-checkpointed merge frame), and the streaming driver
+    records n_arith/n_reagg in its per-trigger progress rows — a
+    workload that systematically trips a fallback class (silently
+    degrading the delta path toward full re-agg) is now visible per
+    refresh. Class 2 could be eliminated outright by persisting a
+    per-conversation null-text count, but that would widen the MV's
+    user-facing (oracle-matched) row schema for a rare ambiguity the
+    telemetry now makes observable — deliberately not done.
     """
 
     #: cutover DISABLED here by default: this view is delta-maintainable

@@ -68,6 +68,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from etl_spark.schema import KEY_COLS, SYSTEM_COLS, evolve_schema, schema_from_json
 
 MANIFEST_DIR = "_manifests"
+# style marker for segment-ledger values that are CERTIFIED listing
+# fingerprints (vs legacy committing-batch-id entries) — storage-level
+# only, stripped by committed_segments(); see listing_segments()
+_SEG_LISTING_STYLE = "l:"
 CURRENT_PTR = "CURRENT"
 _REF_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
 
@@ -1522,8 +1526,15 @@ class LakeTable:
             # content → refuse" (segment names are immutable by contract;
             # silently skipping reused names would drop data). A plain
             # list records the committing batch id (legacy/fallback).
+            # Dict-style values are stored with the ``l:`` style marker
+            # (normalized away by committed_segments): it records that
+            # the value IS a listing fingerprint, so the immutability
+            # check can refuse a mutated segment definitively instead of
+            # falling back to legacy name-membership semantics whenever
+            # the fingerprint happens to equal a committed batch id —
+            # which it ALWAYS does for single-trigger completions.
             seg_items = (
-                list(segments.items())
+                [(s, f"{_SEG_LISTING_STYLE}{fp}") for s, fp in segments.items()]
                 if isinstance(segments, dict)
                 else [(s, batch_id) for s in (segments or [])]
             )
@@ -1661,8 +1672,28 @@ class LakeTable:
         """Completed segments → content fingerprint (batch_fingerprint over
         the segment's full file set; legacy entries carry the committing
         batch id). Membership (`name in ...`) answers "done?", the value
-        answers "done with WHAT content?" — the reuse-refusal check."""
-        return self.full_segments()
+        answers "done with WHAT content?" — the reuse-refusal check.
+        The internal ``l:`` style marker is normalized away; callers
+        needing to know WHICH entries are certified listing fingerprints
+        use ``listing_segments``."""
+        return {
+            s: fp[len(_SEG_LISTING_STYLE):]
+            if fp.startswith(_SEG_LISTING_STYLE)
+            else fp
+            for s, fp in self.full_segments().items()
+        }
+
+    def listing_segments(self) -> set[str]:
+        """Segment names whose ledger entry is a CERTIFIED listing
+        fingerprint (written style-marked by this engine version). For
+        these, listing-vs-fingerprint mismatch proves segment mutation;
+        unmarked (pre-marker or list-style) entries fall back to legacy
+        name-membership semantics in the immutability check."""
+        return {
+            s
+            for s, fp in self.full_segments().items()
+            if fp.startswith(_SEG_LISTING_STYLE)
+        }
 
     def committed_inputs(self) -> set[str]:
         """Segment-relative input files already applied: every file of every

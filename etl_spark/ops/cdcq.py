@@ -1261,7 +1261,7 @@ _REPAIR_SQL = (
     "'^\\{\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*:', '{\"\\1\":')"
 )
 
-ENVELOPE_REPAIR_SQL = f"""
+ENVELOPE_REPAIR_SQL = rf"""
     WITH cw AS ({_WIRE_CORRUPT_SQL}),
     -- DuckDB's json_valid (yyjson) ACCEPTS trailing commas that the
     -- engine's strict parser (Jackson) rejects; the extra regex guard

@@ -165,7 +165,10 @@ class IvfIndex:
         cents = self.centroids()
         seg = f"seg-{seg_name}" if seg_name else f"seg-{uuid.uuid4().hex[:12]}"
         m = self._meta()
-        if seg in m["segments"]:
+        # absorbed names count: a redelivered trigger whose segment was
+        # since compacted away must still no-op (the deterministic-name
+        # ledger survives compaction; see ``compact``)
+        if seg in m["segments"] or seg in m.get("absorbed", []):
             return 0
         seg_dir = os.path.join(self.path, seg)
         rows = (
@@ -192,6 +195,87 @@ class IvfIndex:
         m["n_vecs"] += n
         self._commit(m)
         return n
+
+    # ------------------------------------------------------- maintenance
+    def compact(
+        self,
+        spark: SparkSession,
+        min_segments: int = 2,
+        keep_last: int = 0,
+        remove_absorbed: bool = True,
+    ) -> dict | None:
+        """Merge committed segments into ONE consolidated cell-partitioned
+        segment behind the atomic pointer swap (the index analog of the
+        table's ``compact_small_files`` / Iceberg rewrite_data_files).
+
+        Every streaming ``add`` appends a segment, so without this verb a
+        probe's driver-side ``plan_cells`` listing and its per-cell file
+        fan-in grow O(triggers) forever. Compaction is a pure file merge
+        (assignments are bound to the trained centroids, which never
+        change after segments exist — retraining is refused), so probe
+        results are identical before and after; the consolidated segment
+        holds ONE file per cell (repartition by cluster → one task per
+        cell writes it).
+
+        The deterministic segment-name ledger survives in ``absorbed``
+        (redelivered ``add``s still no-op). ``remove_absorbed`` deletes
+        merged dirs after the swap — single writer, no in-flight probe
+        plans older than the swap (run between triggers; pass False to
+        sweep later). ``keep_last`` mirrors the neardup gate's contract
+        but defaults to 0 here: the IVF probe has no own-segment
+        exclusion, so absorbing every segment is safe.
+
+        Returns {"absorbed": n, "segments": n_after, "files_before": n,
+        "files_after": n} or None when below ``min_segments``."""
+        m = self._meta()
+        live = list(m["segments"])
+        absorbable = live[: len(live) - keep_last] if keep_last > 0 else live
+        if len(absorbable) < min_segments:
+            return None
+        comp = f"compact-{uuid.uuid4().hex[:12]}"
+        comp_dir = os.path.join(self.path, comp)
+
+        def _count_files(dirs: list[str]) -> int:
+            n = 0
+            for d in dirs:
+                for _root, _sub, files in os.walk(d):
+                    n += sum(1 for f in files if f.endswith(".parquet"))
+            return n
+
+        files_before = _count_files(
+            [os.path.join(self.path, s) for s in absorbable]
+        )
+        # recursiveFileLookup skips partition discovery (multiple roots
+        # conflict); the in-file ``cell`` duplicate is the cluster id
+        (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(*[os.path.join(self.path, s) for s in absorbable])
+            .withColumn("cluster", F.col("cell"))
+            .repartition("cluster")
+            .select("vec_id", "cluster", "cell", "q", "nsq")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(comp_dir)
+        )
+        m2 = self._meta()
+        m2["absorbed"] = list(
+            dict.fromkeys(m2.get("absorbed", []) + absorbable)
+        )
+        m2["segments"] = [comp] + [
+            s for s in m2["segments"] if s not in set(absorbable)
+        ]
+        self._commit(m2)
+        if remove_absorbed:
+            import shutil
+
+            for s in absorbable:
+                shutil.rmtree(os.path.join(self.path, s), ignore_errors=True)
+        return {
+            "absorbed": len(absorbable),
+            "segments": len(m2["segments"]),
+            "files_before": files_before,
+            "files_after": _count_files([comp_dir]),
+        }
 
     # ------------------------------------------------------------- probe
     def plan_cells(self, cells: list[int]) -> list[str]:

@@ -197,3 +197,152 @@ def test_plus_and_percent_in_file_names_apply(spark, tmpdir_path):
     run_stream(spark, table, feed, os.path.join(tmpdir_path, "qck2"), mode="mor")
     p2 = progress_df(spark, os.path.join(tmpdir_path, "qck2", "_progress")).collect()
     assert all(r["skipped_idempotent"] or r["no_new_files"] for r in p2)
+
+
+def test_file_appended_to_completed_segment_refused(spark, tmpdir_path):
+    """run_stream must refuse (not silently drop) a file that lands in a
+    segment AFTER the segment completed — the single-table port of the
+    route_stream immutability check (round-4 ADVICE, medium)."""
+    import shutil
+
+    import pytest
+
+    feed = os.path.join(tmpdir_path, "ifeed")
+    write_feed(
+        change_feed_df(spark, n_events=2000, n_convs=40, max_turns=6,
+                       seed=31, n_batches=1),
+        feed,
+    )
+    table = LakeTable.create(
+        os.path.join(tmpdir_path, "ilake"), TRANSCRIPT_SCHEMA, n_buckets=2
+    )
+    run_stream(spark, table, feed, os.path.join(tmpdir_path, "ick"), mode="mor")
+    assert table.committed_segments()  # segment completed under its fp
+
+    # a producer keeps writing into the completed segment
+    seg = os.path.join(feed, sorted(os.listdir(feed))[0])
+    src = [f for f in sorted(os.listdir(seg)) if f.endswith(".parquet")][0]
+    shutil.copy(
+        os.path.join(seg, src), os.path.join(seg, "part-zzz-late.parquet")
+    )
+    with pytest.raises(Exception, match="immutable"):
+        run_stream(
+            spark, table, feed, os.path.join(tmpdir_path, "ick"), mode="mor"
+        )
+
+
+def test_zero_row_parquet_file_commits_as_empty(spark, tmpdir_path):
+    """A producer legitimately writing a zero-row parquet file (an empty
+    partition) must NOT crash the stream into a redelivery loop: the
+    expect-rows guard footer-probes the matched files and commits a
+    counters-only version that ledgers them (round-4 ADVICE, low)."""
+    import pyarrow.parquet as pq
+
+    feed = os.path.join(tmpdir_path, "zfeed")
+    write_feed(
+        change_feed_df(spark, n_events=1500, n_convs=30, max_turns=6,
+                       seed=37, n_batches=1),
+        feed,
+    )
+    table = LakeTable.create(
+        os.path.join(tmpdir_path, "zlake"), TRANSCRIPT_SCHEMA, n_buckets=2
+    )
+    ck = os.path.join(tmpdir_path, "zck")
+    run_stream(spark, table, feed, ck, mode="mor")
+    rows_before = table.read(spark).count()
+
+    # a NEW segment holding only a zero-row file (schema cloned from a
+    # real feed file's footer)
+    seg0 = os.path.join(feed, sorted(os.listdir(feed))[0])
+    src = [f for f in sorted(os.listdir(seg0)) if f.endswith(".parquet")][0]
+    sch = pq.read_schema(os.path.join(seg0, src))
+    empty_seg = os.path.join(feed, "batch=00099")
+    os.makedirs(empty_seg)
+    pq.write_table(
+        sch.empty_table(), os.path.join(empty_seg, "part-empty.parquet")
+    )
+
+    run_stream(spark, table, feed, ck, mode="mor")  # must not raise
+    assert table.read(spark).count() == rows_before
+    # the empty file is ledgered: a full redelivery (fresh checkpoint)
+    # no-ops instead of retrying it forever
+    v = table.manifest().version
+    run_stream(spark, table, feed, os.path.join(tmpdir_path, "zck2"), mode="mor")
+    assert table.manifest().version == v
+
+
+def test_new_files_predicate_applied_sibling_excluded(spark, tmpdir_path):
+    """Form decoding collides 'a+b.parquet' with 'a b.parquet'; rows of an
+    already-applied sibling must not re-enter the batch via the decoded
+    variant set (round-4 ADVICE, low)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.apply import new_files_predicate
+
+    seg = os.path.join(tmpdir_path, "feedp", "s")
+    os.makedirs(seg)
+    for fn in ("a+b.parquet", "a b.parquet"):
+        open(os.path.join(seg, fn), "w").close()
+    df = spark.createDataFrame(
+        [("s/a+b.parquet", 1), ("s/a b.parquet", 2)], ["__file", "v"]
+    )
+    feed_dir = os.path.join(tmpdir_path, "feedp")
+
+    # want the space file; the '+' sibling was already applied — its rows
+    # must be excluded even though url_decode('a+b')=='a b' lands in want
+    got = df.filter(
+        new_files_predicate(
+            ["s/a b.parquet"], feed_dir=feed_dir,
+            rel_applied=["s/a+b.parquet"],
+        )
+    ).collect()
+    assert [r["v"] for r in got] == [2]
+    # and the wanted '+' file still matches itself (the round-4 fix held)
+    got2 = df.filter(
+        new_files_predicate(
+            ["s/a+b.parquet"], feed_dir=feed_dir,
+            rel_applied=["s/a b.parquet"],
+        )
+    ).collect()
+    assert [r["v"] for r in got2] == [1]
+
+
+def test_progress_df_dedup_by_batch_id(spark, tmpdir_path):
+    """batch_id is the telemetry aggregation identity: a crash between the
+    table commit and the JSONL append yields a second (skip) row for the
+    same batch on redelivery — progress_df dedups to the FIRST recorded
+    row per batch so sums never double-count (round-4 ADVICE, low)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.stream import progress_df
+
+    prog = os.path.join(tmpdir_path, "_progress")
+    os.makedirs(prog)
+    base = dict(started_at="2026-01-01 00:00:00.000000", wall_sec=1.0,
+                failed=0, late_dropped=0, dup_dropped=0,
+                no_new_files=False)
+    rows = [
+        dict(base, trigger_no=0, epoch_id=0, batch_id="b1", events_in=100,
+             applied=100, events_per_sec=100.0, skipped_idempotent=False),
+        # crash-redelivery of b1: skip row, zero counters
+        dict(base, trigger_no=1, epoch_id=1, batch_id="b1", events_in=0,
+             applied=0, events_per_sec=0.0, skipped_idempotent=True),
+        dict(base, trigger_no=2, epoch_id=2, batch_id="b2", events_in=50,
+             applied=50, events_per_sec=50.0, skipped_idempotent=False),
+        # two liveness rows (batch_id NULL) are BOTH kept
+        dict(base, trigger_no=3, epoch_id=3, batch_id=None, events_in=0,
+             applied=0, events_per_sec=0.0, skipped_idempotent=False,
+             no_new_files=True),
+        dict(base, trigger_no=4, epoch_id=4, batch_id=None, events_in=0,
+             applied=0, events_per_sec=0.0, skipped_idempotent=False,
+             no_new_files=True),
+    ]
+    with open(os.path.join(prog, "progress.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    d = progress_df(spark, prog)
+    assert d.count() == 4  # b1 deduped to its first (real-counter) row
+    assert d.agg(F.sum("events_in")).first()[0] == 150
+    assert progress_df(spark, prog, dedup=False).count() == 5

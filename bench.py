@@ -161,6 +161,11 @@ BENCH_QUERIES = [
 #     rounds (each an eager segment write + its own job chain); the same
 #     band-join work is timed via doc_incremental_neardup and
 #     emb_neardup_pairs, the one-pass formulations.
+#   doc_neardup_gate_compact / emb_ivf_index_compact — correctness rows
+#     (compaction = pure file merge, same oracle as their uncompacted
+#     twins); timing them would re-measure the twins plus an eager
+#     maintenance write. Compaction's perf claim is the SOAK artifact
+#     (tools/soak_index.py → SOAK_INDEX_r5.json), not a query wall.
 
 
 def _steal_sample() -> tuple[int, int]:

@@ -158,6 +158,13 @@ PROGRESS_SCHEMA = T.StructType(
         T.StructField("events_per_sec", T.DoubleType()),
         T.StructField("skipped_idempotent", T.BooleanType()),
         T.StructField("no_new_files", T.BooleanType()),
+        # ConvSummaryMV delta-refresh telemetry (NULL when no MV is
+        # attached, the cadence skipped this trigger, or the refresh
+        # bootstrapped/no-opped/cut over): conversations updated
+        # arithmetically vs re-aggregated — a workload that
+        # systematically trips a fallback class is visible per trigger
+        T.StructField("mv_arith", T.LongType()),
+        T.StructField("mv_reagg", T.LongType()),
     ]
 )
 
@@ -177,7 +184,7 @@ def _progress_rows_recorded(prog_dir: str) -> int:
 
 def _record_progress(
     spark: SparkSession, prog_dir: str, trigger_no: int, epoch_id: int,
-    stats, wall_sec: float, t0: float,
+    stats, wall_sec: float, t0: float, mv_stats: dict | None = None,
 ) -> None:
     """Append ONE row per trigger to the progress table — the engine's
     StreamingQueryProgress analog with the merge counters joined in (the
@@ -217,6 +224,9 @@ def _record_progress(
         sep=" ", timespec="microseconds"
     )
     row["wall_sec"] = float(wall_sec)
+    if mv_stats is not None:
+        row["mv_arith"] = int(mv_stats["n_arith"])
+        row["mv_reagg"] = int(mv_stats["n_reagg"])
     _os.makedirs(prog_dir, exist_ok=True)
     with open(_os.path.join(prog_dir, "progress.jsonl"), "a") as f:
         f.write(_json.dumps(row) + "\n")
@@ -255,6 +265,59 @@ def progress_df(
     )
 
 
+def fold_progress(
+    spark: SparkSession, prog_dir: str, out_path: str | None = None
+) -> int:
+    """Fold the driver-local JSONL progress log into a snapshot-versioned
+    parquet table (parquet dir per fold + atomic pointer swap — the MV
+    storage pattern), so fleet progress is queryable with the same
+    stable-snapshot semantics as every other lake structure while the
+    hot path keeps its one-os.write-per-trigger cost (a per-trigger
+    parquet append measured ~2× the whole trigger wall — the round-4
+    lesson). Rows are batch_id-deduped on the way in (``progress_df``).
+    Idempotent: re-folding the same log replaces the snapshot. Returns
+    rows folded. Reader: ``folded_progress_df``."""
+    import os
+    import uuid as _uuid
+
+    from etl_spark.lake.table import _atomic_write
+
+    out = out_path or f"{prog_dir.rstrip('/')}_table"
+    os.makedirs(out, exist_ok=True)
+    df = progress_df(spark, prog_dir)
+    rel = f"fold-{_uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(os.path.join(out, rel))
+    n = df.count()
+    p = os.path.join(out, _PROG_PTR)
+    old = None
+    if os.path.exists(p):
+        import json as _json
+
+        with open(p) as f:
+            old = _json.loads(f.read())["data"]
+    import json as _json
+
+    _atomic_write(p, _json.dumps({"data": rel, "n_rows": n}))
+    if old is not None and old != rel:
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(out, old), ignore_errors=True)
+    return n
+
+
+_PROG_PTR = "CURRENT"
+
+
+def folded_progress_df(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read the folded progress table's current snapshot."""
+    import json as _json
+    import os
+
+    with open(os.path.join(out_path, _PROG_PTR)) as f:
+        m = _json.loads(f.read())
+    return spark.read.parquet(os.path.join(out_path, m["data"]))
+
+
 def run_stream(
     spark: SparkSession,
     table: LakeTable,
@@ -275,6 +338,7 @@ def run_stream(
     neardup_threshold: float = 0.5,
     neardup_compact_every: int | None = 64,
     progress_path: str | None = None,
+    progress_fold_every: int | None = None,
 ):
     """Start (and by default drain) the streaming apply loop. Returns the
     StreamingQuery when available_now=False (caller stops it).
@@ -331,7 +395,15 @@ def run_stream(
     ``<checkpoint_dir>/_progress``) — one row per trigger with wall time,
     merge counters (invariant-consistent), throughput, and skip/no-op
     flags; read it back with ``progress_df``. Pass an explicit path to
-    relocate, or rely on the default next to the checkpoint."""
+    relocate, or rely on the default next to the checkpoint.
+
+    ``progress_fold_every``: opt-in cadence (triggers) for folding the
+    driver-local JSONL into a snapshot-versioned parquet table next to
+    it (``fold_progress`` → ``<progress>_table``) — periodic, never
+    per-trigger (the round-4 telemetry lesson: a per-trigger parquet
+    append halved drain throughput). An availableNow drain ends with a
+    final fold so the table is current. None (default) opts out at zero
+    drain cost."""
     schema = detect_feed_schema(spark, feed_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -352,11 +424,8 @@ def run_stream(
 
         t0 = _time.time()
         s = _apply_and_compact(df)
-        if prog_dir is not None:
-            _record_progress(
-                spark, prog_dir, trigger_no[0], int(epoch_id), s,
-                _time.time() - t0, t0,
-            )
+        wall = _time.time() - t0  # apply wall only; maintenance untimed
+        this_trigger = trigger_no[0]
         trigger_no[0] += 1
         # near-dup index maintenance on its own cadence: bound the probe
         # plan's file fan-in under unbounded uptime (one new segment per
@@ -379,10 +448,27 @@ def run_stream(
         # cadence > 1 trades freshness lag for amortized maintenance —
         # never correctness. A final catch-up runs after an availableNow
         # drain (below) so the drained MV is always current.
+        mv_stats = None
         if mv_path is not None and trigger_no[0] % max(1, mv_refresh_every) == 0:
             from etl_spark.lake.mv import ConvSummaryMV
 
-            ConvSummaryMV(mv_path).refresh(spark, table)
+            mv = ConvSummaryMV(mv_path)
+            mv.refresh(spark, table)
+            mv_stats = mv.last_refresh_stats
+        # recorded AFTER maintenance so the row carries the MV's
+        # arith/re-agg split; wall_sec is still the apply wall alone,
+        # and batch_id-keyed dedup (progress_df) absorbs the slightly
+        # wider crash window between commit and append
+        if prog_dir is not None:
+            _record_progress(
+                spark, prog_dir, this_trigger, int(epoch_id), s,
+                wall, t0, mv_stats=mv_stats,
+            )
+            if (
+                progress_fold_every is not None
+                and trigger_no[0] % max(1, progress_fold_every) == 0
+            ):
+                fold_progress(spark, prog_dir)
         if replica_path is not None:
             from etl_spark.lake.replicate import sync_replica
 
@@ -515,5 +601,7 @@ def run_stream(
             from etl_spark.lake.mv import ConvSummaryMV
 
             ConvSummaryMV(mv_path).refresh(spark, table)
+        if progress_fold_every is not None and prog_dir is not None:
+            fold_progress(spark, prog_dir)  # drained table is current
         return q
     return writer.start()

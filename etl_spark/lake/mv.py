@@ -256,10 +256,15 @@ class ConvSummaryMV(KeyedMV):
 
     def __init__(self, path: str):
         super().__init__(path, conv_summary)
+        #: telemetry of the LAST delta refresh on this handle (see class
+        #: docstring): {n_affected, n_arith, n_reagg, reagg_class_1/2/3},
+        #: or None when the last call bootstrapped / no-opped / cut over.
+        self.last_refresh_stats: dict | None = None
 
     def refresh(
         self, spark: SparkSession, table: LakeTable, to_version: int | None = None
     ) -> int:
+        self.last_refresh_stats = None
         v_from = self.table_version
         v_to = table.current_version() if to_version is None else to_version
         if v_from is None:
@@ -322,15 +327,42 @@ class ConvSummaryMV(KeyedMV):
         new_total = F.coalesce(F.col("total_chars"), z.cast("long")) + F.coalesce(
             F.col("d_chars"), z.cast("long")
         )
-        needs_reagg = F.col("d_turns").isNotNull() & F.when(
+        # fallback CLASS per affected conversation (0 = arithmetic path):
+        # 3 = pre-image for an MV-unknown conversation (drift heal),
+        # 1 = old max possibly removed, 2 = total_chars sign/NULL
+        # ambiguity — ordered most-specific-first; mirrors the class list
+        # in the class docstring so telemetry names match documentation
+        reagg_class = F.when(
+            F.col("d_turns").isNull(), F.lit(0)
+        ).when(
             ~has_old,
-            # unknown conversation: pure inserts are computable, any
-            # pre-image means MV drift -> recompute
-            F.col("removed_max_ts").isNotNull(),
-        ).otherwise(
-            ~max_ok | (new_total <= 0) | F.col("total_chars").isNull()
+            F.when(F.col("removed_max_ts").isNotNull(), F.lit(3)).otherwise(
+                F.lit(0)
+            ),
+        ).when(~max_ok, F.lit(1)).when(
+            (new_total <= 0) | F.col("total_chars").isNull(), F.lit(2)
+        ).otherwise(F.lit(0))
+        merged = (
+            j.withColumn("__class", reagg_class)
+            .withColumn("__reagg", F.col("__class") > 0)
+            .localCheckpoint(eager=True)
         )
-        merged = j.withColumn("__reagg", needs_reagg).localCheckpoint(eager=True)
+        # one tiny agg over the checkpointed frame fills the per-refresh
+        # telemetry (no upstream recompute); recorded by the streaming
+        # driver's progress rows
+        cc = {
+            int(r["__class"]): int(r["n"])
+            for r in merged.filter(F.col("d_turns").isNotNull())
+            .groupBy("__class").agg(F.count("*").alias("n")).collect()
+        }
+        self.last_refresh_stats = {
+            "n_affected": n_affected,
+            "n_arith": cc.get(0, 0),
+            "n_reagg": sum(v for k, v in cc.items() if k > 0),
+            "reagg_class_1": cc.get(1, 0),
+            "reagg_class_2": cc.get(2, 0),
+            "reagg_class_3": cc.get(3, 0),
+        }
         arith = (
             merged.filter(F.col("d_turns").isNotNull() & ~F.col("__reagg"))
             .select(

@@ -966,6 +966,41 @@ def emb_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``emb_ivf_index_topk`` served from a COMPACTED index: three
+    per-trigger segments merged into one consolidated cell-partitioned
+    segment (``IvfIndex.compact``) before probing. Shares the
+    uncompacted row's oracle — the registry-level proof that compaction
+    is a pure file merge with identical rankings (round-5: the last
+    O(triggers) structure gets its maintenance verb)."""
+    key = sf_dir + "#compacted"
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from etl_spark.ops.ivfserve import IvfIndex
+
+        d = tempfile.mkdtemp(prefix="etl_spark_ivfidxc_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        idx = IvfIndex(os.path.join(d, "ivf"))
+        e = _emb(spark, sf_dir)
+        idx.train(spark, e)
+        for k in range(3):
+            idx.add(spark, e.filter(F.col("vec_id") % 3 == k), seg_name=f"s{k}")
+        c = idx.compact(spark)
+        assert c is not None and c["segments"] == 1, c
+        _IVF_CACHE[key] = idx
+    probes = _emb(spark, sf_dir).filter(
+        (F.col("vec_id") >= N_CENTROIDS) & (F.col("vec_id") < 2 * N_CENTROIDS)
+    )
+    out = idx.topk(spark, probes, k=IVF_TOP_K, n_probe=IVF_IDX_NPROBE)
+    return out.select(
+        "q_id", "cand_id", "rank", F.round("cos", 4).alias("cos4")
+    )
+
+
 def emb_ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit of the persisted index vs exact brute force — the
     statistic a production ANN rollout is judged on, kept oracle-exact."""

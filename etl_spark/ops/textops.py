@@ -1072,6 +1072,42 @@ def doc_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def doc_neardup_gate_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate sequence of ``doc_neardup_gate`` with a segment
+    COMPACTION between admission rounds — the oracle-level proof that
+    ``NearDupIndex.compact`` is a pure file merge: the per-round dup
+    pairs (and hence the union the oracle checks) are identical to the
+    uncompacted run. Earlier rounds' results are materialized before
+    compacting because compaction removes the absorbed segment files a
+    lazy plan would still reference (the documented single-writer /
+    no-stale-reader contract)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from etl_spark.cdc.neardup import NearDupIndex
+
+    work = tempfile.mkdtemp(prefix="etl_spark_ndgatec_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = NearDupIndex(os.path.join(work, "ndi"))
+    outs = []
+    for b in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == b)
+        outs.append(
+            idx.check_and_add(
+                spark, batch, threshold=JACCARD_THRESHOLD
+            ).localCheckpoint(eager=True)
+        )
+        if b == 1:
+            c = idx.compact(spark, keep_last=0)
+            assert c is not None and c["segments"] == 1, c
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 DOC_NEARDUP_GATE_SQL = f"""
     WITH sig AS ({_SIG_TABLE_SQL}),
     bands AS (

@@ -196,6 +196,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textops.DOC_INCREMENTAL_NEARDUP_SQL,
     ),
     "doc_neardup_gate": (textops.doc_neardup_gate, textops.DOC_NEARDUP_GATE_SQL),
+    # gate sequence with a mid-stream segment compaction — same oracle:
+    # per-round dup pairs must be unchanged by the file merge
+    "doc_neardup_gate_compact": (
+        textops.doc_neardup_gate_compact,
+        textops.DOC_NEARDUP_GATE_SQL,
+    ),
     "doc_pii_redact": (textops.doc_pii_redact, textops.DOC_PII_REDACT_SQL),
     "doc_contamination": (textops.doc_contamination, textops.DOC_CONTAMINATION_SQL),
     "doc_domain_mix": (textops.doc_domain_mix, textops.DOC_DOMAIN_MIX_SQL),
@@ -243,6 +249,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_ivf_index_recall": (
         simsearch.emb_ivf_index_recall,
         simsearch.EMB_IVF_INDEX_RECALL_SQL,
+    ),
+    # served from a COMPACTED index — same oracle as the uncompacted row:
+    # the registry-level proof that segment compaction is a pure file
+    # merge with identical rankings (round-5 maintenance verb)
+    "emb_ivf_index_compact": (
+        simsearch.emb_ivf_index_compact,
+        simsearch.EMB_IVF_INDEX_TOPK_SQL,
     ),
     # --- multimodal plumbing (Arrow mapInPandas decode stub) ---
     "mm_decode_meta": (multimodal.mm_decode_meta, multimodal.MM_DECODE_META_SQL),

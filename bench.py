@@ -345,11 +345,6 @@ def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
         serv_reps = int(os.environ.get("BENCH_SERV_REPS", "3"))
         serv_table = LakeTable(os.path.join(work, f"lake_mor_{reps - 1}"))
         versions = serv_table.versions()
-        # value-lookup prerequisites (untimed maintenance path): declare
-        # the skip column, resolve deltas to backfill per-file sidecars
-        serv_table.set_skip_blooms(["text"])
-        serv_table.resolve_deltas(spark)
-        probe = serv_table.read(spark).select("text").first()[0]
         plan = serv_table.plan_point_lookup(spark, "conv-00000042")
         runs_s: dict[str, list[dict]] = {
             "point_lookup": [], "mv_refresh": [], "replica_sync": [],
@@ -375,6 +370,11 @@ def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
                 }
             )
 
+        # point/MV/replica reps run against the UNRESOLVED MOR table and
+        # a one-segment catch-up interval — the same state prior rounds
+        # measured (resolving deltas first would shrink the point scan
+        # and widen the MV/replica diff with the maintenance commit,
+        # silently changing the legs' meaning round over round)
         for rep in range(serv_reps):
             _timed(
                 "point_lookup",
@@ -392,6 +392,13 @@ def run_cdc_replay(spark, n_events: int, n_segments: int = 4) -> dict:
                 "replica_sync",
                 lambda: sync_replica(spark, serv_table, rt).applied(),
             )
+        # value-lookup prerequisites (untimed maintenance path, AFTER the
+        # legs above): declare the skip column, resolve deltas to
+        # backfill per-file sidecars — the r4 ordering
+        serv_table.set_skip_blooms(["text"])
+        serv_table.resolve_deltas(spark)
+        probe = serv_table.read(spark).select("text").first()[0]
+        for _rep in range(serv_reps):
 
             def _value_lookup():
                 vplan = serv_table.plan_value_lookup("text", probe)

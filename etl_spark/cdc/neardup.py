@@ -53,6 +53,64 @@ from etl_spark.lake.table import _atomic_write
 
 _PTR = "CURRENT"
 
+# absorbed-name ledger: inline tail size before spilling to an immutable
+# cumulative file (the table's ledger-snapshot pattern applied to the
+# index pointer) — keeps the per-trigger pointer parse O(live + tail)
+# under unbounded uptime instead of O(all names ever absorbed)
+ABSORBED_INLINE_MAX = 256
+#: process-wide cache of spilled absorbed-name sets, keyed by the spill
+#: file's full path — spill files are immutable (each spill writes a new
+#: name), so a cached set can never go stale
+_ABSORBED_CACHE: dict[str, frozenset] = {}
+
+
+def _load_absorbed_spill(base_path: str, fname: str | None) -> frozenset:
+    if not fname:
+        return frozenset()
+    full = os.path.join(base_path, fname)
+    got = _ABSORBED_CACHE.get(full)
+    if got is None:
+        try:
+            with open(full) as f:
+                got = frozenset(json.load(f))
+        except OSError:
+            got = frozenset()
+        _ABSORBED_CACHE[full] = got
+    return got
+
+
+def _merge_absorbed(
+    base_path: str, meta: dict, newly_absorbed: list[str]
+) -> str | None:
+    """Fold newly absorbed names into meta's absorbed ledger IN PLACE:
+    tail-append, spilling tail ∪ spill to a fresh immutable cumulative
+    file once the tail outgrows ``ABSORBED_INLINE_MAX``. The caller
+    commits meta (pointer swap) and may then delete the RETURNED
+    superseded spill file name (None when no spill happened)."""
+    tail = list(
+        dict.fromkeys(meta.get("absorbed", []) + newly_absorbed)
+    )
+    if len(tail) <= ABSORBED_INLINE_MAX:
+        meta["absorbed"] = tail
+        return None
+    old = meta.get("absorbed_spill")
+    merged = sorted(_load_absorbed_spill(base_path, old) | set(tail))
+    fname = f"ABSORBED-{uuid.uuid4().hex[:12]}.json"
+    _atomic_write(os.path.join(base_path, fname), json.dumps(merged))
+    _ABSORBED_CACHE[os.path.join(base_path, fname)] = frozenset(merged)
+    meta["absorbed"] = []
+    meta["absorbed_spill"] = fname
+    return old
+
+
+def _absorbed_contains(base_path: str, meta: dict, seg: str) -> bool:
+    """Absorbed-name membership: inline tail (O(tail), bounded) first,
+    then the immutable spill set (loaded once per process per spill
+    generation — amortized O(1) across a stream's triggers)."""
+    if seg in meta.get("absorbed", []):
+        return True
+    return seg in _load_absorbed_spill(base_path, meta.get("absorbed_spill"))
+
 
 class _SegmentedIndex:
     """Append-only parquet segments + atomic pointer; see module doc."""
@@ -77,9 +135,12 @@ class _SegmentedIndex:
         """Segment-name membership for ingest idempotence: live segments
         PLUS names absorbed by compaction — a redelivered trigger whose
         segment was since compacted must still no-op its write (the
-        deterministic-name ledger survives compaction; see ``compact``)."""
+        deterministic-name ledger survives compaction; see ``compact``).
+        Absorbed names live in a bounded inline tail + an immutable
+        cumulative spill set, so this stays O(live + tail) per call
+        under unbounded uptime (spill loads are process-cached)."""
         m = self._meta() if m is None else m
-        return seg in m["segments"] or seg in m.get("absorbed", [])
+        return seg in m["segments"] or _absorbed_contains(self.path, m, seg)
 
     def _params(self) -> dict:
         return {}
@@ -325,9 +386,20 @@ class _SegmentedIndex:
         "files_after": n} or None when below ``min_segments``."""
         m = self._meta()
         live = list(m["segments"])
-        absorbable = live[: len(live) - keep_last] if keep_last > 0 else live
+        absorbable = live[: max(0, len(live) - keep_last)]
         if len(absorbable) < min_segments:
             return None
+        # sweep orphans from crashed earlier compactions (dir written,
+        # pointer never swapped / rmtree never ran). Safe under the
+        # single-writer contract: no gate write is in flight, so any
+        # seg-/compact- dir not referenced by the live pointer is dead.
+        for d in os.listdir(self.path):
+            if (
+                (d.startswith("seg-") or d.startswith("compact-"))
+                and d not in live
+                and os.path.isdir(os.path.join(self.path, d))
+            ):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         comp = f"compact-{uuid.uuid4().hex[:12]}"
         files_before = files_after = 0
         for sub in ("sig", "bands"):
@@ -344,20 +416,29 @@ class _SegmentedIndex:
             out = os.path.join(self.path, comp, sub)
             # coalesce (no shuffle) to the byte-targeted file count —
             # the whole point is turning O(triggers) small files into
-            # O(bytes / target) big ones
-            spark.read.parquet(*paths).coalesce(n_out).write.mode(
-                "overwrite"
-            ).parquet(out)
+            # O(bytes / target) big ones. mergeSchema: a mixed-era index
+            # (th-carrying gate segments alongside th-less legacy add()
+            # segments) must not let an arbitrary file's footer win and
+            # bake the narrower schema in permanently — compaction is a
+            # pure file merge, columns included (absent values → NULL,
+            # the same semantics the union probe read sees).
+            spark.read.option("mergeSchema", "true").parquet(
+                *paths
+            ).coalesce(n_out).write.mode("overwrite").parquet(out)
             files_after += sum(
                 1 for fn in os.listdir(out) if fn.endswith(".parquet")
             )
         m2 = self._meta()
-        absorbed = list(dict.fromkeys(m2.get("absorbed", []) + absorbable))
+        old_spill = _merge_absorbed(self.path, m2, absorbable)
         m2["segments"] = [comp] + [
             s for s in m2["segments"] if s not in set(absorbable)
         ]
-        m2["absorbed"] = absorbed
         _atomic_write(os.path.join(self.path, _PTR), json.dumps(m2))
+        if old_spill:
+            try:
+                os.remove(os.path.join(self.path, old_spill))
+            except OSError:
+                pass
         if remove_absorbed:
             for s in absorbable:
                 shutil.rmtree(os.path.join(self.path, s), ignore_errors=True)

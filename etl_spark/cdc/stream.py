@@ -282,12 +282,22 @@ def fold_progress(
 
     from etl_spark.lake.table import _atomic_write
 
+    import pyarrow.parquet as _pq
+
     out = out_path or f"{prog_dir.rstrip('/')}_table"
     os.makedirs(out, exist_ok=True)
     df = progress_df(spark, prog_dir)
     rel = f"fold-{_uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(os.path.join(out, rel))
-    n = df.count()
+    # row count from the just-written parquet footers (driver-side, no
+    # second job — a df.count() here would re-read the JSONL and re-run
+    # the dedup window, and could disagree with the written snapshot if
+    # rows were appended in between)
+    n = sum(
+        _pq.read_metadata(os.path.join(out, rel, f)).num_rows
+        for f in os.listdir(os.path.join(out, rel))
+        if f.endswith(".parquet")
+    )
     p = os.path.join(out, _PROG_PTR)
     old = None
     if os.path.exists(p):

@@ -162,13 +162,16 @@ class IvfIndex:
         committed and skips). Returns vectors added."""
         import pyarrow.parquet as pq
 
+        from etl_spark.cdc.neardup import _absorbed_contains
+
         cents = self.centroids()
         seg = f"seg-{seg_name}" if seg_name else f"seg-{uuid.uuid4().hex[:12]}"
         m = self._meta()
         # absorbed names count: a redelivered trigger whose segment was
         # since compacted away must still no-op (the deterministic-name
-        # ledger survives compaction; see ``compact``)
-        if seg in m["segments"] or seg in m.get("absorbed", []):
+        # ledger survives compaction — bounded tail + immutable spill,
+        # see ``compact`` and neardup's shared absorbed-ledger helpers)
+        if seg in m["segments"] or _absorbed_contains(self.path, m, seg):
             return 0
         seg_dir = os.path.join(self.path, seg)
         rows = (
@@ -227,11 +230,25 @@ class IvfIndex:
 
         Returns {"absorbed": n, "segments": n_after, "files_before": n,
         "files_after": n} or None when below ``min_segments``."""
+        import shutil
+
+        from etl_spark.cdc.neardup import _merge_absorbed
+
         m = self._meta()
         live = list(m["segments"])
-        absorbable = live[: len(live) - keep_last] if keep_last > 0 else live
+        absorbable = live[: max(0, len(live) - keep_last)]
         if len(absorbable) < min_segments:
             return None
+        # sweep orphans from crashed earlier compactions (single-writer
+        # contract: any seg-/compact- dir the pointer doesn't reference
+        # is dead — a crashed write or an interrupted post-swap removal)
+        for d in os.listdir(self.path):
+            if (
+                (d.startswith("seg-") or d.startswith("compact-"))
+                and d not in live
+                and os.path.isdir(os.path.join(self.path, d))
+            ):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         comp = f"compact-{uuid.uuid4().hex[:12]}"
         comp_dir = os.path.join(self.path, comp)
 
@@ -258,16 +275,17 @@ class IvfIndex:
             .parquet(comp_dir)
         )
         m2 = self._meta()
-        m2["absorbed"] = list(
-            dict.fromkeys(m2.get("absorbed", []) + absorbable)
-        )
+        old_spill = _merge_absorbed(self.path, m2, absorbable)
         m2["segments"] = [comp] + [
             s for s in m2["segments"] if s not in set(absorbable)
         ]
         self._commit(m2)
+        if old_spill:
+            try:
+                os.remove(os.path.join(self.path, old_spill))
+            except OSError:
+                pass
         if remove_absorbed:
-            import shutil
-
             for s in absorbable:
                 shutil.rmtree(os.path.join(self.path, s), ignore_errors=True)
         return {

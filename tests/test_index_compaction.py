@@ -198,3 +198,79 @@ def test_stream_gate_compaction_bounds_segments(spark, tmpdir_path):
         else:
             assert n_segs == 6  # one per trigger without maintenance
     assert outs["on"] == outs["off"]
+
+
+def test_compact_keep_last_clamps_and_orphan_sweep(spark, tmpdir_path):
+    """keep_last larger than the live segment count must absorb NOTHING
+    (no negative-slice wraparound), and a compaction sweeps orphan dirs
+    left by crashed earlier compactions (round-5 self-review)."""
+    p = os.path.join(tmpdir_path, "ndk")
+    idx = NearDupIndex(p)
+    idx.gate_and_admit(spark, _df(spark, BASE), "k1").count()
+    idx.gate_and_admit(spark, _df(spark, B2), "k2").count()
+    # keep_last=3 > 2 live segments: nothing is absorbable
+    assert idx.compact(spark, min_segments=1, keep_last=3) is None
+    assert len(idx._meta()["segments"]) == 2
+
+    # crashed-compaction orphan (dir exists, pointer never referenced it)
+    os.makedirs(os.path.join(p, "compact-deadbeef", "sig"))
+    os.makedirs(os.path.join(p, "seg-crashedwrite", "sig"))
+    out = idx.compact(spark, min_segments=1, keep_last=1)
+    assert out is not None
+    assert not os.path.isdir(os.path.join(p, "compact-deadbeef"))
+    assert not os.path.isdir(os.path.join(p, "seg-crashedwrite"))
+
+
+def test_absorbed_ledger_spills_and_membership_survives(spark, tmpdir_path, monkeypatch):
+    """The absorbed-name ledger must stay bounded in the pointer (inline
+    tail + immutable cumulative spill) while preserving redelivery
+    no-ops for names absorbed many compactions ago."""
+    import json
+
+    from etl_spark.cdc import neardup as nd
+
+    monkeypatch.setattr(nd, "ABSORBED_INLINE_MAX", 3)
+    p = os.path.join(tmpdir_path, "nds")
+    idx = NearDupIndex(p)
+    rows = [[(100 * k + i, f"{t} spill round {k}") for i, t in
+             enumerate(x[1] for x in BASE)] for k in range(4)]
+    for k in range(4):
+        idx.gate_and_admit(spark, _df(spark, rows[k]), f"s{k}").count()
+        if k in (1, 3):
+            idx.compact(spark, min_segments=1, keep_last=1)
+    m = idx._meta()
+    assert len(m.get("absorbed", [])) <= 3  # tail bounded
+    assert m.get("absorbed_spill")  # spilled at least once
+    spill = json.load(open(os.path.join(p, m["absorbed_spill"])))
+    assert "seg-s0" in spill or "seg-s0" in m.get("absorbed", [])
+    # redelivery of the earliest absorbed name still no-ops the write
+    n_docs = idx.n_docs
+    idx.gate_and_admit(spark, _df(spark, rows[0]), "s0").count()
+    assert idx.n_docs == n_docs
+
+
+def test_compact_merge_schema_keeps_th_column(spark, tmpdir_path):
+    """A mixed-era index (th-less legacy segment + th-carrying gate
+    segment) must keep the th column through compaction — an arbitrary
+    footer winning would silently disable the exact-dedup layer."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(tmpdir_path, "ndm")
+    idx = NearDupIndex(p)
+    idx.add(spark, _df(spark, BASE))       # th-carrying segment
+    seg0 = idx._meta()["segments"][0]
+    # strip th from the first segment's sig files (simulated legacy era)
+    sig_dir = os.path.join(p, seg0, "sig")
+    for fn in os.listdir(sig_dir):
+        if fn.endswith(".parquet"):
+            tbl = pq.read_table(os.path.join(sig_dir, fn))
+            if "th" in tbl.column_names:
+                pq.write_table(tbl.drop(["th"]), os.path.join(sig_dir, fn))
+        if fn.startswith("."):  # stale Hadoop checksum sidecars
+            os.remove(os.path.join(sig_dir, fn))
+    idx.add(spark, _df(spark, B2))         # modern th-carrying segment
+    out = idx.compact(spark, keep_last=0)
+    assert out is not None and out["segments"] == 1
+    comp = idx._meta()["segments"][0]
+    cols = spark.read.parquet(os.path.join(p, comp, "sig")).columns
+    assert "th" in cols
